@@ -1,0 +1,369 @@
+"""M3 analytics surface beyond the reference: full aggregation/window
+coverage (SURVEY.md §2.4-§2.5 "not present" lists, made present).
+
+Windows: rank/dense_rank/row_number, lag/lead, running frames
+(rowsBetween), range frames (rangeBetween), ntile, top-k per group.
+Aggregates: count_distinct, approx_count_distinct (HLL),
+cube/rollup/grouping sets, pivot.
+
+Scale notes: every window here partitions by a key (never a global
+ORDER BY-only window, which would serialize onto one task).  Range/row
+frames run inside the per-partition sort — one shuffle each.  cube/
+rollup expand grouping sets via a single Expand node, not N scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.numeric import dec, dsum, sql_dsum
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+
+@query(
+    "customer_rank_in_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER w_total AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+           w_total AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    covers=["W-extended", "A1"],
+)
+def customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio; row_number gets a total order (tiebreak c_custkey)
+    so it is deterministic, rank/dense_rank share ties by design."""
+    prep(spark)
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_total = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_total).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "order_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    covers=["W-extended", "F18"],
+)
+def order_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a total per-customer order (the distributed form of
+    the reference's positional "next elements after marker" F18)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - prev).alias("delta_prev"),
+    )
+
+
+@query(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_orders
+    FROM orders
+    """,
+    covers=["W-extended"],
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total frame (rowsBetween).  The frame sum is exact
+    decimal: prefix sums are order-sensitive by definition, so the
+    ordering is total and the arithmetic exact."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).cast("bigint").alias("running_orders"),
+    )
+
+
+@query(
+    "yearly_spend_range_frame",
+    oracle="""
+    SELECT o_custkey, order_year,
+           CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,4)))) OVER (
+             PARTITION BY o_custkey ORDER BY order_year
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_2yr
+    FROM (
+      SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
+      FROM orders
+    )
+    GROUP BY o_custkey, order_year
+    """,
+    covers=["W-extended"],
+)
+def yearly_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range frame over a numeric ordering column: trailing-2-year spend
+    per customer (rangeBetween -1..0 on the year axis)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    yearly = (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_custkey", "order_year")
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("_spend_dec"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_year").rangeBetween(-1, 0)
+    return yearly.select(
+        "o_custkey",
+        "order_year",
+        F.sum("_spend_dec").over(w).cast("double").alias("spend_2yr"),
+    )
+
+
+@query(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    covers=["W-extended", "L1"],
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the distributed replacement for the reference's
+    per-group head-N idiom; Spark runs it as a windowed rank with
+    partial top-k pushdown (WindowGroupLimit) before the shuffle."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "customer_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ) AS BIGINT) AS quartile
+    FROM customer
+    """,
+    covers=["W-extended"],
+)
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "sales_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    covers=["A-extended"],
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets in one Expand+Aggregate (no re-scan)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "sales_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    covers=["A-extended"],
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(revenue, "revenue")
+    )
+
+
+@query(
+    "order_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    covers=["A-extended"],
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (same Catalyst plan as the DF API)."""
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "distinct_part_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    covers=["A-extended", "U3"],
+)
+def distinct_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (Expand-based plan)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketch: engine-specific estimate, rows-only check
+    covers=["A-extended"],
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path where an
+    exact distinct would shuffle every key.  Estimates are
+    engine-specific, so no SQL oracle — the driver records rows-only."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "quantity_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    covers=["A-extended"],
+)
+def quantity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for pivot
+    values at 100 TB — pass them)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    covers=["A-extended"],
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + min/max.  (percentile_approx is the 100 TB path;
+    exact median here so the oracle comparison is well-defined.)"""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

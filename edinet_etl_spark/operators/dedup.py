@@ -1,0 +1,275 @@
+"""M6 deduplication operators over the ``documents`` table.
+
+The four standard tiers of large-corpus dedup, each expressed with
+built-in (codegen'd) expressions only — no Python UDFs in any hot path:
+
+- exact:    content fingerprint (md5) → hash groupBy
+- bag:      order-insensitive bag-of-words fingerprint
+- minhash:  shingle → k minhashes → LSH banding → bucket self-join
+- simhash:  per-token random bits → sign-sum signature
+
+Portability trick: every hash is ``md5`` over an explicit string —
+bit-identical in Spark, DuckDB, and any other engine, so the oracle can
+replay the whole LSH pipeline.  Taking the MIN of fixed-width hex
+strings is the same ordering as MIN over the numeric hash value.
+
+Scale notes (the whole point of MinHash/SimHash): candidate generation
+is a self-join on (band_id, band_hash) — a hash-partitioned equi-join
+whose fan-out is bounded by bucket size, not O(n²).  At 100 TB you'd
+salt giant buckets (a bucket with B docs yields B² pairs; cap B, or
+shard the band hash) — noted in bench notes; at test SF buckets are
+small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = N_HASHES / N_BANDS = 2
+
+
+def _shingles(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Character k-gram shingles: one row per (doc_id, position).
+
+    ``sequence`` + ``explode`` keeps generation inside codegen; no UDF.
+    MIN-hash does not need DISTINCT shingles (min over a multiset equals
+    min over its set), so no pre-dedup shuffle.
+    """
+    return docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("pos"),
+    ).select("doc_id", F.col("text").substr(F.col("pos"), F.lit(k)).alias("sh"))
+
+
+def _minhash_agg(seed: int) -> Column:
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))).alias(f"h{seed}")
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → N_HASHES minhash columns h0..h7 (one aggregate pass)."""
+    return _shingles(docs).groupBy("doc_id").agg(
+        *[_minhash_agg(s) for s in range(N_HASHES)]
+    )
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Concatenate r=2 minhashes per band and re-hash → (doc_id, band_id, band_hash)."""
+    bands = [
+        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))) for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash")
+    )
+
+
+# --- oracle SQL building blocks (same pipeline in ANSI SQL) ---
+
+_SQL_SHINGLES = """
+  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, n_chars - 4)) AS i FROM documents)
+"""
+_SQL_MINS = "SELECT doc_id, " + ", ".join(
+    f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(N_HASHES)
+) + " FROM sh GROUP BY doc_id"
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM mins"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    covers=["M6-dedup", "A1"],
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content fingerprint, keeping the
+    lowest doc_id per group.  At 100 TB: group on the 128-bit hash (not
+    the text) so the shuffle carries 16 bytes/row, not documents."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@query(
+    "bag_of_words_dedup",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=["M6-dedup"],
+)
+def bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-exact dedup: fingerprint = md5 of the
+    sorted distinct token set (catches shuffled/duplicated-word copies
+    that byte-exact dedup misses).  Pure higher-order array fns."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    return docs.groupBy(bow.alias("bow_fp")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id
+                AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs (shingle → 8 minhashes →
+    4 bands of 2 → band-bucket self-join).  The banding join is the
+    scale path: O(n) bucket build instead of O(n²) pair scan."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    """,
+    covers=["M6-dedup"],
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over blocked candidate pairs (blocking key
+    = source; at scale the block would be the LSH bucket).  The
+    intersection count comes from a token-level equi-join — distributed,
+    never materializing per-pair token sets.  Jaccard is an int/int
+    division in double: deterministic."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_bit(j: int) -> Column:
+    """Pseudo-random ±1 for (bit j, token): first hex digit of
+    md5('{j}:'||tok) in 0..7 → +1 else -1 (a portable hash bit)."""
+    return F.when(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 1) <= "7", 1
+    ).otherwise(-1)
+
+
+@query(
+    "simhash_signatures",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+        "sums AS (SELECT doc_id, "
+        + ", ".join(
+            f"SUM(CASE WHEN substr(md5('{j}:' || tok), 1, 1) <= '7' THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(_SIMHASH_BITS)
+        )
+        + " FROM tok GROUP BY doc_id)\n"
+        "SELECT doc_id, "
+        + " || ".join(
+            f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
+        )
+        + " AS simhash FROM sums"
+    ),
+    covers=["M6-dedup"],
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each token votes ±1 on each signature bit via a portable
+    hash; the sign of the per-bit sum is the signature.  Near-dups land
+    at small Hamming distance; token multiplicity weights the vote
+    (hence no DISTINCT).  One explode + one aggregate — a single
+    shuffle on doc_id."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(_simhash_bit(j)).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    )
+    bits = [
+        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))

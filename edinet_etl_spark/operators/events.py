@@ -1,0 +1,223 @@
+"""M5 event-time semantics over the ``events`` table (SURVEY.md §2.9).
+
+The reference is strictly batch (its "stream" is a per-day polling
+loop, ``src/extract.py:107-127``); this module supplies the event-time
+operator family a streaming feed needs — tumbling/sliding/session
+windows, event dedup, JSON props decode — in their batch form.  The
+same expressions run under Structured Streaming (see
+``edinet_etl_spark/streaming/jobs.py``); batch mode is what the DuckDB
+oracle can check.
+
+Scale notes: `window()`/`session_window()` are native Catalyst
+expressions (codegen'd, no UDF); sliding windows multiply rows by
+(length/slide) — keep that factor small; session windows shuffle once
+on the session key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.numeric import dsum, sql_dsum
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+
+@query(
+    "tumbling_hourly_stats",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    covers=["M5-window"],
+)
+def tumbling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window: ``F.window(ts, '1 hour')`` — epoch-
+    aligned, identical semantics in batch and streaming."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "sliding_30m_windows",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes'
+             + INTERVAL '30 minutes' AS window_end,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events, (SELECT unnest([0, 1, 2]) AS k)
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    covers=["M5-window"],
+)
+def sliding_30m_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min length, 10 min slide): each event lands in
+    3 windows.  Oracle expresses the same assignment arithmetically."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'session_value')}
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    covers=["M5-session"],
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) via the native
+    ``session_window`` expression — Spark merges overlapping [ts, ts+gap)
+    intervals per key.  The oracle derives identical sessions with the
+    classic gaps-and-islands SQL.  session_window's end = last event +
+    gap, matching MAX(ts) + gap."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "first_event_per_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    covers=["M5-dedup", "A1"],
+)
+def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — the deterministic batch
+    analogue of streaming ``dropDuplicates([...])`` (which keeps an
+    arbitrary first-seen row; we pin event-time order)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "props_json_decode",
+    oracle="""
+    SELECT event_type,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=["F14"],
+)
+def props_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 JSON decode (``src/extract.py:87,126``): get_json_object on
+    the props column; integer sum is exact."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "eventtype_hourly_pivot",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    covers=["M5-window", "A-extended"],
+)
+def eventtype_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily conditional counts (pivot-style) over the event feed."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+
+    def cnt(t: str, alias: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(alias)
+
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(cnt("click", "clicks"), cnt("view", "views"), cnt("purchase", "purchases"), cnt("error", "errors"))
+        .select(F.col("w.start").alias("day"), "clicks", "views", "purchases", "errors")
+        .orderBy("day")
+    )

@@ -1,0 +1,222 @@
+"""M6 similarity search over the ``embeddings`` table.
+
+Three tiers:
+- brute-force top-k: exact dot/cosine against every vector — the
+  correctness baseline and the right plan when the query set is small
+  (broadcast queries, one scan of the corpus, per-query top-k).
+- blocked near-dup: restrict pairs to a blocking key (here ``label``,
+  standing in for a coarse IVF centroid id) — the classic IVF shape.
+- LSH bucketing: random-hyperplane signs → signature buckets; ANN
+  probes only its bucket.  Hyperplanes are derived from md5 so the
+  DuckDB oracle reproduces them exactly.
+
+Numeric discipline: dot products are sequential double folds over the
+array (fixed order → bit-deterministic, see ``dot_exact``); cosine adds
+only deterministic double ops (sqrt, divide) on top.
+
+Scale notes: brute force is O(|Q|·n·d) but embarrassingly parallel
+(queries broadcast, corpus partition-local top-k via window rank with
+WindowGroupLimit pushdown).  LSH/IVF cut n to a bucket: the join is a
+hash equi-join on the bucket key.  At 100 TB you'd also store vectors
+bucketed-on-disk so probes prune partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two float-array columns in DOUBLE.
+
+    A sequential left fold over the array: elements widen to double
+    (exact), multiply (IEEE, deterministic), and accumulate in array
+    order.  Unlike a grouped SUM, the addition order is fixed by the
+    array itself, so the result is bit-stable across plans, partitions,
+    and engines (verified bit-identical to DuckDB's list_dot_product).
+    Array-local reduction = no shuffle, whole-stage codegen.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Oracle-side mirror of dot_exact (same left-to-right double fold)."""
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'e.embedding')} AS dot,
+             {_sql_dot('q.embedding', 'q.embedding')} AS qnorm2,
+             {_sql_dot('e.embedding', 'e.embedding')} AS nnorm2
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(qnorm2) * sqrt(nnorm2)) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (sqrt(qnorm2) * sqrt(nnorm2)) DESC, neighbor_id
+             ) AS rn
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM scored WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "W-extended"],
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a small query set (vec_id < 5):
+    broadcast the queries, scan the corpus once, window-rank per query.
+    The fixed-fold dot makes the ranking key deterministic, so top-k
+    is stable across plans (ties broken by neighbor_id)."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cosine = dot_exact(F.col("q_emb"), F.col("n_emb")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("n_emb"), F.col("n_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "embedding_neardup_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_dot('a.embedding', 'b.embedding')} /
+             (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.embedding', 'b.embedding')} /
+             (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.9
+    """,
+    covers=["M6-similarity", "M6-dedup"],
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with IVF-style blocking:
+    only pairs sharing a block (label ≈ coarse centroid) are compared —
+    the join is a hash equi-join on the block key, so pair count scales
+    with bucket size, not corpus²."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cosine = dot_exact(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot_exact(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot_exact(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.9)
+    )
+
+
+_N_PLANES = 8
+_DIMS = 64
+
+
+def _plane_sign(p: int, i: int) -> int:
+    """Deterministic ±1 for (plane p, dim i): first hex digit of
+    md5('p:i') in 0..7 → +1.  Same formula the SQL oracle evaluates."""
+    return 1 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] <= "7" else -1
+
+
+def _plane_array(p: int) -> Column:
+    return F.array(*[F.lit(float(_plane_sign(p, i))) for i in range(1, _DIMS + 1)])
+
+
+def _sql_plane_dot(p: int) -> str:
+    plane = ", ".join(f"{float(_plane_sign(p, i))}" for i in range(1, _DIMS + 1))
+    return f"list_dot_product(CAST(embedding AS DOUBLE[]), [{plane}])"
+
+
+@query(
+    "lsh_hyperplane_buckets",
+    oracle=(
+        "SELECT vec_id, "
+        + " || ".join(
+            f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN '1' ELSE '0' END)"
+            for p in range(_N_PLANES)
+        )
+        + " AS bucket FROM embeddings"
+    ),
+    covers=["M6-similarity"],
+)
+def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 md5-seeded
+    ±1 hyperplanes → 8 sign bits → 256 buckets.  A real query then
+    probes only its bucket (plus neighbors for multi-probe).  The plane
+    constants are literal arrays (broadcast with the plan); projection
+    is zip_with/aggregate — no UDF, no shuffle."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(dot_exact(F.col("embedding"), _plane_array(p)) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in range(_N_PLANES)
+    ]
+    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+@query(
+    "lsh_bucket_ann",
+    oracle=(
+        "WITH buckets AS (SELECT vec_id, label, embedding, "
+        + " || ".join(
+            f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN '1' ELSE '0' END)"
+            for p in range(_N_PLANES)
+        )
+        + """ AS bucket FROM embeddings)
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < 20
+    """
+    ),
+    covers=["M6-similarity", "J-extended"],
+)
+def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate retrieval: queries (vec_id < 20) probe their LSH
+    bucket via a hash equi-join on the bucket signature — the O(bucket)
+    replacement for the O(n) brute-force scan."""
+    prep(spark)
+    buckets = lsh_hyperplane_buckets(spark, sf_dir)
+    a = buckets.filter(F.col("vec_id") < 20).alias("a")
+    b = buckets.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.bucket").alias("bucket"),
+    )

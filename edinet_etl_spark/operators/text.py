@@ -1,0 +1,215 @@
+"""M6 text analysis over the ``documents`` table: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built-in string/array expressions (whole-stage codegen);
+no Python in the hot path.  All ratios are int/int divisions in double
+— deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count via the length-difference trick (portable to any
+    SQL engine; avoids regex escaping differences)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(
+        needle
+    )
+
+
+def _sql_occurrences(text: str, needle: str) -> str:
+    return f"(length({text}) - length(replace({text}, '{needle}', ''))) / {len(needle)}"
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+           CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / length(string_split(text, ' ')) AS lexical_diversity,
+           CAST(n_chars - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / length(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+    covers=["M6-text"],
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: word/char counts, lexical
+    diversity, average word length."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    n_distinct = F.size(F.array_distinct(words)).cast("bigint")
+    no_space_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("lexical_diversity"),
+        (F.col("n_chars") - no_space_len).cast("bigint").alias("n_spaces"),
+        (no_space_len.cast("double") / n_words).alias("avg_word_len"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " a ", " is "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+}
+
+
+@query(
+    "language_id_heuristic",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, lang AS labeled_lang, "
+        + ", ".join(
+            "("
+            + " + ".join(_sql_occurrences("' ' || text || ' '", m) for m in markers)
+            + f") AS score_{lang}"
+            for lang, markers in _LANG_MARKERS.items()
+        )
+        + " FROM documents)\n"
+        "SELECT doc_id, labeled_lang,\n"
+        "  (CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'\n"
+        "        WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'\n"
+        "        WHEN score_fr >= score_es THEN 'fr'\n"
+        "        ELSE 'es' END) AS predicted_lang\n"
+        "FROM scored"
+    ),
+    covers=["M6-text"],
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID: count per-language marker tokens,
+    argmax with a fixed priority order (en > de > fr > es) so ties are
+    deterministic.  (A production version swaps markers for character
+    n-gram profiles — same dataflow: score columns + argmax.)"""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum(_occurrences(padded, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *scores.values())
+    sc = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"]) & (sc["en"] >= sc["es"]), "en"
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]), "de")
+        .when(sc["fr"] >= sc["es"], "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "labeled_lang", predicted.alias("predicted_lang"))
+
+
+@query(
+    "token_count_estimate",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(SUM(CAST(floor((length(tok) + 3) / 4) AS BIGINT)) AS BIGINT) AS bpe_tokens_est
+    FROM (
+      SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    GROUP BY doc_id, text
+    """,
+    covers=["M6-text"],
+)
+def token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish estimate
+    (ceil(len/4) subword pieces per word — the standard ~4 chars/token
+    heuristic), computed distributively via explode + sum."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    return tok.groupBy("doc_id", "ws_tokens").agg(
+        F.sum(F.floor((F.length("tok") + 3) / 4).cast("bigint"))
+        .cast("bigint")
+        .alias("bpe_tokens_est")
+    ).select("doc_id", "ws_tokens", "bpe_tokens_est")
+
+
+@query(
+    "document_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+           substr(md5(text), 1, 8) AS short_fp
+    FROM documents
+    """,
+    covers=["M6-text", "M6-dedup"],
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash, order-insensitive
+    bag-of-words hash, and a short prefix fingerprint for sharding."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_fp"),
+        bow.alias("bow_fp"),
+        F.substring(F.md5("text"), 1, 8).alias("short_fp"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle="""
+    SELECT doc_id,
+           least(1.0, CAST(length(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.5
+           + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                        / length(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+                   THEN 0.3 ELSE 0.1 END)
+           + least(0.2, CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / length(string_split(text, ' ')) * 0.2) AS quality_score,
+           (CASE WHEN length(string_split(text, ' ')) >= 20 THEN TRUE ELSE FALSE END) AS passes_min_length
+    FROM documents
+    """,
+    covers=["M6-text"],
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length credit (saturating), average-
+    word-length plausibility band, lexical-diversity credit — the
+    standard pretraining-filter shape, as one codegen'd expression."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    avg_wlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_words
+    score = (
+        F.least(F.lit(1.0), n_words.cast("double") / 50.0) * 0.5
+        + F.when(avg_wlen.between(3.0, 8.0), 0.3).otherwise(0.1)
+        + F.least(F.lit(0.2), diversity * 0.2)
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (n_words >= 20).alias("passes_min_length"),
+    )
