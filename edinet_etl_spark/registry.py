@@ -55,6 +55,7 @@ def load_all() -> None:
         similarity,
         text,
     )
+    from edinet_etl_spark.streaming import jobs  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

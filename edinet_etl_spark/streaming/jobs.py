@@ -1,0 +1,287 @@
+"""Structured Streaming jobs over the events feed (SURVEY.md §2.9).
+
+The reference has no streaming — its incremental surface is a per-day
+polling loop (``/root/reference/src/extract.py:107-127``).  Here the
+same event-time operators exposed in batch form by
+``operators/events.py`` run as real ``readStream`` → transform →
+``writeStream`` jobs:
+
+- watermarked tumbling-window aggregation,
+- session windows (``session_window``),
+- in-stream exact dedup (``dropDuplicatesWithinWatermark``),
+- a custom stateful operator via ``applyInPandasWithState``.
+
+Each job also registers a ``queries()`` entry that drives the stream
+to completion with ``trigger(availableNow=True)`` and returns the
+materialized result — so the DuckDB oracle checks *streaming* output
+against plain SQL, proving batch/stream parity (the Structured
+Streaming promise: one declarative plan, two execution modes).
+
+Scale notes: file-source streams at 100 TB use
+``maxFilesPerTrigger``/``maxBytesPerTrigger`` for backpressure;
+watermarks bound state; session/window state lives in the state store
+(RocksDB in production), partitioned by grouping key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from edinet_etl_spark.numeric import dsum, sql_dsum
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+
+# Raw stream schema: ts arrives as int64 nanos (the feed's parquet
+# physical type, see tables._load_events) and is normalized to a
+# microsecond timestamp before any event-time operator.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _feed_dir(sf_dir: str) -> str:
+    """Stage the single events.parquet file into a directory the file
+    stream source can monitor (a feed IS a directory files land in;
+    the test fixture is one file).  Symlink, no copy; idempotent."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"edinet_stream_feed_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet; same columns and
+    instants as the batch loader."""
+    prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_feed_dir(sf_dir))
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# ------------------------------------------------------------------
+# Jobs (streaming DataFrames)
+# ------------------------------------------------------------------
+
+def tumbling_hourly_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling window — identical expression to the batch
+    ``tumbling_hourly_stats``; the 1-hour watermark bounds state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def user_sessions_stream(events: DataFrame) -> DataFrame:
+    """Watermarked session windows (5-minute gap), merged in the state
+    store as events arrive."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """In-stream exact dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): state is GC'd once the
+    watermark passes — the scalable form of streaming dedup."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        # exact decimal total carried as a string: float state would
+        # re-round on every batch; the string round-trips losslessly
+        T.StructField("total_dec", T.StringType()),
+    ]
+)
+_USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user event count and value
+    sum.  The sum follows the engine-wide exact-decimal discipline
+    (numeric.py): each double is quantized to DECIMAL(·,8) exactly as
+    Spark's HALF_UP cast does (repr → shortest decimal → setScale), the
+    decimals are summed exactly (associative, order-free), and the
+    output converts decimal → string → double, the portable correctly-
+    rounded path.  Result: bit-identical to SQL ``dsum`` at any batch
+    split."""
+    import decimal
+
+    (user_id,) = key
+    q = decimal.Decimal(1).scaleb(-8)
+    if state.exists:
+        n, total_dec = state.get
+        total = decimal.Decimal(total_dec)
+    else:
+        n, total = 0, decimal.Decimal(0)
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            n += 1
+            total += decimal.Decimal(repr(float(v))).quantize(
+                q, rounding=decimal.ROUND_HALF_UP
+            )
+    state.update((n, str(total)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [float(str(total))],
+        }
+    )
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState``: arbitrary per-key state beyond what
+    windows express — the extension point for custom streaming
+    operators (counters, ML feature state, CDC merge)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------------------
+# queries() entries: run the stream to completion, check vs SQL oracle
+# ------------------------------------------------------------------
+
+@query(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    covers=["M5-stream"],
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity proof: the watermarked streaming window
+    agg, driven to completion, must equal the plain SQL aggregation.
+    Complete output mode emits final window states."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        tumbling_hourly_stream(ev), "stream_tumbling_hourly_result", "complete"
+    )
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct FROM events",
+    covers=["M5-stream"],
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the feed (event_id is unique
+    in the fixture, so output cardinality == distinct count — the
+    check proves the operator passes every unique event exactly once)."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(dedup_stream(ev), "stream_dedup_result", "append")
+    return out.agg(
+        F.count("*").alias("n"), F.count_distinct("event_id").alias("n_distinct")
+    )
+
+
+@query(
+    "streaming_user_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY user_id
+    """,
+    covers=["M5-stream", "X-stateful"],
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator's final state per user must equal
+    the batch group-by — update mode emits one row per key per batch;
+    keep the last emission per key."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        user_totals_stream(ev), "stream_user_totals_result", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming parity tests (SURVEY.md §5, M5).
+
+Each streaming job is driven to completion with availableNow and its
+materialized output compared against the equivalent *batch* DataFrame
+expression — the batch/stream parity Structured Streaming promises.
+The oracle-vs-Spark check for the same jobs runs in
+test_queries_oracle.py through the registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.streaming import jobs
+from edinet_etl_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    ev = jobs.read_events_stream(spark, SF_DIR)
+    out = jobs.run_available_now(
+        jobs.tumbling_hourly_stream(ev), "t_tumbling", "complete"
+    )
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(out.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark):
+    ev = jobs.read_events_stream(spark, SF_DIR)
+    out = jobs.run_available_now(
+        jobs.user_sessions_stream(ev), "t_sessions", "complete"
+    )
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(out.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup_passes_unique_events(spark):
+    ev = jobs.read_events_stream(spark, SF_DIR)
+    out = jobs.run_available_now(jobs.dedup_stream(ev), "t_dedup", "append")
+    n_events = load(spark, SF_DIR, "events").count()
+    distinct_ids = (
+        load(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
+    assert out.count() == distinct_ids <= n_events
+
+
+def test_streaming_stateful_totals_equal_batch(spark):
+    """applyInPandasWithState running totals == batch groupBy, value
+    sums bit-identical thanks to the shared decimal discipline."""
+    from edinet_etl_spark.numeric import dsum
+
+    ev = jobs.read_events_stream(spark, SF_DIR)
+    out = jobs.run_available_now(
+        jobs.user_totals_stream(ev), "t_totals", "update"
+    )
+    w_cols = ["user_id", "n_events", "total_value"]
+    # update mode may emit a row per key per batch; keep final (max n)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*w_cols)
+    )
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+    )
+    assert _rows(final, w_cols) == _rows(batch, w_cols)
