@@ -50,8 +50,15 @@ def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
 
-    # warm the JVM/session (codegen, parquet footer cache) off the clock
-    registry.QUERIES["table_counts"](spark, SF_DIR).count()
+    # Warm-up: run every headline query once at the smallest SF so the
+    # JVM JITs each plan's generated code off the clock.  Plan shapes
+    # are identical across SFs, so this measures steady-state execution
+    # (what a long-lived cluster sees), not first-call codegen+JIT.
+    warm_dir = SF_DIR.replace("sf0.1", "sf0.001") if "sf0.1" in SF_DIR else SF_DIR
+    for name in HEADLINE:
+        registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
