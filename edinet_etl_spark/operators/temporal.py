@@ -1,0 +1,178 @@
+"""Temporal join operators the reference lacks (SURVEY.md §2.3 notes:
+"theta/range/as-of/interval joins ... our engine still exposes them").
+
+- **as-of join**: for each event, the latest order at-or-before it per
+  user.  Implemented as the distributed union+window pattern — tag
+  both sides, sort by (key, time, tag), carry the last order forward
+  with ``last(..., ignorenulls=True)``.  ONE hash shuffle on the key;
+  no range-condition join, whose candidate blowup is what kills as-of
+  at scale.  Ties (several orders on the same date) break to the
+  highest order key, pinned on both sides for hash stability.
+- **band (range) join**: price-band classification via a broadcast
+  non-equi join against a literal bounds table — the plan is a
+  BroadcastNestedLoopJoin over 4 rows, i.e. a scan-side predicate,
+  not a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+
+@query(
+    "asof_latest_order_per_event",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+           o_orderdate AS asof_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    covers=["J-extended", "W-extended"],
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, union+window form.
+
+    A naive range join (``user_id = o_custkey AND o_orderdate <= ts``
+    then argmax) materializes every (event, earlier-order) candidate —
+    quadratic per key.  The union+window form is linear: both sides
+    shuffle once on the key, sort by event time (order rows first on
+    ties via the side tag), and each event row reads the running "last
+    order seen".  This is the standard distributed as-of construction
+    (same shape Flink/kdb temporal joins use); the SQL oracle states
+    the same semantics declaratively.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # order rows sort before event rows at the same instant (side 0<1)
+    # → "at-or-before" inclusive; among same-date orders the largest
+    # o_orderkey is seen last → deterministic tie-break.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("side") == 0, F.struct("o_orderkey", "o_orderdate")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.unionByName(od)
+        .withColumn("asof", carried)
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "ts",
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.col("asof.o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+# p_retailprice spans [900, 1000) in the fixture — bands chosen to
+# split it four ways so the join is actually exercised per band.
+_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 1e12),
+]
+
+
+@query(
+    "part_price_band_join",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part
+    JOIN (VALUES ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+                 ('premium', 950.0, 975.0), ('luxury', 975.0, 1e12))
+         AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    covers=["J-extended"],
+)
+def part_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against a tiny literal bounds table on
+    a pure inequality predicate.  Catalyst plans BroadcastNestedLoop
+    with the 4-row side broadcast — per-row predicate evaluation, no
+    shuffle of the fact table; the aggregation then shuffles |bands|
+    partial rows.  (min/max are exact doubles — no sum → no decimal
+    discipline needed.)"""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "lineitem_ship_lag_range",
+    oracle="""
+    SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_lag_days,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+    covers=["J-extended", "F4"],
+)
+def lineitem_ship_lag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: equi-key plus a time-range predicate.  The equi
+    half keeps it a hash join (range applied as a post-join filter in
+    the same stage) — the shape to prefer over pure range joins
+    whenever any equality key exists."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    j = li.join(od, li.l_orderkey == od.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("interval 30 days"))
+    )
+    return j.groupBy(
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_lag_days")
+    ).agg(F.count("*").alias("n"))

@@ -53,6 +53,8 @@ def load_all() -> None:
         reference_ops,
         relational,
         similarity,
+        sql_api,
+        temporal,
         text,
     )
     from edinet_etl_spark.streaming import jobs  # noqa: F401

@@ -262,6 +262,42 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_user_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'session_value')}
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    covers=["M5-stream", "M5-session"],
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows driven to completion must equal the
+    batch gaps-and-islands SQL — state-store session merging vs.
+    declarative window SQL, same answer."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        user_sessions_stream(ev), "stream_user_sessions_result", "complete"
+    )
+
+
+@query(
     "streaming_user_totals",
     oracle=f"""
     SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 'total_value')}
