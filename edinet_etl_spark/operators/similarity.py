@@ -220,3 +220,94 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("neighbor_id"),
         F.col("a.bucket").alias("bucket"),
     )
+
+
+_IVF_SEED_STRIDE = 50  # centroid seeds = vec_id % stride == 0 → K ≈ n/stride
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.sid,
+             {_sql_dot('e.embedding', 's.semb')} AS sdot
+      FROM embeddings e, seeds s
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sdot DESC, sid) AS rn
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), probe AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.sid AS cell_id,
+             {_sql_dot('q.embedding', 'c.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('c.embedding', 'c.embedding')})) AS cosine
+      FROM cells q JOIN cells c ON q.sid = c.sid AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cell_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM probe
+    ) WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "J-extended", "W-extended"],
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, end to end: coarse quantize → probe own cell →
+    exact rerank.
+
+    Centroids are *deterministic seeds* (every ``stride``-th vector) so
+    the whole index build is a pure expression both engines replay —
+    the structural twin of a k-means IVF (train step swapped for seed
+    selection; at 100 TB you'd train centroids offline on a sample and
+    broadcast them identically).  Costs: assignment = one broadcast
+    crossJoin (n·K array-local dots, no shuffle) + one window argmin;
+    probe = hash equi-join on cell id, O(cell) per query instead of
+    O(n).  Recall improves by probing the p nearest cells instead of 1
+    (nprobe) — same plan, wider filter on the assignment rank.
+    """
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "sid")
+    )
+    q = cells.filter(F.col("vec_id") < 5).alias("q")
+    c = cells.alias("c")
+    cosine = dot_exact(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.sqrt(dot_exact(F.col("q.embedding"), F.col("q.embedding")))
+        * F.sqrt(dot_exact(F.col("c.embedding"), F.col("c.embedding")))
+    )
+    probe = q.join(
+        c,
+        (F.col("q.sid") == F.col("c.sid")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("q.sid").alias("cell_id"),
+        cosine.alias("cosine"),
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        probe.withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cell_id", "cosine")
+    )

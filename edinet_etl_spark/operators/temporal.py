@@ -24,6 +24,56 @@ from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time: str,
+    payload: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join (union+window form): for each ``left`` row,
+    attach the ``payload`` of the latest ``right`` row with the same
+    ``key`` and ``time`` at-or-before it (ties inside ``right`` broken
+    by ascending ``tiebreak`` — the largest value wins).
+
+    Both inputs must already expose ``key`` and ``time`` under those
+    names.  One hash shuffle on ``key``; linear in |left|+|right|.
+    """
+    lcols = [c for c in left.columns if c not in (key, time)]
+    l_tagged = left.select(
+        key,
+        time,
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+    )
+    r_tagged = right.select(
+        key,
+        time,
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *payload,
+        F.col(tiebreak).alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time, "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("__side") == 0, F.struct(*payload)), ignorenulls=True
+    ).over(w)
+    out_payload = [F.col(f"__asof.{c}").alias(f"asof_{c}") for c in payload]
+    return (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__asof", carried)
+        .filter(F.col("__side") == 1)
+        .select(key, time, *lcols, *out_payload)
+    )
+
+
 @query(
     "asof_latest_order_per_event",
     oracle="""
@@ -55,47 +105,22 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same semantics declaratively.
     """
     prep(spark)
-    ev = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),
-        "event_id",
-        "ts",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
-    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     od = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
         "o_orderkey",
         "o_orderdate",
     )
-    # order rows sort before event rows at the same instant (side 0<1)
-    # → "at-or-before" inclusive; among same-date orders the largest
-    # o_orderkey is seen last → deterministic tie-break.
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "side", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last(
-        F.when(F.col("side") == 0, F.struct("o_orderkey", "o_orderdate")),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        ev.unionByName(od)
-        .withColumn("asof", carried)
-        .filter(F.col("side") == 1)
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            "ts",
-            F.col("asof.o_orderkey").alias("asof_orderkey"),
-            F.col("asof.o_orderdate").alias("asof_orderdate"),
-        )
+    return asof_join(
+        ev, od, key="user_id", time="ts",
+        payload=["o_orderkey", "o_orderdate"], tiebreak="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_orderdate").alias("asof_orderdate"),
     )
 
 

@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY.md §5 strategy #4): invariants the
+DuckDB oracle can't express, checked against independent Python models
+over hypothesis-generated inputs.
+
+- A1 best-filing dedup == the reference's literal dict semantics
+  (``/root/reference/src/transform.py:133``: overwrite on every '130',
+  insert-if-absent otherwise) for ANY arrival sequence.
+- the generic as-of join == a quadratic-scan Python model for ANY
+  (events, orders) shape, including empty sides and heavy key ties.
+- ``dsum`` is bit-identical under row reorder + repartition and equals
+  an exact-decimal Python model (the 1000-executor reassociation
+  guarantee SCALE.md claims).
+
+Examples are capped small: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.numeric import dsum
+from edinet_etl_spark.operators.temporal import asof_join
+from edinet_etl_spark.pipeline.transform import select_best_filings
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- A1
+_filing = st.tuples(
+    st.sampled_from(["E01", "E02", "E03"]),          # company
+    st.sampled_from(["120", "130", "140"]),          # doc type
+)
+
+
+@given(st.lists(_filing, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_select_best_filings_matches_reference_dict_model(spark, filings):
+    rows = [
+        (f"{company}_20240101_{dtype}.csv", idx, "csv", b"")
+        for idx, (company, dtype) in enumerate(filings, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "filename string, arrival_idx long, file_type string, member_bytes binary",
+    )
+    got = {
+        r["company_code"]: r["arrival_idx"]
+        for r in select_best_filings(df).collect()
+    }
+    # the reference's loop, verbatim semantics
+    model: dict[str, int] = {}
+    for idx, (company, dtype) in enumerate(filings, start=1):
+        if company not in model or dtype == "130":
+            model[company] = idx
+    assert got == model
+
+
+# ------------------------------------------------------------- as-of
+_times = st.integers(min_value=0, max_value=20)
+_keys = st.integers(min_value=0, max_value=2)
+
+
+@given(
+    st.lists(st.tuples(_keys, _times), min_size=0, max_size=8),   # events
+    st.lists(st.tuples(_keys, _times), min_size=0, max_size=8),   # orders
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_quadratic_model(spark, events, orders):
+    ev = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(events)],
+        "k long, t long, event_id long",
+    )
+    od = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(orders)],
+        "k long, t long, order_id long",
+    )
+    got = {
+        r["event_id"]: r["asof_order_id"]
+        for r in asof_join(
+            ev, od, key="k", time="t", payload=["order_id"], tiebreak="order_id"
+        ).collect()
+    }
+    model = {}
+    for i, (k, t) in enumerate(events):
+        best = None  # latest time at-or-before, then largest order_id
+        for j, (ok, ot) in enumerate(orders):
+            if ok == k and ot <= t and (best is None or (ot, j) > best):
+                best = (ot, j)
+        model[i] = best[1] if best else None
+    assert got == model
+
+
+# -------------------------------------------------------------- dsum
+_vals = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_vals)
+@settings(**_SETTINGS)
+def test_dsum_reassociation_invariance(spark, vals):
+    def run(rows, parts):
+        df = spark.createDataFrame([(v,) for v in rows], "v double")
+        return df.repartition(parts).agg(dsum(F.col("v"), "s")).collect()[0]["s"]
+
+    fwd = run(vals, 1)
+    rev = run(list(reversed(vals)), 7)
+    assert fwd == rev or (fwd != fwd and rev != rev)  # bit-equal (NaN-safe)
+    # exact-decimal Python model: quantize like Spark's HALF_UP cast,
+    # sum exactly, convert via the same string hop
+    q = decimal.Decimal(1).scaleb(-8)
+    total = sum(
+        decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        for v in vals
+    )
+    assert fwd == float(str(total))
