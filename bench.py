@@ -39,8 +39,13 @@ HEADLINE = [
     "simhash_signatures",
     "cosine_topk_bruteforce",
     "lsh_hyperplane_buckets",
+    "ivf_ann_topk",
     "text_stats",
     "token_count_estimate",
+    "asof_latest_order_per_event",
+    "part_price_band_join",
+    "salted_returnflag_totals",
+    "sql_top_nation_per_region",
 ]
 
 

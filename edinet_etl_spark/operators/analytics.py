@@ -367,3 +367,44 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_N_SALTS = 16
+
+
+@query(
+    "salted_returnflag_totals",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity', 'total_qty')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    covers=["A-extended"],
+)
+def salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation by salting: l_returnflag has only 3
+    values, so a direct groupBy funnels the whole fact table into 3
+    reducer partitions — the classic straggler at 100 TB.  Two-stage
+    form: salt = crc32(stable row id) % {_N_SALTS} widens stage one to
+    3×{_N_SALTS} groups; stage two merges {_N_SALTS} partials per key.
+    Decimal partials re-aggregate exactly, so the result is
+    bit-identical to the direct plan (the oracle IS the direct plan).
+    The salt must be a *deterministic* function of row identity — a
+    rand() salt breaks retry/speculative-execution idempotence.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    salt = F.crc32(
+        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    ) % _N_SALTS
+    partial = (
+        li.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(dec(F.col("l_quantity"))).alias("pqty"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pqty").cast("string").cast("double").alias("total_qty"),
+    )
