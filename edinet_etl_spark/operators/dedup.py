@@ -318,3 +318,89 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_SIMHASH_BITS)
     ]
     return sums.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a
+           JOIN bands b ON a.band_id = b.band_id
+                       AND a.band_hash = b.band_hash
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+         ),
+         lbl(node, comp) AS (
+           SELECT u, LEAST(u, MIN(v)) FROM edges GROUP BY u
+           UNION
+           SELECT e.u, l.comp
+           FROM edges e JOIN lbl l ON e.v = l.node
+           WHERE l.comp < e.u
+         )
+    SELECT node AS doc_id, MIN(comp) AS component
+    FROM lbl GROUP BY node
+    """,
+    covers=["M6-dedup", "X-iterative"],
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the LSH
+    candidate graph by iterative min-label propagation — the step that
+    turns pairwise candidates into dedup groups (keep one doc per
+    component).
+
+    Spark side: loop label[u] ← min(label[u], min over neighbors'
+    labels) until fixpoint.  Each iteration is one join + one groupBy;
+    ``localCheckpoint`` truncates the exploding lineage (the standard
+    Spark idiom for iterative algorithms).  Component diameters in a
+    near-dup graph are tiny, so few iterations.  At larger scale the
+    same loop holds (it IS large-proximity connected components); the
+    alternating-star optimization or GraphFrames would cut rounds, not
+    change results.  Oracle: the identical fixpoint as a recursive CTE.
+    """
+    prep(spark)
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("comp")
+    ).select(F.col("u").alias("node"), "comp")
+    while True:
+        prop = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u)
+            .agg(F.min("comp").alias("ncomp"))
+            .select(F.col("u").alias("node"), "ncomp")
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

@@ -221,3 +221,39 @@ def eventtype_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("day"), "clicks", "views", "purchases", "errors")
         .orderBy("day")
     )
+
+
+@query(
+    "multires_time_rollup",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+           time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(GROUPING(time_bucket(INTERVAL '1 day', ts)) * 2
+                + GROUPING(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+    covers=["M5-window", "A-extended"],
+)
+def multires_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: grand total + per-day
+    + per-hour aggregates in ONE pass via ROLLUP on nested time
+    buckets (a continuous-aggregate ladder).  Spark expands grouping
+    sets through a single Expand node — the input is scanned once, not
+    once per resolution; ``grouping_id`` disambiguates rollup nulls
+    from genuine nulls.  At 100 TB this is the pattern for maintaining
+    downsample tables: one shuffle keyed by the finest bucket."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day_start")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    return (
+        ev.rollup(day, hour)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select("day_start", "hour_start", "gid", "n", "total_value")
+    )

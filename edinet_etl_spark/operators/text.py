@@ -8,7 +8,7 @@ no Python in the hot path.  All ratios are int/int divisions in double
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.registry import query
@@ -213,4 +213,75 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         score.alias("quality_score"),
         (n_words >= 20).alias("passes_min_length"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.doc_freq AS tfidf_ratio,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.doc_freq DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, tfidf_ratio
+    FROM scored WHERE rn <= 3
+    """,
+    covers=["M6-text", "A-extended", "W-extended"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (SURVEY §7.2 M6: "tf-idf via
+    explode + groupBy").
+
+    Score = tf · N/df — the idf kept as an exact *ratio* rather than
+    its log: one int-product and one correctly-rounded division are
+    bit-identical across engines, while ``ln`` is libm-dependent (may
+    differ in the last ulp between JVM and C).  The ranking is
+    identical (log is monotone).
+
+    Shuffles: tf groupBy on (doc_id, term); df groupBy on term; the
+    df side re-joins on term (hash join); N is a 1-row broadcast.  At
+    100 TB, df for stop-words is huge but the *output* per term is one
+    long — partial aggregation keeps the shuffle proportional to
+    distinct terms per partition.
+    """
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_ratio",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ratio"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf_ratio")
     )
