@@ -1,0 +1,72 @@
+"""Lake layout utilities: the write-side half of scale performance.
+
+SCALE.md claims two layout facts this module makes executable:
+
+1. **Bucketing eliminates the fact-fact join shuffle.**  Writing both
+   join sides bucketed by the join key (same bucket count) lets Spark
+   plan a SortMergeJoin with NO Exchange on either side — at 100 TB
+   the difference between re-shuffling the lake per query and reading
+   co-located buckets.
+2. **Date partitioning prunes scans.**  ``partitionBy(event_date)``
+   turns time-range predicates into directory pruning
+   (PartitionFilters in the scan node): a day query touches 1/365th
+   of the data before a single row is read.
+
+Both are asserted by plan inspection in ``tests/test_layout.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.tables import load
+
+N_BUCKETS = 8
+
+
+def write_bucketed_join_tables(
+    spark: SparkSession, sf_dir: str, out_dir: str, db: str = "lake"
+) -> None:
+    """Write lineitem+orders bucketed by the join key as *external*
+    tables under ``out_dir`` (bucketing metadata needs the catalog;
+    an explicit path keeps the data out of the static warehouse
+    dir)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{out_dir}/{name}_bucketed")
+            .format("parquet")
+            .saveAsTable(f"{db}.{name}_bucketed")
+        )
+
+
+def bucketed_join(spark: SparkSession, db: str = "lake") -> DataFrame:
+    """Fact-fact join over the bucketed tables — must plan with zero
+    Exchange operators (bucket co-location replaces the shuffle)."""
+    li = spark.table(f"{db}.lineitem_bucketed")
+    od = spark.table(f"{db}.orders_bucketed")
+    return li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+
+def write_date_partitioned_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """events → parquet partitioned by event_date (the lake layout for
+    any time-series fact at scale)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+
+
+def read_one_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
+    """A one-day slice; the date predicate must appear as a
+    PartitionFilter (directory pruning), not a data filter."""
+    return spark.read.parquet(out_dir).filter(F.col("event_date") == day)
