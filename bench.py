@@ -46,6 +46,9 @@ HEADLINE = [
     "part_price_band_join",
     "salted_returnflag_totals",
     "sql_top_nation_per_region",
+    "tfidf_top_terms",
+    "neardup_components",
+    "multires_time_rollup",
 ]
 
 

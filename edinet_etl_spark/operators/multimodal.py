@@ -128,3 +128,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = with_media_columns(docs)
     return media.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SIZE = 256
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """UDTF-shape kernel: 1 media row → N sampled-frame rows.
+
+    The real path would seek keyframes with a codec; the stub slices
+    fixed windows off the payload and fingerprints each — identical
+    plumbing (per-row fan-out inside an Arrow batch)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_offset": [],
+               "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + _FRAME_SIZE - 1) // _FRAME_SIZE
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                off = i * _FRAME_SIZE
+                chunk = payload[off : off + _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(bytes(chunk)).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * {_FRAME_SIZE} AS INT) AS frame_offset,
+           CAST(least({_FRAME_SIZE}, n_chars - i * {_FRAME_SIZE}) AS INT) AS frame_len,
+           md5(substr(text, CAST(i * {_FRAME_SIZE} + 1 AS INT), {_FRAME_SIZE})) AS frame_md5
+    FROM (
+      SELECT doc_id, text, n_chars,
+             unnest(generate_series(0, CAST(ceil(n_chars / {_FRAME_SIZE}.0) - 1 AS BIGINT))) AS i
+      FROM documents
+    )
+    WHERE i % {_FRAME_STRIDE} = 0
+    """,
+    covers=["M6-multimodal", "X1"],
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads: every {stride}-th fixed-size
+    window, one output row per sampled frame (the video/audio
+    frame-extraction shape).  Payloads are ascii here, so the oracle
+    replays the identical slicing+md5 on the text column — proving the
+    Python fan-out stage byte-for-byte."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.mapInPandas(
+        _frame_batches,
+        schema=(
+            "doc_id long, frame_idx int, frame_offset int, "
+            "frame_len int, frame_md5 string"
+        ),
+    )
