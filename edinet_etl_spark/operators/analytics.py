@@ -408,3 +408,96 @@ def salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pqty").cast("string").cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "lineitem_metrics_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM lineitem
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+    covers=["A-extended"],
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): four measure columns become
+    (metric, val) rows — the inverse of pivot, needed whenever a
+    metrics store wants one row per (entity, metric).  Spark's
+    ``unpivot`` is a single Expand node: one scan, row count ×4, no
+    shuffle; raw values pass through bit-exact (no aggregation)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    covers=["M6-dedup", "J-extended", "F5"],
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: candidate pairs only
+    within a (brand, size) block — the same block-then-compare shape as
+    LSH dedup, with edit distance as the comparator.  Levenshtein is
+    O(len²) per pair, so the equi-join block bound (not n²) is what
+    makes it feasible at scale; both engines implement the classic
+    Wagner-Fischer distance, so the threshold cut is identical."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+@query(
+    "deterministic_sample_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_sampled, {sql_dsum('o_totalprice', 'sampled_total')}
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) <= '14'
+    """,
+    covers=["A-extended", "P-extended"],
+)
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~8% hash sample (md5 prefix ≤ '14'/'ff').  Unlike ``rand()``
+    sampling, a key-hash predicate is reproducible across runs, plans,
+    task retries, AND engines — the only sampling that composes with
+    retry semantics and an external oracle.  It also pushes down as an
+    ordinary predicate, and the same key always lands in (or out of)
+    the sample, so samples of joinable tables stay joinable."""
+    prep(spark)
+    od = load(spark, sf_dir, "orders")
+    sampled = od.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "14"
+    )
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        dsum(F.col("o_totalprice"), "sampled_total"),
+    )
