@@ -70,3 +70,34 @@ def read_one_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     """A one-day slice; the date predicate must appear as a
     PartitionFilter (directory pruning), not a data filter."""
     return spark.read.parquet(out_dir).filter(F.col("event_date") == day)
+
+
+def compact(spark: SparkSession, in_dir: str, out_dir: str,
+            target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction: rewrite a directory into
+    ceil(total/target) files (the companion maintenance job every lake
+    needs — thousands of tiny files turn scan planning and shuffle
+    fetch into metadata storms).  Returns the output file count.
+
+    Uses one wide repartition; at real scale you run this per
+    partition directory so the rewrite itself parallelizes and can be
+    incremental."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(in_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(in_dir).repartition(n).write.mode("overwrite").parquet(
+        out_dir
+    )
+    return sum(
+        1
+        for _, _, files in os.walk(out_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -73,3 +73,22 @@ def test_date_partition_pruning(spark, tmp_path):
         .count()
     )
     assert day_df.count() == expected
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from edinet_etl_spark import layout
+
+    frag = str(tmp_path / "fragmented")
+    # fragment: 64 tiny files
+    load(spark, SF_DIR, "orders").repartition(64).write.parquet(frag)
+    import os
+
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_in == 64
+    out = str(tmp_path / "compacted")
+    n_out = layout.compact(spark, frag, out)
+    assert n_out == 1  # tiny table → single file at the 128MB target
+    assert (
+        spark.read.parquet(out).count()
+        == load(spark, SF_DIR, "orders").count()
+    )

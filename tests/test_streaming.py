@@ -92,3 +92,40 @@ def test_streaming_stateful_totals_equal_batch(spark):
         .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
     )
     assert _rows(final, w_cols) == _rows(batch, w_cols)
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: run the windowed agg with a
+    checkpoint, stop, start again from the same checkpoint — the
+    second run must replay nothing (no new data) and the sink must
+    hold each window exactly once."""
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        ev = jobs.read_events_stream(spark, SF_DIR)
+        agg = jobs.tumbling_hourly_stream(ev)
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    q2 = start()  # restart from the same checkpoint: nothing new
+    q2.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n1
+    # each (window, event_type) appears exactly once
+    dups = (
+        got.groupBy("window_start", "event_type")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
