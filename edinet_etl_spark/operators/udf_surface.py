@@ -1,0 +1,137 @@
+"""The pluggable-function surface (SURVEY.md §2.10): the reference has
+no function API; this module exposes the three Spark extension points a
+user would reach for, each proven against the SQL oracle:
+
+- **scalar pandas_udf** — Arrow-vectorized per-row function
+  (numpy body, zero Python-loop rows);
+- **grouped-agg pandas_udf** — a UDAF: whole group in, scalar out;
+- **Python UDTF** (Spark ≥ 3.5 ``@udtf``) — table function usable
+  from SQL via LATERAL join.
+
+UDF objects are built lazily inside the query functions: the
+``pandas_udf``/``udtf`` decorators parse their DDL return types
+against the *active* session, which does not exist at import time in
+a registry-driven engine.
+
+Determinism notes: the UDF bodies use only exact float ops (clip,
+median-of-two averaging) so results stay bit-comparable to DuckDB —
+the same discipline the built-in surface follows (numeric.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+
+def _clip_balance_udf():
+    """Scalar pandas UDF: clamp to [0, 5000].  Arrow batches in/out;
+    the body is one vectorized numpy op."""
+
+    @F.pandas_udf("double")
+    def clip_balance(bal: pd.Series) -> pd.Series:
+        return bal.clip(lower=0.0, upper=5000.0)
+
+    return clip_balance
+
+
+@query(
+    "pandas_udf_clipped_balances",
+    oracle="""
+    SELECT c_custkey,
+           LEAST(GREATEST(c_acctbal, 0.0), 5000.0) AS clipped_bal
+    FROM customer
+    """,
+    covers=["X-udf"],
+)
+def pandas_udf_clipped_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-pandas_udf path vs the equivalent SQL expression:
+    clipping is exact (returns one of the inputs), so the Arrow
+    round-trip must be bit-transparent."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    clip_balance = _clip_balance_udf()
+    return cust.select(
+        "c_custkey", clip_balance(F.col("c_acctbal")).alias("clipped_bal")
+    )
+
+
+def _median_agg_udf():
+    """Grouped-agg pandas UDF (UDAF shape): whole group's values in,
+    one scalar out.  Median is selection + at most one exact halving —
+    engine-portable, unlike sum/mean of many floats."""
+
+    @F.pandas_udf("double")
+    def median_agg(v: pd.Series) -> float:
+        return float(v.median())
+
+    return median_agg
+
+
+@query(
+    "udaf_median_acctbal_by_nation",
+    oracle="""
+    SELECT c_nationkey, MEDIAN(c_acctbal) AS median_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+    covers=["X-udf", "A-extended"],
+)
+def udaf_median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation beyond the built-in set, grouped-agg
+    pandas_udf form: one shuffle on the group key, each group's values
+    stream to Python as a single Arrow batch."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    median_agg = _median_agg_udf()
+    return cust.groupBy("c_nationkey").agg(
+        median_agg(F.col("c_acctbal")).alias("median_bal")
+    )
+
+
+class CharNgrams:
+    """Python UDTF: one text in → one row per character 3-gram.
+    Registered for SQL (``LATERAL``), the table-function shape the
+    reference's 1-file→N-rows parsers (X1/X2) generalize to."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i in range(max(0, len(text) - 2)):
+            yield text[i : i + 3], i + 1
+
+
+@query(
+    "udtf_char_ngrams",
+    oracle="""
+    SELECT doc_id, substr(text, CAST(i AS INT), 3) AS ngram, CAST(i AS INT) AS pos
+    FROM (
+      SELECT doc_id, text, unnest(generate_series(1, n_chars - 2)) AS i
+      FROM documents
+    )
+    WHERE doc_id < 25
+    """,
+    covers=["X-udtf", "M6-text"],
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered UDTF invoked from SQL with a LATERAL join —
+    Python generates the rows, the oracle derives the identical table
+    declaratively.  (Query capped to doc_id<25: UDTF row generation is
+    the slow path by design; the M6 text operators do this same
+    expansion in codegen.)"""
+    prep(spark)
+    spark.udtf.register(
+        "char_ngrams", F.udtf(CharNgrams, returnType="ngram string, pos int")
+    )
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.ngram, t.pos
+        FROM documents d, LATERAL char_ngrams(d.text) t
+        WHERE d.doc_id < 25
+        """
+    )

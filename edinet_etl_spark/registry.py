@@ -56,6 +56,7 @@ def load_all() -> None:
         sql_api,
         temporal,
         text,
+        udf_surface,
     )
     from edinet_etl_spark.streaming import jobs  # noqa: F401
 
