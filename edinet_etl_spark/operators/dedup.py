@@ -383,11 +383,20 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("comp").alias("ncomp"))
             .select(F.col("u").alias("node"), "ncomp")
         )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping (path halving): also adopt our label's label —
+        # collapses chains in O(log n) rounds instead of O(diameter)
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
         new_labels = (
-            labels.join(prop, "node", "left")
+            stepped.join(jump, stepped.comp == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias(
                     "comp"
                 ),
             )

@@ -139,9 +139,7 @@ def _with_retries(fn, policy: RetryPolicy, limiter: _PartitionLimiter):
         except Exception:  # noqa: BLE001 — any fetch error retries
             if attempt < policy.max_retries:
                 wait = policy.retry_delay * (2**attempt)
-                time.sleep(wait * (policy.jitter_base + random.random()) * 0.001)
-                # ^ scaled down 1000×: semantics (exp ×2 + jitter)
-                # preserved; real deployments set jitter_base/delay.
+                time.sleep(wait * (policy.jitter_base + random.random()))
     return None
 
 
