@@ -423,3 +423,39 @@ def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("lineitem").unionByName(one("orders")).unionByName(one("customer"))
+
+
+@query(
+    "nullsafe_segment_match",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+          FROM customer) a
+    JOIN (SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+          FROM customer) b
+      ON a.seg IS NOT DISTINCT FROM b.seg
+     AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 40 AND b.c_custkey < 40
+    """,
+    covers=["J-extended", "P-extended"],
+)
+def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    matches NULL — the semantics dimension plain ``=`` joins silently
+    drop.  Some customers' segments are nulled (key % 7) to make the
+    difference observable; still a hash join (null-safe equality is a
+    valid equi-key, nulls hash together)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40)
+    seg = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    a = cust.select(F.col("c_custkey").alias("cust_a"), seg.alias("seg_a"))
+    b = cust.select(F.col("c_custkey").alias("cust_b"), seg.alias("seg_b"))
+    return a.join(
+        b,
+        (F.col("seg_a").eqNullSafe(F.col("seg_b")))
+        & (F.col("cust_a") < F.col("cust_b")),
+    ).select("cust_a", "cust_b")

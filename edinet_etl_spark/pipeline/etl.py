@@ -60,3 +60,44 @@ def run_pipeline(
     companies, filings = ingest_filings(spark, cfg, fetcher)
     final = process_financial_documents(filings, companies)
     return load_to_csv(final, cfg.output_dir, "japan_company_data")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (parity with the reference's ``main.py:13-40``):
+    ``python -m edinet_etl_spark.pipeline.etl --csv-file ... --api-key
+    ...``.  Runs the live pipeline; every setting mirrors a
+    ``config/settings.env`` knob of the reference."""
+    import argparse
+
+    from edinet_etl_spark.session import get_spark
+    from edinet_etl_spark.sources.edinet_api import HttpFetcher
+
+    d = PipelineConfig()
+    p = argparse.ArgumentParser(description="EDINET revenue ETL on Spark")
+    p.add_argument("--csv-file", default=d.csv_file)
+    p.add_argument("--output-dir", default=d.output_dir)
+    p.add_argument("--start-date", default=d.start_date)
+    p.add_argument("--end-date", default=d.end_date)
+    p.add_argument("--base-url", default=d.base_url)
+    p.add_argument("--api-key", default=d.api_key)
+    p.add_argument("--companies-to-get", type=int, default=d.companies_to_get)
+    p.add_argument("--request-per-second", type=float, default=d.request_per_second)
+    a = p.parse_args(argv)
+    cfg = PipelineConfig(
+        base_url=a.base_url,
+        api_key=a.api_key,
+        csv_file=a.csv_file,
+        output_dir=a.output_dir,
+        start_date=a.start_date,
+        end_date=a.end_date,
+        companies_to_get=a.companies_to_get,
+        request_per_second=a.request_per_second,
+    )
+    spark = get_spark("edinet-etl")
+    out = run_pipeline(spark, cfg, HttpFetcher(cfg.base_url, cfg.api_key))
+    print(out if out else "no data written")
+    return 0 if out else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
