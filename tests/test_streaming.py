@@ -129,3 +129,94 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: an event arriving after the watermark has
+    closed its window must NOT be aggregated (append mode).  Two feed
+    files processed as separate micro-batches (maxFilesPerTrigger=1):
+    batch 1 establishes watermark past the first window's end; batch 2
+    delivers a late event into that window plus a fresh event."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def ns(hhmm: str) -> int:
+        dt = datetime.fromisoformat(f"2024-01-01 {hhmm}:00+00:00")
+        return int(dt.timestamp() * 1_000_000_000)
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_feed_file(name: str, rows, mtime: int):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = feed / name
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: window [10:00,10:10) gets 2 events; 10:29 drives the
+    # watermark to 10:19 (> 10:10) after the batch
+    write_feed_file(
+        "f1.parquet",
+        [(1, ns("10:00"), 1, "c", 1.0, "{}"),
+         (2, ns("10:05"), 1, "c", 1.0, "{}"),
+         (3, ns("10:29"), 1, "c", 1.0, "{}")],
+        mtime=1_700_000_000,
+    )
+    # batch 2: on-time filler — Spark applies the late-event filter
+    # with the watermark of the PREVIOUS batch's input (one-batch
+    # delay), so the 10:19 watermark becomes effective for batch 3
+    write_feed_file(
+        "f2.parquet",
+        [(4, ns("10:31"), 1, "c", 1.0, "{}")],
+        mtime=1_700_000_100,
+    )
+    # batch 3: event 5 is LATE into the closed [10:00,10:10) window
+    write_feed_file(
+        "f3.parquet",
+        [(5, ns("10:02"), 1, "c", 1.0, "{}"),
+         (6, ns("11:00"), 1, "c", 1.0, "{}")],
+        mtime=1_700_000_200,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+        .select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "event_id",
+        )
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    first_window = [
+        r["n"] for r in rows if r["window_start"].strftime("%H:%M") == "10:00"
+    ]
+    # the closed 10:00 window emitted exactly once, WITHOUT the late
+    # event (no re-open, no second emission)
+    assert first_window == [2], rows
