@@ -501,3 +501,96 @@ def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         dsum(F.col("o_totalprice"), "sampled_total"),
     )
+
+
+@query(
+    "nations_per_region_listagg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    covers=["A-extended"],
+)
+def nations_per_region_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): collect_list has no deterministic
+    order under distribution, so sort the array before joining —
+    the only portable listagg (matches ORDER BY inside string_agg)."""
+    prep(spark)
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "price_quantity_corr",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    covers=["A-extended"],
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT moment sums.  Built-in ``corr``
+    accumulates co-moments in floating point — its low bits depend on
+    the partial-aggregation tree, so it is nondeterministic on a
+    cluster and unmatchable across engines.  Summing x, y, x², y², xy
+    as decimals and finishing the closed form in double is
+    deterministic everywhere; the products carry ≤4 intrinsic decimal
+    digits, so DECIMAL(28,8) holds them exactly."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+
+    def dsum_to_double(c, alias):
+        return F.sum(c.cast("decimal(28,8)")).cast("string").cast("double").alias(alias)
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        dsum_to_double(F.col("l_quantity"), "sx"),
+        dsum_to_double(F.col("l_extendedprice"), "sy"),
+        dsum_to_double(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        dsum_to_double(F.col("l_extendedprice") * F.col("l_extendedprice"), "syy"),
+        dsum_to_double(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select(corr.alias("corr_qty_price"))
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(900.0 + 10.0 * bucket AS DOUBLE) AS bucket_lo
+    FROM (
+      SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS INT) AS bucket
+      FROM part
+    )
+    GROUP BY bucket
+    """,
+    covers=["A-extended"],
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via arithmetic bucketing — floor((x-lo)/w)
+    is engine-portable (unlike width_bucket variants) and the groupBy
+    shuffles only |buckets| partial rows."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    bucket = F.floor((F.col("p_retailprice") - 900.0) / 10.0).cast("int")
+    return (
+        part.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket_lo", (900.0 + 10.0 * F.col("bucket")).cast("double"))
+    )
