@@ -101,3 +101,14 @@ def compact(spark: SparkSession, in_dir: str, out_dir: str,
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Snapshot upsert without a table format: updates win on key
+    collision, unmatched base rows survive — ``updates ∪ (base ⟕̸
+    updates)``.  This is the MERGE INTO emulation for plain parquet
+    lakes (Delta/Iceberg do the same reconciliation inside commit);
+    the anti join is a hash join on the key, so cost is one shuffle of
+    each side, and writing the result partitioned by date yields an
+    incremental snapshot."""
+    return updates.unionByName(base.join(updates, key, "left_anti"))

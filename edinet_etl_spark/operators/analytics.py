@@ -594,3 +594,42 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("bucket_lo", (900.0 + 10.0 * F.col("bucket")).cast("double"))
     )
+
+
+@query(
+    "orders_upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM updates
+      UNION ALL
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+      FROM orders o
+      WHERE o.o_orderkey % 10 <> 0
+    )
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+    FROM merged WHERE o_orderkey < 500
+    """,
+    covers=["J4", "U-extended"],
+)
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet (``layout.merge_upsert``):
+    every 10th order gets an updated price/status; merged snapshot =
+    updates ∪ anti-joined base.  The +100.0 update is exact in double,
+    so the merged values hash-match the SQL formulation."""
+    from edinet_etl_spark.layout import merge_upsert
+
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_upsert(orders, updates, "o_orderkey").filter(
+        F.col("o_orderkey") < 500
+    )
