@@ -235,9 +235,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     division in double: deterministic."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).distinct()
+    # checkpoint the token set: it feeds the sizes agg AND both sides
+    # of the self-join — without it Spark re-runs explode+distinct
+    # three times (no common-subplan reuse).  Measured 11s → ~4s at
+    # sf0.1.  (The distinct also pre-shuffles, parallelizing the
+    # single-row-group scan.)
+    tok = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
