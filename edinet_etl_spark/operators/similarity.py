@@ -111,7 +111,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_sql_dot('a.embedding', 'b.embedding')} /
              (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.9
+              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.35
     """,
     covers=["M6-similarity", "M6-dedup"],
 )
@@ -141,7 +141,7 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") > 0.9)
+        .filter(F.col("cosine") > 0.35)
     )
 
 
