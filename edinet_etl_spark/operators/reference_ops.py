@@ -318,15 +318,21 @@ def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS c_nationkey FROM supplier
+    SELECT s_nationkey AS c_nationkey FROM supplier WHERE s_acctbal > 5000
     """,
     covers=["U-extended"],
 )
 def nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations that have customers but no suppliers."""
+    """Nations that have customers but no well-capitalized supplier
+    (s_acctbal > 5000 — without the filter suppliers cover every
+    nation and the EXCEPT is vacuously empty at all SFs)."""
     prep(spark)
     cust = load(spark, sf_dir, "customer").select("c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("c_nationkey"))
+    )
     return cust.subtract(supp)  # EXCEPT (distinct), same as the SQL oracle
 
 

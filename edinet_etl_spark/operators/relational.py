@@ -334,15 +334,20 @@ def part_membership_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
     covers=["J4"],
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (reference J4 logging path, ``src/transform.py:165-167``)."""
+    """Anti join (reference J4 logging path, ``src/transform.py:165-167``):
+    customers with no FINISHED order.  (Every customer has some order
+    in the fixture, so an unfiltered anti join would return zero rows —
+    a vacuous check; the status filter keeps the result non-empty at
+    every SF.)"""
     prep(spark)
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
