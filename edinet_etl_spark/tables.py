@@ -137,14 +137,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    # adapt to the file's physical type: TIMESTAMP(NANOS) surfaces as
+    # long under the legacy conf and needs ns→µs truncation; an events
+    # file written with a regular TIMESTAMP (micros) — e.g. a re-export
+    # of this table — passes through unchanged
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    else:
+        ts = F.col("ts")
+    return df.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 
 def validate(df: DataFrame, name: str) -> DataFrame:
