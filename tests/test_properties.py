@@ -126,3 +126,62 @@ def test_dsum_reassociation_invariance(spark, vals):
         for v in vals
     )
     assert fwd == float(str(total))
+
+
+# ---------------------------------------------------- minhash invariance
+_doc_text = st.text(
+    alphabet="abcdef ", min_size=5, max_size=40
+).filter(lambda s: len(s.strip()) >= 5)
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_minhash_signature_order_and_duplicate_invariance(spark, texts):
+    """Signatures depend only on each doc's shingle multiset: row order
+    and partitioning must not change them, and identical texts must get
+    identical signatures."""
+    from edinet_etl_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    fwd = spark.createDataFrame(rows, "doc_id long, text string")
+    rev = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(5)
+    sig_f = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+             for r in minhash_signatures(fwd).collect()}
+    sig_r = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+             for r in minhash_signatures(rev).collect()}
+    assert sig_f == sig_r
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(sig_f[i])
+    for sigs in by_text.values():
+        assert len(set(sigs)) == 1  # same text → same signature
+
+
+def test_zip_member_tie_breaks_deterministically(spark):
+    """A2 argmax with EQUAL member sizes: the name tiebreak must pick
+    the same member regardless of input order (SURVEY §2.11d)."""
+    import io
+    import zipfile
+
+    from edinet_etl_spark.sources.zip_extract import extract_filings
+
+    def zip_bytes(names):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n in names:
+                zf.writestr(n, b"x" * 100)  # identical sizes
+        return buf.getvalue()
+
+    for order in (["a.csv", "b.csv", "c.csv"], ["c.csv", "b.csv", "a.csv"]):
+        df = spark.createDataFrame(
+            [("D1", "E00001", "120", "2024-06-01 09:00", "csv", 1,
+              bytearray(zip_bytes(order)))],
+            "docID string, edinetCode string, docTypeCode string, "
+            "submitDateTime string, file_type string, arrival_idx long, "
+            "content binary",
+        )
+        rows = extract_filings(df).collect()
+        assert len(rows) == 1
+        # desc(member_name) tiebreak → 'c.csv' wins in either order
+        assert rows[0]["filename"] == "E00001_20240601_120.csv"
+        assert rows[0]["member_bytes"] == bytearray(b"x" * 100)
