@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the plan properties SCALE.md
+promises, pinned per query so a future edit that silently adds a
+shuffle, drops a broadcast, or pulls work into Python fails CI.
+
+Counting rule: ``Exchange`` nodes are counted in the AQE-final plan
+with AQE disabled for determinism (AQE may elide/convert at runtime —
+these bounds are the static worst case)."""
+
+from __future__ import annotations
+
+import pytest
+
+from edinet_etl_spark import registry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plan_spark(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        registry.QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+# (query, max Exchange nodes, must-contain, must-NOT-contain)
+EXPECTATIONS = [
+    # TPC-H Q1 shape: scan → partial agg → ONE shuffle → final agg → sort
+    ("pricing_summary", 2, ["HashAggregate"], ["PythonUDF", "CartesianProduct"]),
+    # 5-way star join: every dim broadcast, one agg shuffle + sort
+    ("revenue_by_nation_year", 3, ["BroadcastHashJoin"], ["SortMergeJoin", "PythonUDF"]),
+    # window dedup: exactly one hash partitioning for the window
+    ("best_order_per_customer", 1, ["Window"], ["PythonUDF"]),
+    # semi/anti joins stay joins, not collected sets
+    ("order_priority_check", 3, ["LeftSemi"], ["PythonUDF"]),
+    ("customers_without_orders", 2, ["LeftAnti"], ["PythonUDF"]),
+    # event-time windows are native expressions
+    ("tumbling_hourly_stats", 2, ["HashAggregate"], ["PythonUDF"]),
+    # M6 text/dedup hot paths are pure codegen — NO Python anywhere
+    ("minhash_lsh_candidates", 4, ["HashAggregate"], ["PythonUDF", "BatchEvalPython"]),
+    ("token_count_estimate", 0, [], ["PythonUDF", "Exchange"]),
+    ("text_stats", 0, [], ["PythonUDF", "Exchange"]),
+    # band join: tiny side broadcast nested loop, fact side unshuffled
+    ("part_price_band_join", 2, ["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # as-of: union + ONE window shuffle, no range join blowup
+    ("asof_latest_order_per_event", 1, ["Window", "Union"], ["CartesianProduct", "PythonUDF"]),
+]
+
+
+@pytest.mark.parametrize("name,max_exchanges,contains,absent", EXPECTATIONS)
+def test_plan_shape(plan_spark, name, max_exchanges, contains, absent):
+    plan = plan_of(plan_spark, name)
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges <= max_exchanges, (
+        f"{name}: {n_exchanges} Exchange nodes (max {max_exchanges})\n{plan}"
+    )
+    for frag in contains:
+        assert frag in plan, f"{name}: expected {frag} in plan\n{plan}"
+    for frag in absent:
+        assert frag not in plan, f"{name}: unexpected {frag} in plan\n{plan}"
