@@ -1,10 +1,11 @@
 """The pluggable-function surface (SURVEY.md §2.10): the reference has
-no function API; this module exposes the three Spark extension points a
+no function API; this module exposes the four Spark extension points a
 user would reach for, each proven against the SQL oracle:
 
 - **scalar pandas_udf** — Arrow-vectorized per-row function
   (numpy body, zero Python-loop rows);
 - **grouped-agg pandas_udf** — a UDAF: whole group in, scalar out;
+- **grouped-map applyInPandas** — whole group in, frame out;
 - **Python UDTF** (Spark ≥ 3.5 ``@udtf``) — table function usable
   from SQL via LATERAL join.
 
@@ -134,4 +135,82 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL char_ngrams(d.text) t
         WHERE d.doc_id < 25
         """
+    )
+
+
+def _zscore_fn():
+    """Grouped-map kernel: whole group in, same-cardinality frame out.
+    Moments come from exact decimal sums (quantized like the engine's
+    HALF_UP cast), so mean/std — and therefore every z-score — are
+    bit-identical to the SQL oracle's decimal-sum formulation."""
+    import decimal
+    import math
+
+    q8 = decimal.Decimal(1).scaleb(-8)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        def dec8(x: float) -> decimal.Decimal:
+            return decimal.Decimal(repr(x)).quantize(
+                q8, rounding=decimal.ROUND_HALF_UP
+            )
+
+        raw = [float(v) for v in pdf["value"]]
+        n = len(raw)
+        s1 = sum(dec8(v) for v in raw)
+        # square in DOUBLE first (bit-identical in any engine), then
+        # quantize: a decimal×decimal square would overflow narrow
+        # decimal lanes, and values carry ≤2 decimals so their squares
+        # (≤4 decimals) sit exactly on the 1e-8 grid — lossless
+        s2 = sum(dec8(v * v) for v in raw)
+        mean = float(str(s1)) / n
+        var = float(str(s2)) / n - mean * mean
+        # math.sqrt is the IEEE correctly-rounded sqrt (matches SQL
+        # sqrt); ``var ** 0.5`` routes through pow and can differ by 1 ulp
+        std = math.sqrt(var) if var > 0 else 0.0
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "zscore": [
+                    (float(v) - mean) / std if std > 0 else 0.0
+                    for v in pdf["value"]
+                ],
+            }
+        )
+        return out
+
+    return zscore
+
+
+@query(
+    "grouped_map_user_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           CASE WHEN (m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) > 0
+                THEN (e.value - m.s1 / m.n)
+                     / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN m USING (user_id)
+    """,
+    covers=["X-udf", "A-extended"],
+)
+def grouped_map_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (the fourth UDF shape: group in →
+    frame out): per-user z-scores.  One shuffle on the group key; each
+    group crosses to Python once as an Arrow batch.  The oracle derives
+    the same scores relationally from decimal moment sums — proving
+    the Python frame transform row-for-row."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_fn(),
+        schema="user_id long, event_id long, value double, zscore double",
     )
