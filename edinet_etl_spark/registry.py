@@ -54,6 +54,7 @@ def load_all() -> None:
         relational,
         similarity,
         sql_api,
+        subqueries,
         temporal,
         text,
         udf_surface,
