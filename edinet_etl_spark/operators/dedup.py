@@ -382,19 +382,30 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    labels = edges.groupBy("u").agg(
-        F.least(F.col("u"), F.min("v")).alias("comp")
-    ).select(F.col("u").alias("node"), "comp")
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+        .localCheckpoint(eager=True)
+    )
+    # One tiny agg per round yields BOTH loop controls: the node count
+    # (join-strategy pick) and the label sum (convergence).  Labels are
+    # per-node monotone non-increasing, so the sum strictly decreases
+    # until fixpoint — a full-width old-vs-new join for the changed
+    # check would cost more than the propagation step itself.
+    prev_sum, n_nodes = labels.agg(F.sum("comp"), F.count("*")).collect()[0]
+    # The candidate-graph node set is orders smaller than the corpus
+    # (only docs with ≥1 LSH collision); broadcast it while it fits so
+    # the big edge table is never shuffled per round.  Past the
+    # threshold, fall back to AQE-planned shuffle joins — same results.
+    can_broadcast = n_nodes < 5_000_000
+    hint = F.broadcast if can_broadcast else (lambda df: df)
     while True:
         prop = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(hint(labels), edges.v == labels.node)
             .groupBy(edges.u)
             .agg(F.min("comp").alias("ncomp"))
             .select(F.col("u").alias("node"), "ncomp")
-        )
-        stepped = labels.join(prop, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
         )
         # pointer jumping (path halving): also adopt our label's label —
         # collapses chains in O(log n) rounds instead of O(diameter)
@@ -402,7 +413,14 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
         new_labels = (
-            stepped.join(jump, stepped.comp == jump.jnode, "left")
+            labels.join(hint(prop), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .join(hint(jump), F.col("comp") == F.col("jnode"), "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias(
@@ -411,14 +429,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from edinet_etl_spark.numeric import davg, dec, dsum, sql_davg, sql_dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
-from edinet_etl_spark.tables import load
+from edinet_etl_spark.tables import load, parallel_scan
 
 def revenue() -> F.Column:
     """l_extendedprice * (1 - l_discount) — built lazily (Column objects
@@ -59,7 +59,9 @@ SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide multi-aggregate scan with map-side combine."""
     prep(spark)
-    li = load(spark, sf_dir, "lineitem")
+    # 8 decimal aggregates per row: compute-bound, so an unsplittable
+    # scan serializes the whole query — parallel_scan lifts it
+    li = parallel_scan(spark, sf_dir, "lineitem")
     charge = revenue() * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
-from edinet_etl_spark.tables import load
+from edinet_etl_spark.tables import load, parallel_scan
 
 def dot_exact(a: Column, b: Column) -> Column:
     """Deterministic dot product of two float-array columns in DOUBLE.
@@ -81,7 +81,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixed-fold dot makes the ranking key deterministic, so top-k
     is stable across plans (ties broken by neighbor_id)."""
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -126,7 +126,7 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that is a 2B/3 reduction of all array work (6.1s → ~1.9s at
     # sf0.1).  sqrt(norm2_a)*sqrt(norm2_b) is the exact same double
     # expression the oracle evaluates per pair.
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = parallel_scan(spark, sf_dir, "embeddings").withColumn(
         "norm", F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
     )
     a = emb.alias("a")
@@ -183,7 +183,7 @@ def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants are literal arrays (broadcast with the plan); projection
     is zip_with/aggregate — no UDF, no shuffle."""
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     bits = [
         F.when(dot_exact(F.col("embedding"), _plane_array(p)) > 0, F.lit("1")).otherwise(
             F.lit("0")
@@ -280,7 +280,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe) — same plan, wider filter on the assignment rank.
     """
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
     )

@@ -148,6 +148,44 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 
+def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load`, plus a round-robin repartition IF the scan itself cannot
+    feed the cluster.
+
+    Parquet parallelism is bounded by row groups: an unsplittable file
+    (one row group — true of the test fixtures, and of real lakes fed by
+    small-batch writers) pins the scan AND everything pipelined onto it
+    (filters, partial aggregates, broadcast-join probes) to one task.
+    When the planned scan has fewer partitions than half the cores, one
+    cheap row-level exchange buys whole-cluster execution for the rest
+    of the stage.  On a healthy 100 TB layout the scan yields thousands
+    of splits and this is a no-op — the repartition only fires when the
+    layout is the bottleneck.  Callers doing pure scan→filter→project
+    (no heavy compute per row) should stay on plain `load`.
+    """
+    df = load(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if _scan_parallelism(f"{sf_dir}/{name}.parquet", df) < max(2, cores // 2):
+        df = df.repartition(cores)
+    return df
+
+
+def _scan_parallelism(path: str, df: DataFrame) -> int:
+    """Effective parquet scan parallelism = row groups (the split unit).
+
+    The footer read is a few KB of local I/O — far cheaper than
+    materializing the RDD lineage to ask for partition counts.  On a
+    non-local filesystem (no pyarrow reach) fall back to Spark's own
+    planned partitioning.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def validate(df: DataFrame, name: str) -> DataFrame:
     """Fail fast if a table's on-disk schema drifted from the declared one."""
     expected = SCHEMAS[name]

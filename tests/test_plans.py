@@ -35,8 +35,9 @@ def plan_of(spark, name: str) -> str:
 
 # (query, max Exchange nodes, must-contain, must-NOT-contain)
 EXPECTATIONS = [
-    # TPC-H Q1 shape: scan → partial agg → ONE shuffle → final agg → sort
-    ("pricing_summary", 2, ["HashAggregate"], ["PythonUDF", "CartesianProduct"]),
+    # TPC-H Q1 shape: scan → parallel_scan RR exchange (unsplittable
+    # input) → partial agg → ONE shuffle → final agg → sort
+    ("pricing_summary", 3, ["HashAggregate"], ["PythonUDF", "CartesianProduct"]),
     # 5-way star join: every dim broadcast, one agg shuffle + sort
     ("revenue_by_nation_year", 3, ["BroadcastHashJoin"], ["SortMergeJoin", "PythonUDF"]),
     # window dedup: exactly one hash partitioning for the window
