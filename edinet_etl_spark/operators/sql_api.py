@@ -57,3 +57,37 @@ def sql_top_nation_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 50
+"""
+
+
+@query(
+    "sql_lateral_top2_orders",
+    # identical string runs as the DuckDB oracle
+    oracle=_LATERAL_SQL,
+    covers=["SQ-lateral", "L1", "W-extended"],
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    per-row-subquery surface SQL users reach for before learning window
+    functions.  Catalyst decorrelates it into the same
+    window-rank-then-filter plan as top3_orders_per_priority, so the
+    nested-loop the syntax implies never executes; the inner ORDER BY +
+    LIMIT is total (o_orderkey tiebreak), keeping results
+    deterministic.  The identical string is the DuckDB oracle."""
+    prep(spark)
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from edinet_etl_spark.numeric import dec
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -201,3 +202,141 @@ def lineitem_ship_lag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.datediff("l_shipdate", "o_orderdate").alias("ship_lag_days")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "gapfill_locf_hourly",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, g.grid_hour
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-08 00:00:00',
+                                      INTERVAL 1 HOUR)) AS grid_hour) g
+    ), hourly AS (
+      SELECT user_id, grid_hour, hour_value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS grid_hour, value AS hour_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.grid_hour,
+           LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.grid_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly h ON h.user_id = g.user_id AND h.grid_hour = g.grid_hour
+    """,
+    covers=["T-gapfill", "W-extended", "F2"],
+)
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill a sparse series onto a dense hourly grid with
+    last-observation-carried-forward — the timeseries regularization
+    step every feature/training pipeline needs before windowed models.
+
+    Spark plan: the grid is users × explode(sequence(...)) — generated,
+    never stored; observed hours reduce via one window; the LOCF is a
+    second window over the same (user, hour) partitioning, so the whole
+    query is ONE hash shuffle on user_id (grid generation is
+    broadcast-free: distinct users is a keyed aggregate).  At 100 TB
+    the grid stays proportional to users × horizon, not to events.
+    Leading hours before a user's first observation stay NULL — no
+    fabricated data.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-08 00:00:00").cast("timestamp"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("grid_hour")
+    )
+    grid = users.crossJoin(F.broadcast(hours))
+    w_pick = Window.partitionBy("user_id", "grid_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("grid_hour"),
+            F.col("value").alias("hour_value"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "grid_hour", "hour_value")
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "grid_hour"], "left")
+        .withColumn("filled_value", F.last("hour_value", ignorenulls=True).over(w_locf))
+        .select("user_id", "grid_hour", "filled_value")
+    )
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value * dt AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+             / SUM(dt) AS twa_value,
+           COUNT(*) AS n_intervals
+    FROM stepped
+    WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    covers=["T-twa", "W-extended", "A-extended"],
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each observation holds until the
+    next one, so it contributes value × holding-seconds.  The standard
+    correction for irregularly-sampled series (a plain AVG over-weights
+    bursts).  One window (lead) + one aggregate = one shuffle on
+    user_id.  value·dt is 2-decimal × integer-seconds, so the exact
+    decimal sum discipline applies unchanged; the closing division is a
+    single rounding on identical operands in both engines.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            (
+                F.sum(dec(F.col("value") * F.col("dt"))).cast("string").cast("double")
+                / F.sum("dt")
+            ).alias("twa_value"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
