@@ -49,6 +49,7 @@ def load_all() -> None:
         analytics,
         dedup,
         events,
+        llmdata,
         multimodal,
         reference_ops,
         relational,
