@@ -247,16 +247,25 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fabricated data.
     """
     prep(spark)
-    ev = load(spark, sf_dir, "events").filter(
-        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    return gapfill_locf(ev, users, "2024-01-01 00:00:00", "2024-01-08 00:00:00")
+
+
+def gapfill_locf(ev: DataFrame, users: DataFrame, start: str, end: str) -> DataFrame:
+    """Core of gapfill_locf_hourly over any events-shaped frame
+    (user_id, ts, value, event_id): dense (users x hours) grid,
+    per-hour last observation, LOCF forward fill."""
+    spark = ev.sparkSession
+    ev = ev.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
     )
-    users = load(spark, sf_dir, "events").select("user_id").distinct()
     hours = spark.range(1).select(
         F.explode(
             F.sequence(
-                F.lit("2024-01-01 00:00:00").cast("timestamp"),
-                F.lit("2024-01-08 00:00:00").cast("timestamp"),
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp"),
                 F.expr("interval 1 hour"),
             )
         ).alias("grid_hour")
@@ -320,7 +329,11 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     single rounding on identical operands in both engines.
     """
     prep(spark)
-    ev = load(spark, sf_dir, "events")
+    return time_weighted_avg(load(spark, sf_dir, "events"))
+
+
+def time_weighted_avg(ev: DataFrame) -> DataFrame:
+    """Core of time_weighted_avg_value over any events-shaped frame."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = ev.select(
         "user_id",

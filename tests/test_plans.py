@@ -55,6 +55,19 @@ EXPECTATIONS = [
     ("part_price_band_join", 2, ["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
     # as-of: union + ONE window shuffle, no range join blowup
     ("asof_latest_order_per_event", 1, ["Window", "Union"], ["CartesianProduct", "PythonUDF"]),
+    # decontamination: benchmark side broadcasts; corpus never shuffles
+    ("benchmark_contamination", 1, ["LeftSemi", "BroadcastHashJoin"], ["PythonUDF", "SortMergeJoin"]),
+    # Q21 shape: EXISTS/NOT EXISTS stay joins, never a per-row re-scan
+    ("suppliers_kept_waiting", 4, ["LeftSemi", "LeftAnti"], ["PythonUDF", "CartesianProduct"]),
+    # gap-fill: grid is generated (broadcast NLJ over the hour array),
+    # both windows share one user_id shuffle
+    ("gapfill_locf_hourly", 2, ["Window"], ["PythonUDF", "CartesianProduct"]),
+    # correlated AVG subquery decorrelated to a keyed agg + joins
+    ("small_quantity_revenue", 2, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct"]),
+    # LATERAL + LIMIT decorrelates to window rank with group-limit pushdown
+    ("sql_lateral_top2_orders", 1, ["Window", "WindowGroupLimit"], ["CartesianProduct", "PythonUDF"]),
+    # hash-ranked sampling: one window shuffle, rank prune before full sort
+    ("stratified_doc_sample", 1, ["WindowGroupLimit"], ["PythonUDF"]),
 ]
 
 

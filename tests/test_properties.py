@@ -185,3 +185,105 @@ def test_zip_member_tie_breaks_deterministically(spark):
         # desc(member_name) tiebreak → 'c.csv' wins in either order
         assert rows[0]["filename"] == "E00001_20240601_120.csv"
         assert rows[0]["member_bytes"] == bytearray(b"x" * 100)
+
+
+# ------------------------------------------------- TWA vs Decimal model
+_event = st.tuples(
+    st.integers(min_value=1, max_value=3),              # user_id
+    st.integers(min_value=0, max_value=500_000),        # seconds offset
+    st.integers(min_value=-99999, max_value=99999),     # value in cents
+)
+
+
+@given(st.lists(_event, min_size=1, max_size=20, unique_by=lambda e: (e[0], e[1])))
+@settings(**_SETTINGS)
+def test_time_weighted_avg_matches_decimal_model(spark, events):
+    from edinet_etl_spark.operators.temporal import time_weighted_avg
+
+    base = 1_700_000_000
+    rows = [
+        (uid, idx, __import__("datetime").datetime.utcfromtimestamp(base + off),
+         cents / 100.0)
+        for idx, (uid, off, cents) in enumerate(events, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: (r["twa_value"], r["n_intervals"])
+        for r in time_weighted_avg(df).collect()
+    }
+    # Python model: exact decimal sum of value*dt over (ts, event_id) order
+    per_user: dict[int, list[tuple[int, int, float]]] = {}
+    for idx, (uid, off, cents) in enumerate(events, start=1):
+        per_user.setdefault(uid, []).append((off, idx, cents / 100.0))
+    expect = {}
+    for uid, obs in per_user.items():
+        obs.sort()
+        total = decimal.Decimal(0)
+        tdt = 0
+        n = 0
+        for (off, _, val), (noff, _, _) in zip(obs, obs[1:]):
+            dt = noff - off
+            if dt <= 0:
+                continue
+            total += decimal.Decimal(repr(val * dt)).quantize(
+                decimal.Decimal("0.00000001"), rounding=decimal.ROUND_HALF_UP
+            )
+            tdt += dt
+            n += 1
+        if n:
+            expect[uid] = (float(str(total)) / tdt, n)
+    assert got == expect
+
+
+# ------------------------------------------------- gapfill LOCF invariants
+@given(st.lists(_event, min_size=1, max_size=15, unique_by=lambda e: (e[0], e[1])))
+@settings(**_SETTINGS)
+def test_gapfill_locf_invariants(spark, events):
+    from edinet_etl_spark.operators.temporal import gapfill_locf
+
+    import datetime as dt_mod
+
+    base = dt_mod.datetime(2024, 1, 1)
+    rows = [
+        (uid, idx, base + dt_mod.timedelta(seconds=off % 10_800), cents / 100.0)
+        for idx, (uid, off, cents) in enumerate(events, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    users = df.select("user_id").distinct()
+    out = gapfill_locf(df, users, "2024-01-01 00:00:00", "2024-01-01 03:00:00")
+    got = {(r["user_id"], r["grid_hour"]): r["filled_value"] for r in out.collect()}
+
+    # model: per (user, hour) last observation by (ts, event_id), then LOCF
+    last_obs: dict[tuple[int, dt_mod.datetime], tuple] = {}
+    for uid, idx, ts, val in rows:
+        if ts >= dt_mod.datetime(2024, 1, 1, 3):
+            continue
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        key = (uid, hour)
+        cand = (ts, idx, val)
+        if key not in last_obs or cand[:2] > last_obs[key][:2]:
+            last_obs[key] = cand
+    expect = {}
+    for uid in {r[0] for r in rows}:
+        carried = None
+        for h in range(4):  # grid includes the end bound, like sequence()
+            hour = dt_mod.datetime(2024, 1, 1, h)
+            if (uid, hour) in last_obs:
+                carried = last_obs[(uid, hour)][2]
+            expect[(uid, hour)] = carried
+    assert got == expect
+
+
+# --------------------------------------- stratified sample determinism
+def test_stratified_sample_is_input_order_independent(spark):
+    from edinet_etl_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["stratified_doc_sample"]
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b and len(a) > 0
