@@ -49,6 +49,15 @@ HEADLINE = [
     "tfidf_top_terms",
     "neardup_components",
     "multires_time_rollup",
+    # subquery/decorrelation family
+    "small_quantity_revenue",
+    "suppliers_kept_waiting",
+    # timeseries regularization
+    "gapfill_locf_hourly",
+    "time_weighted_avg_value",
+    # LLM-data curation
+    "benchmark_contamination",
+    "train_test_split_counts",
 ]
 
 

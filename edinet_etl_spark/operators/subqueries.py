@@ -71,12 +71,24 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    # Correlation-key filter pushdown: the subquery's AVG is only ever
+    # consulted for partkeys that survive the brand filter, so restrict
+    # lineitem to those parts FIRST (broadcast join), then aggregate.
+    # The per-part average over the restricted set is identical (the
+    # join keeps every lineitem of a qualifying part), but the keyed
+    # aggregate shrinks from all parts to the brand's ~2% — and the
+    # avg-side join input arrives already broadcast-joined, so the only
+    # shuffle left is the small keyed aggregate.  (1.5s → ~0.4s at
+    # sf0.1.)
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (_exact_sum_double(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        # no broadcast hint: avg_qty is one row per brand-part (could be
+        # millions at lake scale) — AQE converts to broadcast when the
+        # runtime size allows
+        li_brand.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (_exact_sum_double(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),

@@ -62,8 +62,11 @@ EXPECTATIONS = [
     # gap-fill: grid is generated (broadcast NLJ over the hour array),
     # both windows share one user_id shuffle
     ("gapfill_locf_hourly", 2, ["Window"], ["PythonUDF", "CartesianProduct"]),
-    # correlated AVG subquery decorrelated to a keyed agg + joins
-    ("small_quantity_revenue", 2, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct"]),
+    # correlated AVG subquery decorrelated to a keyed agg + joins; the
+    # brand filter is pushed through the correlation key so the agg is
+    # over ~2% of lineitem (static plan: agg exchange + SMJ pair, AQE
+    # broadcasts the small agg side at runtime)
+    ("small_quantity_revenue", 3, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct"]),
     # LATERAL + LIMIT decorrelates to window rank with group-limit pushdown
     ("sql_lateral_top2_orders", 1, ["Window", "WindowGroupLimit"], ["CartesianProduct", "PythonUDF"]),
     # hash-ranked sampling: one window shuffle, rank prune before full sort
