@@ -633,3 +633,40 @@ def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, updates, "o_orderkey").filter(
         F.col("o_orderkey") < 500
     )
+
+
+@query(
+    "order_value_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS cum_frac,
+           nth_value(o_totalprice, 3) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_lowest_price
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    covers=["W-extended"],
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window trio: percent_rank (relative rank
+    in [0,1]), cume_dist (fraction at-or-below), nth_value with an
+    explicit whole-partition frame.  Total ORDER BY (o_orderkey ties)
+    makes all three deterministic; rank/dist are (int-1)/(int-1) and
+    int/int divisions — portable.  One window shuffle."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_frac"),
+        F.nth_value("o_totalprice", 3).over(w_full).alias("third_lowest_price"),
+    )

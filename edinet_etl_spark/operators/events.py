@@ -257,3 +257,88 @@ def multires_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_start", "hour_start", "gid", "n", "total_value")
     )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+    ORDER BY cohort_day, day_offset
+    """,
+    covers=["EV-retention", "A-extended", "F4"],
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-seen day,
+    counted distinct on each later activity day — the standard product
+    analytics readout.  Two shuffles (first-day aggregate keyed on
+    user_id, then the cohort×offset count-distinct); the first-day
+    aggregate joins back keyed on user_id, co-partitioned with the
+    event stream."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type='view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type='click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_total,
+           COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+             AS n_full_funnel
+    FROM m
+    """,
+    covers=["EV-funnel", "A-extended"],
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase): per-user first
+    occurrence of each step in one conditional-MIN aggregate pass, then
+    strict time-ordering tests.  One shuffle on user_id + a singleton
+    reduce; never a self-join per step (the naive N-way join blows up
+    at event-log scale)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+    m = ev.groupBy("user_id").agg(first_of("view"), first_of("click"), first_of("purchase"))
+    return m.agg(
+        F.count("*").alias("n_total"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
