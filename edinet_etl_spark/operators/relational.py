@@ -466,3 +466,64 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seg_a").eqNullSafe(F.col("seg_b")))
         & (F.col("cust_a") < F.col("cust_b")),
     ).select("cust_a", "cust_b")
+
+
+@query(
+    "nation_balance_full_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers,
+             {sql_dsum('c_acctbal', 'cust_balance')}
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_solvent_suppliers,
+             {sql_dsum('s_acctbal', 'supp_balance')}
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           n_rich_customers, cust_balance,
+           n_solvent_suppliers, supp_balance
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    covers=["J-extended"],
+)
+def nation_balance_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the remaining `how=` mode; SURVEY §2.3): per-
+    nation top-tier customer vs solvent supplier balances, where each
+    side has nations the other lacks — both null-extension directions
+    are exercised (10 supplier-only, 3 customer-only at sf0.01).
+    Full outer cannot broadcast (both sides must null-extend), so
+    Catalyst plans a sort-merge join on the aggregate outputs — which
+    are already tiny post-aggregation; at 100 TB the pre-aggregation is
+    what keeps this cheap, not the join strategy."""
+    prep(spark)
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(
+            F.count("*").alias("n_rich_customers"),
+            dsum(F.col("c_acctbal"), "cust_balance"),
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(
+            F.count("*").alias("n_solvent_suppliers"),
+            dsum(F.col("s_acctbal"), "supp_balance"),
+        )
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            "n_rich_customers",
+            "cust_balance",
+            "n_solvent_suppliers",
+            "supp_balance",
+        )
+        .orderBy("nationkey")
+    )
