@@ -670,3 +670,81 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cum_frac"),
         F.nth_value("o_totalprice", 3).over(w_full).alias("third_lowest_price"),
     )
+
+
+@query(
+    "salted_hotkey_join_totals",
+    oracle=f"""
+    WITH skewed AS (
+      SELECT CASE WHEN l_quantity < 26 THEN 0 ELSE l_suppkey END AS merchant_key,
+             l_extendedprice
+      FROM lineitem
+    ), dim AS (
+      SELECT s_suppkey AS merchant_key,
+             CASE WHEN s_suppkey = 0 THEN 'AGGREGATOR' ELSE s_name END AS merchant_name
+      FROM supplier
+      UNION ALL SELECT 0, 'AGGREGATOR'
+    )
+    SELECT merchant_name, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice', 'total_price')}
+    FROM skewed JOIN dim USING (merchant_key)
+    GROUP BY merchant_name
+    ORDER BY merchant_name
+    """,
+    covers=["SC-skew", "J-extended"],
+)
+def salted_hotkey_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof JOIN by salting (the join-side twin of
+    salted_returnflag_totals): half the fact rows collapse onto one hot
+    merchant key, which under a plain shuffle join would land on a
+    single reducer.  Salted form: the fact side appends
+    salt = crc32(row identity) % {{S}} to its join key; the dim side is
+    replicated ×S via explode(sequence) — the join key becomes
+    (key, salt), spreading the hot key over S reducers.  The oracle is
+    the UNSALTED join: bit-equality proves salting is a pure physical
+    rewrite.  (AQE's skew-join split is the automatic alternative; the
+    explicit form works for aggregations-after-join and stateful
+    streaming joins where AQE can't help.)  The salt is deterministic —
+    rand() would break task-retry idempotence."""
+    prep(spark)
+    n_salts = 8
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    skewed = li.select(
+        F.when(F.col("l_quantity") < 26, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("merchant_key"),
+        "l_extendedprice",
+        (
+            F.crc32(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
+            % n_salts
+        ).alias("salt"),
+    )
+    dim = (
+        supplier.select(
+            F.col("s_suppkey").alias("merchant_key"),
+            F.when(F.col("s_suppkey") == 0, "AGGREGATOR")
+            .otherwise(F.col("s_name"))
+            .alias("merchant_name"),
+        )
+        .unionByName(
+            supplier.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("merchant_key"),
+                F.lit("AGGREGATOR").alias("merchant_name"),
+            )
+        )
+        .select(
+            "merchant_key",
+            "merchant_name",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+        )
+    )
+    return (
+        skewed.join(dim, ["merchant_key", "salt"])
+        .groupBy("merchant_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice"), "total_price"),
+        )
+        .orderBy("merchant_name")
+    )

@@ -299,22 +299,30 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_partkey
     HAVING {_sql_exact_sum('l_extendedprice * l_quantity')} > (
-        SELECT 0.0008 * {_sql_exact_sum('l_extendedprice * l_quantity')}
+        SELECT 1.25 * {_sql_exact_sum('l_extendedprice * l_quantity')}
+               / COUNT(DISTINCT l_partkey)
         FROM lineitem)
     ORDER BY part_value DESC, l_partkey
     """,
     covers=["SQ-fraction-of-total", "A-extended"],
 )
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
-    grand total.  The grand total is one exact scalar computed from the
-    same scan (broadcast back), NOT a re-sum of the per-group doubles —
-    re-summing doubles would be order-dependent."""
+    """TPC-H Q11 shape: groups whose value exceeds a threshold derived
+    from the grand total — here 1.25× the mean per-part value, which is
+    scale-invariant (~15% of parts qualify at every SF; a fixed
+    fraction-of-total goes vacuous as the part count grows).  The
+    scalar is one exact sum / distinct count from the same scan
+    (broadcast back), NOT a re-sum of the per-group doubles — re-summing
+    doubles would be order-dependent."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = li.groupBy("l_partkey").agg(dsum(value, "part_value"))
-    total = li.agg((F.lit(0.0008) * _exact_sum_double(value)).alias("threshold"))
+    total = li.agg(
+        (
+            F.lit(1.25) * _exact_sum_double(value) / F.count_distinct("l_partkey")
+        ).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

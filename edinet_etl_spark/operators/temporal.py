@@ -309,7 +309,7 @@ def gapfill_locf(ev: DataFrame, users: DataFrame, start: str, end: str) -> DataF
       FROM events
     )
     SELECT user_id,
-           CAST(CAST(SUM(CAST(value * dt AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,8)) * dt) AS VARCHAR) AS DOUBLE)
              / SUM(dt) AS twa_value,
            COUNT(*) AS n_intervals
     FROM stepped
@@ -324,9 +324,13 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     next one, so it contributes value × holding-seconds.  The standard
     correction for irregularly-sampled series (a plain AVG over-weights
     bursts).  One window (lead) + one aggregate = one shuffle on
-    user_id.  value·dt is 2-decimal × integer-seconds, so the exact
-    decimal sum discipline applies unchanged; the closing division is a
-    single rounding on identical operands in both engines.
+    user_id.  The weighted term is computed as DECIMAL(value) × BIGINT
+    — decimal×integer arithmetic is exact, so no double product is ever
+    rounded.  (Casting the double product value*dt instead breaks at
+    ~1e9 magnitudes: |x|·10^8 crosses 2^53 and engines disagree on the
+    last ulp — caught by the sf0.1 bit-exactness probe.)  The closing
+    division is a single rounding on identical operands in both
+    engines.
     """
     prep(spark)
     return time_weighted_avg(load(spark, sf_dir, "events"))
@@ -346,7 +350,7 @@ def time_weighted_avg(ev: DataFrame) -> DataFrame:
         stepped.groupBy("user_id")
         .agg(
             (
-                F.sum(dec(F.col("value") * F.col("dt"))).cast("string").cast("double")
+                F.sum(dec(F.col("value")) * F.col("dt")).cast("string").cast("double")
                 / F.sum("dt")
             ).alias("twa_value"),
             F.count("*").alias("n_intervals"),

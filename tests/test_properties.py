@@ -227,9 +227,11 @@ def test_time_weighted_avg_matches_decimal_model(spark, events):
             dt = noff - off
             if dt <= 0:
                 continue
-            total += decimal.Decimal(repr(val * dt)).quantize(
+            # mirror the operator: DECIMAL(value) × integer dt, exact —
+            # never a rounded float product
+            total += decimal.Decimal(repr(val)).quantize(
                 decimal.Decimal("0.00000001"), rounding=decimal.ROUND_HALF_UP
-            )
+            ) * dt
             tdt += dt
             n += 1
         if n:
