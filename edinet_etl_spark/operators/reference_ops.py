@@ -314,26 +314,25 @@ def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "nation_except",
+    "fulfilled_only_customers_except",
     oracle="""
-    SELECT c_nationkey FROM customer
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT s_nationkey AS c_nationkey FROM supplier WHERE s_acctbal > 5000
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
     covers=["U-extended"],
 )
-def nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations that have customers but no well-capitalized supplier
-    (s_acctbal > 5000 — without the filter suppliers cover every
-    nation and the EXCEPT is vacuously empty at all SFs)."""
+def fulfilled_only_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers with a fulfilled order and no
+    open one.  Both sides draw from the same per-customer order mix, so
+    the difference is density-structural and stays non-empty at every
+    SF (an earlier nation-level EXCEPT saturated: by sf0.1 every nation
+    had a qualifying supplier, making the check vacuous)."""
     prep(spark)
-    cust = load(spark, sf_dir, "customer").select("c_nationkey")
-    supp = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
-        .select(F.col("s_nationkey").alias("c_nationkey"))
-    )
-    return cust.subtract(supp)  # EXCEPT (distinct), same as the SQL oracle
+    orders = load(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)  # EXCEPT (distinct), same as the SQL oracle
 
 
 @query(
