@@ -1,0 +1,416 @@
+"""The remaining TPC-H query shapes (Q7, Q9, Q10, Q12, Q16, Q19, Q20),
+completing all 22 with `operators/{relational,subqueries}.py`.
+
+The reference has none of these (its only join is the broadcast dim
+lookup, `/root/reference/src/transform.py:169`), but a complete engine
+must cover the full decision-support shape space: bilateral join
+filters (Q7), multi-dim profit rollups (Q9), group-by-then-top-k over a
+4-way join (Q10), conditional two-way counts with date arithmetic
+(Q12), count-distinct with NOT-IN exclusion (Q16), disjunctive
+multi-bracket predicates (Q19), and nested IN with a derived scalar
+threshold (Q20).  The driver's tables drop `partsupp` and the
+ship-mode/receipt-date columns, so Q9/Q12/Q16/Q20 are re-expressed on
+the columns that exist while keeping each query's *structural* shape —
+noted per query.
+
+Scale notes (100 TB):
+- Every query joins facts to filtered dims; dims are broadcast (or
+  small enough that AQE converts), so the fact side never shuffles for
+  the dim joins.  The only unavoidable shuffles are fact-fact keys
+  (l_orderkey↔o_orderkey) and the final group-bys.
+- Disjunctive brackets (Q19) stay a single scan predicate — pushed to
+  the parquet reader, never three scans unioned.
+- NOT IN (Q16) is a left-anti join, never a collected set.
+- Thresholds (Q20) are scale-invariant (×mean, not fixed fractions of
+  total) so selectivity survives cardinality growth (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.numeric import dec, dsum, sql_dsum
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "bilateral_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum("volume", "revenue")}
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {SQL_REVENUE} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    covers=["SQ-bilateral-join-filter", "J1", "J2", "A-extended", "F4"],
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between a nation
+    pair, in both directions, by ship year.  The pair predicate is a
+    disjunction over TWO nation joins (supplier's and customer's) — the
+    nation filter is pushed into each dim BEFORE the fact joins, so
+    lineitem is cut to the two nations' suppliers at the first
+    (broadcast) join and only qualifying rows reach the o_orderkey
+    shuffle."""
+    prep(spark)
+    pair = ("NATION_1", "NATION_2")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "parttype_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum(f"{SQL_REVENUE} - 0.6 * p_retailprice * l_quantity", "profit")}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+    covers=["SQ-profit-rollup", "J1", "A-extended", "F4", "F9"],
+)
+def parttype_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) re-expressed without `partsupp`:
+    the driver's tables carry no ps_supplycost, so unit cost is proxied
+    as a fixed fraction of p_retailprice (60%) — the aggregation
+    structure (LIKE-filtered part dim, supplier-nation rollup by order
+    year, profit = revenue − cost) is Q9's.  The profit expression is
+    written with the identical operator tree in both engines (IEEE
+    double ops are deterministic given the same tree) and summed in
+    exact decimal."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    profit = _revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "returned_item_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, {sql_dsum(SQL_REVENUE, "revenue")},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    covers=["SQ-groupby-topk", "J1", "A-extended", "L1"],
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers who returned the
+    most revenue in a quarter.  4-way join → group by the customer's
+    full attribute tuple → top 20 by exact revenue (ties broken by
+    c_custkey so LIMIT is deterministic).  The date filter cuts orders
+    before its o_orderkey shuffle; the returnflag filter cuts lineitem
+    at the scan."""
+    prep(spark)
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "late_shipment_priorities",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE date_diff('day', o_orderdate, l_shipdate) >= 60
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    covers=["SQ-conditional-counts", "J1", "A-extended", "F1"],
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority) re-expressed without
+    l_shipmode/l_commitdate/l_receiptdate: "late" is shipping ≥60 days
+    after the order date (day-difference arithmetic replacing the
+    receipt/commit comparison), grouped by l_returnflag in place of the
+    absent ship mode.  The structural shape — a join-wide date
+    predicate feeding two complementary conditional counts per group —
+    is Q12's.  Counts are integers: no float portability concern.
+
+    DuckDB's `date_diff('day', a, b)` ≡ Spark's `datediff(b, a)` for
+    midnight-aligned timestamps (both count day boundaries)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    covers=["SQ-not-in", "J4", "A-extended", "P5"],
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) re-expressed on lineitem
+    as the part↔supplier association (the driver's tables have no
+    partsupp): how many distinct suppliers ship each surviving
+    (brand, type, size) combination, excluding complaint-proxy
+    suppliers (negative account balance) via NOT IN.  s_suppkey is
+    non-null so NOT IN ≡ left-anti join — never a collected set, and
+    the anti side is a broadcast (it's a filtered dim)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 33))
+    )
+    bad_sup = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "bracketed_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(SQL_REVENUE, "revenue")}, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    covers=["SQ-disjunctive-brackets", "J1", "A-extended", "P6"],
+)
+def bracketed_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three conjunctive brackets OR'd
+    into one predicate spanning both join sides.  Kept as a single
+    post-join filter expression — one scan of each input, one join, the
+    whole disjunction evaluated inside codegen (never three
+    scans/joins unioned).  The part-only parts of the predicate
+    (brand ∨ brand ∨ brand) can't prune the dim scan here because each
+    bracket also needs l_quantity; Catalyst still derives the
+    brand-IN-list filter for the part side via constraint propagation
+    (visible as a PushedFilters IN on the scan)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(dsum(_revenue(), "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "heavy_promo_suppliers",
+    oracle=f"""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) > (
+            SELECT 1.2 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(DISTINCT l_suppkey)
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s_suppkey
+    """,
+    covers=["SQ-nested-in-scalar", "J2", "A-extended"],
+)
+def heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) re-expressed without
+    partsupp: suppliers whose shipped PROMO-part quantity in 1997
+    exceeds 1.2× the mean per-supplier shipped quantity — nested
+    IN-subquery with a derived scalar threshold, Q20's structure with
+    the availqty comparison replaced by a scale-invariant ×mean cut
+    (SCALE.md: fixed absolute thresholds go vacuous as SF grows).
+
+    Decorrelated plan: ONE aggregation of the filtered join produces
+    per-supplier sums; the scalar threshold is a second tiny aggregate
+    over those group results (re-used, not a re-scan); the IN becomes a
+    left-semi broadcast join into supplier.  Both engines compute the
+    threshold as (1.2 × total)/n from identical exact-decimal
+    operands."""
+    prep(spark)
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_sup = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("qsum_dec"))
+    )
+    # Exact total = sum of the per-group decimal sums (associative), and
+    # n = COUNT(DISTINCT l_suppkey) = the number of groups — so both the
+    # oracle's whole-population aggregates and this reuse of `per_sup`
+    # see identical values.
+    thresh = per_sup.agg(
+        (
+            F.lit(1.2) * F.sum("qsum_dec").cast("string").cast("double")
+            / F.count("*")
+        ).alias("qthresh")
+    )
+    heavy = (
+        per_sup.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qsum_dec").cast("string").cast("double") > F.col("qthresh"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
         subqueries,
         temporal,
         text,
+        tpch_rest,
         udf_surface,
     )
     from edinet_etl_spark.streaming import jobs  # noqa: F401
