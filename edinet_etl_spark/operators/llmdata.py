@@ -186,3 +186,219 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+@query(
+    "repetition_scores",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           len(g3) AS n_3grams,
+           CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             AS dup_2gram_frac,
+           CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             AS dup_3gram_frac
+    FROM (
+      SELECT doc_id,
+             [ws[i] || ' ' || ws[i+1]
+              FOR i IN generate_series(1, len(ws)-1)] AS g2,
+             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              FOR i IN generate_series(1, len(ws)-2)] AS g3
+      FROM w WHERE len(ws) >= 3)
+    """,
+    covers=["LLM-quality", "M6-text", "F-higher-order"],
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicated word 2-grams and 3-grams per document (Rae et al. 2021's
+    "repetition" quality rules — high values flag looping/boilerplate
+    text that degrades training).
+
+    Entirely per-row higher-order-function work (`transform` builds the
+    n-gram arrays, `array_distinct` dedups them) — ZERO shuffles, no
+    Python, embarrassingly parallel at any corpus size.  The dup
+    fraction is one exact int subtraction and one correctly-rounded
+    division, portable bit-for-bit."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(ws)-2),"
+                " i -> concat_ws(' ', ws[i], ws[i+1]))"
+            ).alias("g2"),
+            F.expr(
+                "transform(sequence(0, size(ws)-3),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            ).alias("g3"),
+        )
+    )
+
+    def dup_frac(col: str) -> F.Column:
+        return (
+            (F.size(col) - F.size(F.array_distinct(col))).cast("double")
+            / F.size(col)
+        )
+
+    return grams.select(
+        "doc_id",
+        F.size("g3").cast("bigint").alias("n_3grams"),
+        dup_frac("g2").alias("dup_2gram_frac"),
+        dup_frac("g3").alias("dup_3gram_frac"),
+    )
+
+
+@query(
+    "corpus_common_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, unnest(
+        [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+              || ' ' || ws[i+4]
+         FOR i IN generate_series(1, len(ws)-4)]) AS gram
+      FROM w WHERE len(ws) >= 5)
+    SELECT gram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, n_docs DESC, gram
+    LIMIT 20
+    """,
+    covers=["LLM-dedup", "M6-text", "A-extended", "L1"],
+)
+def corpus_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: the most frequent word
+    5-grams in the corpus with their document frequency — the signal
+    behind "remove any line whose shingle occurs in >N documents"
+    (C4/RefinedWeb boilerplate rules).
+
+    Plan: per-doc n-gram build inside codegen (`transform`), explode,
+    one partial-aggregated groupBy on the gram — shuffle bytes are
+    proportional to DISTINCT grams per partition, not total grams.
+    Top-20 via TakeOrderedAndProject (no global sort materialization).
+    At 100 TB the same plan stands; for a fixed memory budget swap the
+    exact count for a count-min sketch feeding a threshold filter —
+    the exact corpus-frequency pass here is the oracle-checkable
+    baseline.  Ties broken (n_docs, gram) so LIMIT is deterministic."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws)-5), i -> concat_ws(' ',"
+                    " ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "gram")
+        .limit(20)
+    )
+
+
+# Per-source mixture caps (docs per source, by hash rank).  Cycling
+# 2/5/8/11/14 over the 20 sources keeps every cap strictly inside the
+# 25-docs-per-source fixture so the query is non-vacuous AND
+# non-saturating at sf0.01.
+_MIX_CAPS = {f"src{i}": (i % 5) * 3 + 2 for i in range(20)}
+
+
+@query(
+    "weighted_mixture_sample",
+    oracle=f"""
+    WITH caps(source, cap) AS (VALUES {", ".join(
+        f"('{s}', {c})" for s, c in sorted(_MIX_CAPS.items()))}),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS mix_rank
+      FROM documents)
+    SELECT ranked.source, doc_id, mix_rank
+    FROM ranked JOIN caps ON ranked.source = caps.source
+    WHERE mix_rank <= cap
+    """,
+    covers=["LLM-sample", "W-extended", "J3"],
+)
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: take a per-source quota of documents
+    (the Pile/Dolma-style source weighting), selected by md5-hash rank
+    so the mix is reproducible under re-runs, retries, and engine
+    swaps — never `ORDER BY random()`.
+
+    One window shuffle on the source key; the quota table is a literal
+    broadcast dim.  WindowGroupLimit cannot prune here (the cap varies
+    per source), but the rank filter drops rows before anything wide
+    happens.  At 100 TB quotas are usually expressed as token budgets —
+    same plan with SUM(n_tokens) running totals instead of row ranks."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    caps = spark.createDataFrame(
+        sorted(_MIX_CAPS.items()), "source: string, cap: int"
+    ).withColumnRenamed("source", "cap_source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("mix_rank"))
+        .join(F.broadcast(caps), F.col("source") == F.col("cap_source"))
+        .filter(F.col("mix_rank") <= F.col("cap"))
+        .select("source", "doc_id", "mix_rank")
+    )
+
+
+@query(
+    "source_mix_report",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) * 100
+             / CAST(SUM(SUM(n_chars)) OVER () AS DOUBLE) AS char_share_pct
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    covers=["LLM-sample", "A-extended", "W-extended"],
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "data card" mixture report: per (source, language) document
+    counts, character volume, and each cell's share of total corpus
+    characters — the table every training-data release publishes.
+
+    One groupBy shuffle; the grand total is a window over the (tiny)
+    aggregate result, not a second scan.  Integer char sums are exact;
+    the share is two deterministic float ops on identical operands."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    grand = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            F.col("total_chars").cast("double")
+            * 100
+            / F.sum("total_chars").over(grand).cast("double")
+        ).alias("char_share_pct"),
+    ).orderBy("source", "lang")
