@@ -52,6 +52,12 @@ HEADLINE = [
     # subquery/decorrelation family
     "small_quantity_revenue",
     "suppliers_kept_waiting",
+    # TPC-H completion set (Q7/Q10 representatives)
+    "bilateral_trade_volume",
+    "returned_item_top_customers",
+    # curation additions: zero-shuffle per-doc scoring + corpus n-grams
+    "repetition_scores",
+    "corpus_common_ngrams",
     # timeseries regularization
     "gapfill_locf_hourly",
     "time_weighted_avg_value",

@@ -374,3 +374,53 @@ def stream_upsert_to_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@query(
+    "streaming_nation_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           n_name AS nation,
+           COUNT(*) AS n_events, {sql_dsum('value', 'total_value')}
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+    covers=["M5-stream", "J1"],
+)
+def streaming_nation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer→nation dimension *inside the streaming plan*, then a
+    watermarked hourly aggregate per nation — the canonical streaming
+    enrichment topology (facts arrive, dims are loaded).  Driven to
+    completion with availableNow, the result must equal the batch
+    3-way-join SQL.
+
+    Spark re-plans the static side per micro-batch (so a dim refresh is
+    picked up on the next trigger); the broadcast hint keeps the stream
+    side shuffle-free — at 100 TB/day of events the only stateful
+    shuffle is the windowed aggregate, with state bounded by the
+    watermark."""
+    from edinet_etl_spark.tables import load
+
+    prep(spark)
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "nation",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "stream_nation_hourly_result", "complete")

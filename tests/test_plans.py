@@ -57,8 +57,9 @@ EXPECTATIONS = [
     ("asof_latest_order_per_event", 1, ["Window", "Union"], ["CartesianProduct", "PythonUDF"]),
     # decontamination: benchmark side broadcasts; corpus never shuffles
     ("benchmark_contamination", 1, ["LeftSemi", "BroadcastHashJoin"], ["PythonUDF", "SortMergeJoin"]),
-    # Q21 shape: EXISTS/NOT EXISTS stay joins, never a per-row re-scan
-    ("suppliers_kept_waiting", 4, ["LeftSemi", "LeftAnti"], ["PythonUDF", "CartesianProduct"]),
+    # Q21 shape: EXISTS/NOT EXISTS as per-order aggregates — ONE fact
+    # exchange on the correlation key feeds join + group-by + window
+    ("suppliers_kept_waiting", 3, ["Window"], ["PythonUDF", "CartesianProduct", "LeftSemi", "LeftAnti"]),
     # gap-fill: grid is generated (broadcast NLJ over the hour array),
     # both windows share one user_id shuffle
     ("gapfill_locf_hourly", 2, ["Window"], ["PythonUDF", "CartesianProduct"]),
