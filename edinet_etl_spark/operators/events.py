@@ -342,3 +342,47 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "event_type_map_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(n * 2 AS BIGINT) AS n_doubled
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    ORDER BY user_id, event_type
+    """,
+    covers=["F15", "F-map-surface", "A-extended"],
+)
+def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (SURVEY §2.8 F15's `create_map` family
+    beyond the literal-decode use): per-user counts are packed into a
+    `map<event_type, n>` with ``map_from_entries``, transformed
+    value-wise with ``transform_values``, and exploded back to rows.
+    The map round-trip is internal — the flattened output is what the
+    oracle checks (engine map-stringification differs; row output is
+    portable).  Proves build/transform/explode semantics for map
+    columns against a trivially-correct relational oracle.
+
+    Plan: one (user, type) aggregate shuffle, one user-level
+    `collect_list` reaggregate, per-row map ops in codegen — the map
+    never crosses a shuffle wider than its packed struct entries."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    packed = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    doubled = packed.select(
+        "user_id",
+        F.transform_values(
+            "type_counts", lambda _, v: v * F.lit(2).cast("bigint")
+        ).alias("type_counts"),
+    )
+    return (
+        doubled.select("user_id", F.explode("type_counts").alias("event_type", "n_doubled"))
+        .orderBy("user_id", "event_type")
+    )

@@ -357,3 +357,105 @@ def time_weighted_avg(ev: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "hourly_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events)
+    SELECT user_id, hour_start,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, hour_start
+    """,
+    covers=["TS-downsample", "A-extended", "A2"],
+)
+def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (the hypertable /
+    financial-tick "candlestick" rollup): per user per hour, the
+    first/highest/lowest/last value.
+
+    Spark side uses ``min_by``/``max_by`` keyed on the (ts, event_id)
+    struct — ONE hash aggregation, no window sort at all; the oracle
+    derives the same bars with the classic double-ROW_NUMBER window
+    SQL.  That asymmetry is deliberate: at 100 TB the aggregate form
+    shuffles one partial row per (user, hour) per partition while the
+    window form must sort every event — `max_by(value, struct)` is the
+    scalable plan.  Open/close/high/low are raw values (no float
+    accumulation), so portability is free; the (ts, event_id) struct
+    makes simultaneous events deterministic."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order_key).alias("close_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "trailing_hour_user_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) OVER w AS VARCHAR) AS DOUBLE)
+             / COUNT(*) OVER w AS trailing_avg,
+           COUNT(*) OVER w AS n_trailing
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    covers=["TS-sliding", "W-range-frame", "A-extended"],
+)
+def trailing_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range frame: each event's trailing one-hour average
+    value for its user — `rangeBetween` measured in SECONDS over the
+    event-time axis (the frame the year-axis query in analytics.py
+    can't express).  Spark range frames need a numeric ordering column,
+    so the frame orders by epoch seconds; DuckDB's INTERVAL-RANGE frame
+    is the same [ts-3600s, ts] window (timestamps are whole seconds in
+    the fixture, and UTC is pinned on both engines).
+
+    One shuffle on user_id; the running frame is computed by a single
+    ordered scan per partition — no self-join against the hour
+    neighborhood, which is the naive O(n·k) formulation.  The frame sum
+    is an exact decimal (ties in frame membership are value-exact), the
+    average one correctly-rounded division."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    frame_sum = (
+        F.sum(dec(F.col("value"))).over(w).cast("string").cast("double")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (frame_sum / F.count("*").over(w)).alias("trailing_avg"),
+        F.count("*").over(w).alias("n_trailing"),
+    )
