@@ -317,3 +317,81 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cell_id", "cosine")
     )
+
+
+@query(
+    "kmeans_train_step",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.sid,
+             {_sql_dot('e.embedding', 's.semb')} AS sdot
+      FROM embeddings e, seeds s
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sdot DESC, sid) AS rn
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), flat AS (
+      SELECT sid AS cell_id, i - 1 AS dim_idx,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM cells, UNNEST(generate_series(1, len(embedding))) t(i)
+    )
+    SELECT cell_id, CAST(dim_idx AS INT) AS dim_idx,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_members
+    FROM flat
+    GROUP BY cell_id, dim_idx
+    """,
+    covers=["M6-similarity", "X-iterative", "A-extended"],
+)
+def kmeans_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means/IVF training iteration: assign every vector to
+    its nearest seed centroid (max dot product, ties to the lower seed
+    id), then recompute each cell's centroid per dimension — the train
+    step `ivf_ann_topk` stubs out with static seeds.  Iterating this
+    operator IS Lloyd's algorithm; one step is enough to pin the
+    semantics (assignment + exact mean) against the oracle, and the
+    loop idiom (localCheckpoint per round) is proven by
+    `neardup_components`.
+
+    Plan: assignment = broadcast crossJoin of K seeds (array-local dot
+    products, NO shuffle of the big side) + one vec_id window argmin;
+    recompute = posexplode to (cell, dim) and ONE aggregate shuffle of
+    (K × dims) groups.  Per-dimension means use the exact-decimal sum
+    so the centroid is partitioning-independent — the property that
+    makes a distributed k-means run reproducible.  At 100 TB: K and
+    dims are fixed, so shuffle volume is per-partition partials only;
+    the dominant cost (n·K dots) is embarrassingly parallel."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("sid").alias("cell_id"), "embedding")
+    )
+    flat = cells.select(
+        "cell_id", F.posexplode("embedding").alias("dim_idx", "xf")
+    ).select("cell_id", "dim_idx", F.col("xf").cast("double").alias("x"))
+    return flat.groupBy("cell_id", "dim_idx").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,8)")).cast("string").cast("double")
+            / F.count("*")
+        ).alias("centroid_val"),
+        F.count("*").alias("n_members"),
+    )
