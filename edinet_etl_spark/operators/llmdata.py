@@ -220,7 +220,13 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is one exact int subtraction and one correctly-rounded
     division, portable bit-for-bit."""
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    return repetition_frames(load(spark, sf_dir, "documents"))
+
+
+def repetition_frames(docs: DataFrame) -> DataFrame:
+    """Dup-n-gram fractions over a (doc_id, text) frame — factored for
+    property tests (Python set-model equivalence for ANY token list,
+    `tests/test_properties.py`)."""
     grams = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size("ws") >= 3)

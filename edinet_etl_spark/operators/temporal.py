@@ -398,7 +398,13 @@ def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation), so portability is free; the (ts, event_id) struct
     makes simultaneous events deterministic."""
     prep(spark)
-    ev = load(spark, sf_dir, "events")
+    return ohlc_bars(load(spark, sf_dir, "events"))
+
+
+def ohlc_bars(ev: DataFrame) -> DataFrame:
+    """Hourly OHLC aggregation over an (event_id, ts, user_id, value)
+    frame — factored for property tests (model equivalence for ANY
+    event sequence, `tests/test_properties.py`)."""
     order_key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         ev.groupBy(

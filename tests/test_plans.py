@@ -72,6 +72,15 @@ EXPECTATIONS = [
     ("sql_lateral_top2_orders", 1, ["Window", "WindowGroupLimit"], ["CartesianProduct", "PythonUDF"]),
     # hash-ranked sampling: one window shuffle, rank prune before full sort
     ("stratified_doc_sample", 1, ["WindowGroupLimit"], ["PythonUDF"]),
+    # OHLC via min_by/max_by: ONE partial+final aggregate shuffle, NO
+    # window (struct-keyed min_by plans as SortAggregate)
+    ("hourly_ohlc_bars", 1, ["SortAggregate"], ["Window", "PythonUDF"]),
+    # per-doc repetition scoring: zero shuffles, pure codegen
+    ("repetition_scores", 0, [], ["PythonUDF"]),
+    # event-time RANGE frame: one user_id shuffle feeds the frame scan
+    ("trailing_hour_user_avg", 1, ["Window"], ["PythonUDF"]),
+    # k-means step: K-seed broadcast crossJoin (never a shuffled product)
+    ("kmeans_train_step", 4, ["BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct", "PythonUDF"]),
 ]
 
 

@@ -289,3 +289,98 @@ def test_stratified_sample_is_input_order_independent(spark):
     a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------- OHLC bars
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2),              # user_id
+    st.integers(min_value=0, max_value=3 * 3600 - 1),   # seconds offset
+    st.integers(min_value=-1000, max_value=1000),       # value (scaled)
+)
+
+
+@given(st.lists(_event, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_ohlc_bars_matches_scan_model(spark, events):
+    """hourly_ohlc_bars' min_by/max_by aggregation == a literal
+    first/last/max/min scan for ANY event sequence (simultaneous
+    events break ties on event_id; values are exact halves so float
+    compare is safe)."""
+    from edinet_etl_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        (eid, 1_700_000_000 + secs, user, val / 2.0)
+        for eid, (user, secs, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, epoch long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    got = {
+        (r["user_id"], r["hour_start"]): (
+            r["open_value"], r["high_value"], r["low_value"],
+            r["close_value"], r["n_events"],
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    # Python model: group by (user, hour), order by (ts, event_id)
+    model: dict = {}
+    for eid, (user, secs, val) in enumerate(events):
+        epoch = 1_700_000_000 + secs
+        key = (user, epoch // 3600)
+        model.setdefault(key, []).append((epoch, eid, val / 2.0))
+    assert len(got) == len(model)
+    for (user, hour_epoch), items in model.items():
+        items.sort()
+        values = [v for _, _, v in items]
+        match = [
+            v for (u, hs), v in got.items()
+            if u == user and int(hs.timestamp()) == hour_epoch * 3600
+        ]
+        assert len(match) == 1
+        o, h, l, c, n = match[0]
+        assert (o, h, l, c, n) == (
+            items[0][2], max(values), min(values), items[-1][2], len(items)
+        )
+
+
+# -------------------------------------------- repetition fractions
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_frames_matches_set_model(spark, docs):
+    """repetition_scores' higher-order-function pipeline == the Python
+    set model (1 - |distinct n-grams| / |n-grams|) for ANY token list;
+    docs under 3 tokens are excluded on both sides."""
+    from edinet_etl_spark.operators.llmdata import repetition_frames
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_3grams"], r["dup_2gram_frac"], r["dup_3gram_frac"])
+        for r in repetition_frames(df).collect()
+    }
+
+    def fracs(toks, n):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return len(grams), (len(grams) - len(set(grams))) / len(grams)
+
+    expected_ids = [i for i, toks in enumerate(docs) if len(toks) >= 3]
+    assert sorted(got) == expected_ids
+    for i in expected_ids:
+        n3, d2, d3 = got[i]
+        en2, ed2 = fracs(docs[i], 2)
+        en3, ed3 = fracs(docs[i], 3)
+        assert n3 == en3
+        assert d2 == ed2 and d3 == ed3
