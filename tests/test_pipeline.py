@@ -223,3 +223,27 @@ def test_empty_sink_guard(spark, tmp_path, caplog):
     assert result is None
     assert not (tmp_path / "nothing").exists()
     assert any("empty" in r.message.lower() for r in caplog.records)
+
+
+def test_observed_write_metrics(spark, tmp_path):
+    """The Observation-API write reports row count / exact revenue total
+    / null counts measured on the write pass itself (S7 monitoring
+    parity — the reference logs re-scanned counts; we ride the action)."""
+    from edinet_etl_spark.pipeline.load import load_to_csv_observed
+
+    df = spark.createDataFrame(
+        [(2021, "A", 100), (2022, "A", 250), (2022, "B", None)],
+        "year int, companyname string, revenue long",
+    )
+    target, metrics = load_to_csv_observed(df, str(tmp_path), "observed")
+    assert target is not None
+    assert metrics["n_rows"] == 3
+    assert metrics["revenue_total"] == "350"
+    assert metrics["null_revenue"] == 1
+    # the write actually happened with all rows
+    import glob
+
+    files = glob.glob(f"{target}/*.csv")
+    assert files
+    body = "".join(open(f).read() for f in files)
+    assert body.count("\n") == 4  # header + 3 rows
