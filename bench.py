@@ -83,20 +83,27 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # best-of-2 at the target SF: one timed run still carries GC /
-    # first-shuffle-fetch noise; the min of two is the steady-state
-    # figure a resident engine delivers.
+    # best-of-N at the target SF: one timed run still carries GC /
+    # first-shuffle-fetch noise; the min of the reps is the steady-state
+    # figure a resident engine delivers.  Two reps normally; when they
+    # disagree by >25% the number is noise-dominated, so take up to two
+    # more — stabilizes the recorded figure without 2× cost on the
+    # well-behaved majority.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        while True:
             # construction inside the timer: iterative operators
             # (eager checkpoints) do real work before the sink runs
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2 and (
+                len(runs) >= 4 or max(runs[-2:]) <= 1.25 * min(runs[-2:])
+            ):
+                break
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -23,7 +23,7 @@ small.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.registry import query
@@ -435,3 +435,77 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "neardup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a
+           JOIN bands b ON a.band_id = b.band_id
+                       AND a.band_hash = b.band_hash
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+         ),
+         lbl(node, comp) AS (
+           SELECT u, LEAST(u, MIN(v)) FROM edges GROUP BY u
+           UNION
+           SELECT e.u, l.comp
+           FROM edges e JOIN lbl l ON e.v = l.node
+           WHERE l.comp < e.u
+         ),
+         comp AS (
+           SELECT node AS doc_id, MIN(comp) AS component
+           FROM lbl GROUP BY node
+         )
+    SELECT component, canonical_doc_id, canonical_n_chars, n_members
+    FROM (
+      SELECT component, doc_id AS canonical_doc_id,
+             n_chars AS canonical_n_chars,
+             COUNT(*) OVER (PARTITION BY component) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM comp JOIN documents USING (doc_id))
+    WHERE rn = 1
+    """,
+    covers=["M6-dedup", "X-iterative", "A1"],
+)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that makes near-dup clusters *actionable*: per
+    connected component, elect one canonical document to KEEP (longest
+    text wins — the usual "superset copy" heuristic — ties to the
+    lowest doc_id) and report cluster size.  Downstream, the corpus
+    minus (cluster members − canonicals) is the deduplicated training
+    set.
+
+    Plan: the component labels come from the iterative min-label loop
+    (`neardup_components`); electing canonicals is one window rank over
+    the component key after a doc_id equi-join with the docs table —
+    at 100 TB the join is hash-partitioned on doc_id (labels are a tiny
+    fraction of the corpus — only docs with ≥1 LSH collision) and the
+    election shuffle carries (component, doc_id, n_chars) triples, not
+    text.  Lengths are exact ints: the argmax has no float ties."""
+    prep(spark)
+    comp = neardup_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    joined = comp.join(docs, "doc_id")
+    return (
+        joined.select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_n_chars"),
+            F.count("*").over(Window.partitionBy("component")).alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
