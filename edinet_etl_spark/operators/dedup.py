@@ -509,3 +509,57 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_DELTA_START = 400  # doc_id >= this = "tonight's batch" (100 of 500 at sf0.01)
+
+
+@query(
+    "delta_dedup_against_corpus",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS})
+    SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS dup_of_doc_id
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id
+                AND a.band_hash = b.band_hash
+                AND b.doc_id >= {_DELTA_START}
+                AND a.doc_id < b.doc_id
+    """,
+    covers=["M6-dedup", "J-extended", "X-incremental"],
+)
+def delta_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: candidate pairs for a NEW batch of
+    documents against everything before it (batch = doc_id ≥ 400 here;
+    in production, tonight's crawl vs. the corpus).  The asymmetric
+    band join is the whole point: corpus×corpus pairs are never
+    generated — cost is O(batch × bucket), not O(corpus²), which is
+    what makes nightly dedup of a 100 TB corpus feasible.  At real
+    scale the corpus side's band table is PRECOMPUTED and stored
+    (signatures are append-only derived data); only the batch's
+    signatures are fresh work, and the join is a broadcast of the
+    (tiny) batch bands against the bucketed corpus bands.
+
+    Earlier-doc pairs (a < b) mirror `minhash_lsh_candidates`' pair
+    orientation: the new doc is the duplicate, the older doc the
+    canonical it collides with.  Like `minhash_lsh_candidates`, the
+    expansion is bucket-group (NOT a two-sided band join, which would
+    run the shingle→minhash pipeline once per side); the batch filter
+    lands on the exploded new-doc lane so old×old pairs are pruned
+    before the distinct."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs))
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("new_doc_id"), "ids")
+        .filter(F.col("new_doc_id") >= _DELTA_START)
+        .select("new_doc_id", F.explode("ids").alias("dup_of_doc_id"))
+        .filter(F.col("dup_of_doc_id") < F.col("new_doc_id"))
+        .distinct()
+    )

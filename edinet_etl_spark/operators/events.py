@@ -386,3 +386,45 @@ def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled.select("user_id", F.explode("type_counts").alias("event_type", "n_doubled"))
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "event_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+    covers=["W (windows)", "A-extended", "F17"],
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: how often each event type follows
+    each other type within a user's stream (the Markov-chain counts
+    behind "what do users do after X" product analytics).  One LAG
+    window per user + one pair group-by; each user's first event has no
+    predecessor and is excluded.
+
+    At scale: the window shuffle is on user_id (bounded state, one
+    ordered pass); the transition matrix is |types|² rows — the
+    aggregate output is tiny regardless of corpus size, so partial
+    aggregation collapses everything map-side."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
