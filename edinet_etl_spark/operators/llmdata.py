@@ -408,3 +408,65 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("total_chars").over(grand).cast("double")
         ).alias("char_share_pct"),
     ).orderBy("source", "lang")
+
+
+@query(
+    "token_budget_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT CAST(FLOOR((cum_tokens - n_tokens) / 5000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc_id
+    FROM cum
+    GROUP BY 1
+    ORDER BY shard_id
+    """,
+    covers=["LLM-sample", "W-extended", "A-extended"],
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: documents, in deterministic
+    hash-shuffled order, are packed into ~5000-token training shards
+    (a document starts in the shard its running total falls in) — the
+    doc-granularity form of pretraining sequence packing.  Shard
+    boundaries are a running SUM window; shard id = the budget
+    quotient of the tokens BEFORE each doc, so every engine derives
+    identical shards from identical hashes.
+
+    The global ORDER BY window is a single-partition sort — correct
+    for the oracle contract, and the stated non-goal at 100 TB: there
+    you pack per (source, hash-bucket) partition instead (drop the
+    global order, same expression inside each bucket), trading exact
+    global boundaries for full parallelism.  All arithmetic is exact
+    ints; FLOOR(x/5000.0) on values ≪ 2^53 is one correctly-rounded op."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    shard = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(5000.0)
+    ).cast("bigint")
+    return (
+        cum.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
