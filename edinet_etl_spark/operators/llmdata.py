@@ -470,3 +470,63 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "token_budget_pack_partitioned",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT source,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM cum
+    GROUP BY source, 2
+    ORDER BY source, shard_id
+    """,
+    covers=["LLM-sample", "W-extended", "A-extended"],
+)
+def token_budget_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`token_budget_pack`'s scale path made concrete: packing runs PER
+    SOURCE (the window partitions by the natural shard key), so the
+    running sums parallelize across the cluster instead of funneling
+    through one global sort — the form you run at 100 TB.  Boundaries
+    are exact within each source; the trade is no cross-source shards,
+    which real mixtures want anyway (shards stay homogeneous and the
+    mixture ratio is enforced at the shard level)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "doc_id", "source", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    shard = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0)
+    ).cast("bigint")
+    return (
+        cum.groupBy("source", shard.alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("source", "shard_id")
+    )

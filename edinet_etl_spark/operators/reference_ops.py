@@ -395,3 +395,56 @@ def flag_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fetch_type").isNotNull())
         .select("o_orderkey", "fetch_type")
     )
+
+
+@query(
+    "returnflag_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS op, l_quantity, COUNT(*) AS n
+    FROM (
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
+    GROUP BY l_quantity
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_quantity, COUNT(*) AS n
+    FROM (
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
+    GROUP BY l_quantity
+    ORDER BY op, l_quantity
+    """,
+    covers=["U-extended"],
+)
+def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (SURVEY §2.7: the reference has
+    none; a complete engine exposes the ALL variants): the multiset of
+    returned-item quantities EXCEPT ALL / INTERSECT ALL the accepted
+    multiset, i.e. per-value count differences clipped at zero and
+    pairwise minima.  Both engines implement identical multiplicity
+    semantics; the grouped (value, n) output makes row order
+    irrelevant.
+
+    Plan note: Spark compiles each ALL op into a count-compare
+    aggregate + generate (replicate rows to the surviving
+    multiplicity) — one shuffle per side on the value, no join blowup;
+    at scale prefer the explicit two-count aggregate if the
+    multiplicities are the end goal, as here."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    ex = (
+        r.exceptAll(a)
+        .groupBy("l_quantity")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_quantity", "n")
+    )
+    inter = (
+        r.intersectAll(a)
+        .groupBy("l_quantity")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_quantity", "n")
+    )
+    return ex.unionByName(inter).orderBy("op", "l_quantity")
