@@ -424,3 +424,63 @@ def streaming_nation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "stream_nation_hourly_result", "complete")
+
+
+@query(
+    "streaming_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+    covers=["M5-stream", "J-extended"],
+)
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the ad-attribution topology: each
+    purchase joins every click by the same user in the preceding 10
+    minutes, with BOTH sides arriving as streams.  This is the one
+    streaming join class with two-sided state: each side buffers rows
+    until the other side's watermark passes the join window, so state
+    is bounded by (watermark delay + interval), never the full history.
+
+    The event-time range condition is what makes the state prunable —
+    an equi-join without it would hold both streams forever.  Driven
+    to completion with availableNow, the result must equal the batch
+    self-join SQL (append mode emits each matched pair exactly once).
+    At 100 TB/day: per-key state lives in the state store partitioned
+    by user_id; the 10-minute interval keeps resident state to minutes
+    of traffic regardless of corpus age."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_available_now(
+        joined, "stream_purchase_attribution_result", "append"
+    )
