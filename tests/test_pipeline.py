@@ -247,3 +247,48 @@ def test_observed_write_metrics(spark, tmp_path):
     assert files
     body = "".join(open(f).read() for f in files)
     assert body.count("\n") == 4  # header + 3 rows
+
+
+def test_binary_lake_ingestion(spark, tmp_path):
+    """S3's pre-fetched-directory mapping: ZIPs landed on storage by an
+    upstream collector, read via the `binaryFile` source, explode
+    through the SAME ZIP UDTF as the HTTP path, members intact."""
+    import io
+    import zipfile
+
+    from edinet_etl_spark.sources.binary_lake import read_filing_lake
+    from edinet_etl_spark.sources.zip_extract import explode_zip_members
+
+    lake = tmp_path / "lake" / "dt=2024-06-01"
+    lake.mkdir(parents=True)
+
+    def zip_bytes(members: dict[str, bytes]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, data in members.items():
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    (lake / "D001_E00001_5.zip").write_bytes(
+        zip_bytes({"a/main.csv": b"x" * 10, "a/side.csv": b"y" * 99})
+    )
+    (lake / "D002_E00002_1.zip").write_bytes(
+        zip_bytes({"b/report.xbrl": b"<xbrl/>"})
+    )
+    (lake / "broken_E9_1.zip").write_bytes(b"not a zip")
+
+    filings = read_filing_lake(spark, str(tmp_path / "lake"))
+    rows = {r["docID"]: r for r in filings.collect()}
+    assert set(rows) == {"D001", "D002", "broken"}
+    assert rows["D001"]["file_type"] == "csv"
+    assert rows["D001"]["submitDateTime"] == "2024-06-01"
+    assert rows["D002"]["file_type"] == "xbrl"
+
+    members = explode_zip_members(filings).collect()
+    got = {(m["docID"], m["member_name"]): m["member_size"] for m in members}
+    # corrupt zip skipped; real members exploded with true sizes
+    assert got == {
+        ("D001", "a/main.csv"): 10,
+        ("D001", "a/side.csv"): 99,
+        ("D002", "b/report.xbrl"): 7,
+    }
