@@ -112,3 +112,24 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     each side, and writing the result partitioned by date yields an
     incremental snapshot."""
     return updates.unionByName(base.join(updates, key, "left_anti"))
+
+
+def roundtrip_format(
+    df: DataFrame, out_dir: str, fmt: str, schema: str | None = None
+) -> DataFrame:
+    """Write ``df`` in ``fmt`` (orc/json/csv/parquet) and read it back
+    with the declared schema — the format-interchange surface.
+
+    Schema discipline per tables.py: self-describing formats
+    (parquet/ORC) carry their types; text formats (JSON lines, CSV) do
+    NOT round-trip types implicitly, so reads take the explicit schema
+    — at lake scale, schema-on-read inference over text is both a
+    correctness bug (silent type drift) and a full extra pass over the
+    data (Spark samples files to infer).
+    """
+    spark = df.sparkSession
+    df.write.mode("overwrite").format(fmt).save(out_dir)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(out_dir)

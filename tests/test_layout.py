@@ -92,3 +92,31 @@ def test_compaction_reduces_file_count(spark, tmp_path):
         spark.read.parquet(out).count()
         == load(spark, SF_DIR, "orders").count()
     )
+
+
+def test_format_roundtrips_orc_jsonl(spark, tmp_path):
+    """Format interchange: ORC (self-describing) and JSON-lines
+    (schema-on-read) both round-trip the same rows; the JSON read uses
+    an explicit schema (timestamps don't survive text inference)."""
+    from edinet_etl_spark.layout import roundtrip_format
+    from edinet_etl_spark.tables import load
+
+    src = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .limit(200)
+    )
+    expected = sorted(map(tuple, src.collect()))
+
+    orc = roundtrip_format(src, str(tmp_path / "orc"), "orc")
+    assert sorted(map(tuple, orc.collect())) == expected
+    assert orc.schema == src.schema  # ORC carries types
+
+    jsonl = roundtrip_format(
+        src,
+        str(tmp_path / "jsonl"),
+        "json",
+        schema="l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_shipdate timestamp_ntz",
+    )
+    assert sorted(map(tuple, jsonl.collect())) == expected
