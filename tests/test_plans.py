@@ -95,3 +95,21 @@ def test_plan_shape(plan_spark, name, max_exchanges, contains, absent):
         assert frag in plan, f"{name}: expected {frag} in plan\n{plan}"
     for frag in absent:
         assert frag not in plan, f"{name}: unexpected {frag} in plan\n{plan}"
+
+
+def test_aqe_runtime_replan_bilateral_trade(spark):
+    """With AQE on (prep() default), the executed plan is adaptively
+    finalized: runtime shuffle statistics drive partition coalescing
+    (AQEShuffleRead), the filtered dims run as broadcast joins, and the
+    one fact-fact join (lineitem⋈orders) correctly REMAINS sort-merge —
+    broadcasting a fact side would be the wrong call at any scale."""
+    from edinet_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["bilateral_trade_volume"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 1  # exactly the fact-fact join
