@@ -748,3 +748,51 @@ def salted_hotkey_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merchant_name")
     )
+
+
+@query(
+    "scd2_customer_dim",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST('2024-01-01' AS DATE) AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN CAST('2024-06-01' AS DATE)
+                ELSE NULL END AS valid_to,
+           (c_custkey % 7 <> 0) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'UPDATED',
+           CAST('2024-06-01' AS DATE), NULL, TRUE
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    covers=["J-extended", "U-extended", "X-maintenance"],
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: a versioned customer dimension
+    after one update batch (every 7th customer's segment changes).
+    The Spark side runs the GENERIC `layout.scd2_merge` algorithm —
+    change detection via null-safe attribute compare, close-out ∥
+    append via semi/anti joins + union; the oracle states the expected
+    versioned table directly.  Deliberately different derivations:
+    the merge must REDISCOVER which rows changed.
+
+    The no-op-update guard is exercised: the update batch contains
+    EVERY customer (unchanged segments for 6/7 of them), and only real
+    changes version."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        cust.withColumn("valid_from", F.lit("2024-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, "UPDATED").otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    from edinet_etl_spark.layout import scd2_merge
+
+    return scd2_merge(
+        base, updates, "c_custkey", ["c_mktsegment"], "2024-06-01"
+    )
