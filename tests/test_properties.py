@@ -384,3 +384,52 @@ def test_repetition_frames_matches_set_model(spark, docs):
         en3, ed3 = fracs(docs[i], 3)
         assert n3 == en3
         assert d2 == ed2 and d3 == ed3
+
+
+# ---------------------------------------------------------- SCD2 merge
+@given(
+    st.dictionaries(                               # current dimension
+        st.integers(min_value=1, max_value=6),     # key
+        st.sampled_from(["A", "B", "C"]),          # tracked attribute
+        min_size=1,
+        max_size=6,
+    ),
+    st.dictionaries(                               # update batch
+        st.integers(min_value=1, max_value=6),
+        st.sampled_from(["A", "B", "C"]),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_scd2_merge_matches_dict_model(spark, current, batch):
+    """layout.scd2_merge == the dict model for ANY (dimension, update
+    batch): only keys present in BOTH whose attribute actually differs
+    version; everything else passes through untouched (no-op guard;
+    updates for unknown keys are ignored — SCD2 is not an insert)."""
+    from edinet_etl_spark.layout import scd2_merge
+
+    base = spark.createDataFrame(
+        [(k, v, "2024-01-01", None, True) for k, v in sorted(current.items())],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "attr",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(k, v) for k, v in sorted(batch.items())], "k long, attr string"
+    )
+    got = sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in scd2_merge(base, updates, "k", ["attr"], "2024-06-01").collect()
+    )
+    model = []
+    for k, v in current.items():
+        if k in batch and batch[k] != v:
+            model.append((k, v, "2024-01-01", "2024-06-01", False))
+            model.append((k, batch[k], "2024-06-01", "None", True))
+        else:
+            model.append((k, v, "2024-01-01", "None", True))
+    assert got == sorted(model)
