@@ -395,3 +395,87 @@ def kmeans_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_val"),
         F.count("*").alias("n_members"),
     )
+
+
+@query(
+    "ivf_ann_nprobe2",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.sid,
+             {_sql_dot('e.embedding', 's.semb')} AS sdot
+      FROM embeddings e, seeds s
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sdot DESC, sid) AS rn
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), qcells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn <= 2 AND vec_id < 5
+    ), probe AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'c.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('c.embedding', 'c.embedding')})) AS cosine
+      FROM qcells q JOIN cells c ON q.sid = c.sid AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM probe
+    ) WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "J-extended", "W-extended"],
+)
+def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_ann_topk`'s recall dial turned to nprobe=2: each query
+    probes its TWO nearest cells (assignment rank ≤ 2) while the corpus
+    stays single-cell — strictly more candidates, monotonically better
+    recall, same plan shape (the wider rank filter is the only delta;
+    cost grows linearly in nprobe, never back to O(n)).  This is the
+    production knob: recall misses in IVF come from the query's true
+    neighbors landing one cell over, and probing p cells recovers them
+    without touching index build cost."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "sid")
+    qcells = (
+        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
+        .select("vec_id", "embedding", "sid")
+        .alias("q")
+    )
+    c = cells.alias("c")
+    cosine = dot_exact(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.sqrt(dot_exact(F.col("q.embedding"), F.col("q.embedding")))
+        * F.sqrt(dot_exact(F.col("c.embedding"), F.col("c.embedding")))
+    )
+    probe = qcells.join(
+        c,
+        (F.col("q.sid") == F.col("c.sid")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        probe.withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
