@@ -479,3 +479,86 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@query(
+    "ivf_recall_at3",
+    oracle=f"""
+    WITH bf_pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'e.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cosine
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM bf_pairs) WHERE rn <= 3
+    ), seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sdot DESC, sid) AS rn
+      FROM (
+        SELECT e.vec_id, e.embedding, s.sid,
+               {_sql_dot('e.embedding', 's.semb')} AS sdot
+        FROM embeddings e, seeds s)
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_dot('q.embedding', 'c.embedding')} /
+                          (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                           * sqrt({_sql_dot('c.embedding', 'c.embedding')})) DESC,
+                          c.vec_id) AS rn
+        FROM cells q JOIN cells c ON q.sid = c.sid AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5) WHERE rn <= 3
+    )
+    SELECT bf.query_id,
+           COUNT(ivf.neighbor_id) AS n_hits,
+           COUNT(ivf.neighbor_id) / 3.0 AS recall_at3
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
+    """,
+    covers=["M6-similarity", "A-extended"],
+)
+def ivf_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement, closed-loop: recall@3 of the IVF index
+    against the exact brute-force ground truth, per query vector —
+    "measure, don't guess" applied to the index itself.  This is the
+    number a production ANN deployment watches when tuning nprobe/K;
+    here both the index AND its evaluation are oracle-checkable
+    because every scoring step is the deterministic exact-dot
+    pipeline.
+
+    Cost note: ground truth is the O(n·q) brute-force pass — that's
+    inherent to recall evaluation and is run over a SAMPLE of queries
+    (5 here); the index path stays O(cell)."""
+    prep(spark)
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ivf_ann_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_query_id"),
+        F.col("neighbor_id").alias("i_neighbor_id"),
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("i_query_id"))
+            & (F.col("neighbor_id") == F.col("i_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_neighbor_id").alias("n_hits"),
+            (F.count("i_neighbor_id") / F.lit(3.0)).alias("recall_at3"),
+        )
+        .orderBy("query_id")
+    )
