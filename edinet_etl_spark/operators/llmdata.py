@@ -530,3 +530,60 @@ def token_budget_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source", "shard_id")
     )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, s.start + 1,
+                               LEAST(s.start + {_CHUNK_SIZE}, len(t)))) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(t, s.start + 1,
+                                      LEAST(s.start + {_CHUNK_SIZE}, len(t))), ' ')
+             AS chunk_text
+    FROM toks, UNNEST(generate_series(0, len(t) - 1, {_CHUNK_STRIDE})) s(start)
+    """,
+    covers=["LLM-chunk", "F5", "U1"],
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the step that turns curated
+    documents into fixed-budget training/RAG samples (size 32, stride
+    24 → 8-token overlap so no boundary context is lost).  The
+    reference's closest analogue is its positional "next 5 elements
+    after marker" slice (/root/reference/src/transform.py:53-67); this
+    is the same slice-by-position semantics generalized to a sliding
+    window over every document.
+
+    Plan: tokenize → `sequence(0, n-1, stride)` generates each doc's
+    chunk starts → ONE posexplode-free explode + array-local `slice` —
+    zero shuffles, zero Python, whole-stage codegen end to end.  Chunk
+    fan-out is data-proportional (Σ ceil(n_tokens/stride)), and because
+    every chunk derives from its own row the operator is embarrassingly
+    parallel at any scale; downstream packing (`token_budget_pack`)
+    consumes exactly this shape."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, F.lit(_CHUNK_SIZE))
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST(start div {_CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

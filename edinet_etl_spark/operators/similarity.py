@@ -562,3 +562,201 @@ def ivf_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.sid,
+             {_sql_dot('e.embedding', 's.semb')} AS sdot
+      FROM embeddings e, seeds s
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sdot DESC, sid) AS rn
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.sid, b.vec_id
+      FROM cells a JOIN cells b
+        ON a.sid = b.sid AND a.vec_id < b.vec_id
+      WHERE {_sql_dot('a.embedding', 'b.embedding')} /
+              (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+               * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > {_SEMDEDUP_TAU}
+    )
+    SELECT c.sid AS cell_id,
+           COUNT(*) AS n_members,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM cells c LEFT JOIN dropped d
+      ON c.sid = d.sid AND c.vec_id = d.vec_id
+    GROUP BY c.sid
+    """,
+    covers=["M6-dedup", "M6-similarity", "J-extended"],
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings with the coarse quantizer, compare pairs ONLY within a
+    cluster, and drop every vector that has a lower-id near-duplicate
+    (cosine > τ) in its cell — keep-first semantics, matching
+    `exact_dedup`'s convention.  Output is the per-cell dedup ledger
+    (members / dropped / kept) a curation run reports.
+
+    The reference has no semantic layer at all (its dedup is the A1
+    130-over-120 filing argmax, /root/reference/src/transform.py:109-145);
+    this is the embedding-space analogue a training-data pipeline needs.
+
+    Plan: cell assignment reuses the IVF coarse quantizer (broadcast
+    K-seed crossJoin + window argmin — no shuffle of the corpus until
+    the single hash exchange on cell id); the pair join is a hash
+    equi-join on cell, O(Σ cell²) never corpus²; norms are precomputed
+    per vector (the `embedding_neardup_blocked` lesson).  At 100 TB,
+    cell sizes are capped by K chosen at train time, and the dropped
+    set is a semi-join back against the corpus — both shuffle-bounded
+    by the cell key.  τ=0.4 sits just under this corpus's max
+    within-cell cosine (0.483) so the prune is non-vacuous."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "sid",
+            "embedding",
+            F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cosine = dot_exact(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    dropped = (
+        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cosine > _SEMDEDUP_TAU)
+        .select(F.col("b.sid").alias("sid"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("is_dropped", F.lit(1)), ["sid", "vec_id"], "left")
+        .groupBy(F.col("sid").alias("cell_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count("*") - F.count("is_dropped")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "embedding_sq8_recon_error",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS dim_idx, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+    ), stats AS (
+      SELECT dim_idx, MIN(x) AS dmin, MAX(x) AS dmax
+      FROM flat GROUP BY dim_idx
+    ), coded AS (
+      SELECT f.vec_id, f.x, s.dmin, s.dmax,
+             CASE WHEN s.dmax = s.dmin THEN 0
+                  ELSE LEAST(255, CAST(FLOOR((f.x - s.dmin) / (s.dmax - s.dmin) * 256.0) AS INT))
+             END AS code
+      FROM flat f JOIN stats s ON f.dim_idx = s.dim_idx
+    ), recon AS (
+      SELECT vec_id, code,
+             ABS(x - (dmin + ((CAST(code AS DOUBLE) + 0.5) * (dmax - dmin) / 256.0))) AS err
+      FROM coded
+    )
+    SELECT vec_id,
+           MAX(err) AS max_abs_err,
+           CAST(SUM(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_saturated
+    FROM recon
+    GROUP BY vec_id
+    """,
+    covers=["M6-similarity", "A-extended"],
+)
+def embedding_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding column with
+    per-vector reconstruction error — the memory-compression leg of a
+    production ANN index (IVF+SQ8 stores 1 byte/dim instead of 4,
+    a 4× shrink of a 100 TB vector lake).  Codes: per-dimension
+    min/max over the corpus → `floor((x-min)/(max-min)·256)` clamped
+    to [0,255]; reconstruction at the bucket midpoint.
+
+    Plan shape is the scale story: the per-dimension stats are ONE
+    64-group aggregate collapsed to a single 64-element array row and
+    broadcast — the corpus is then re-scanned ONCE with all math
+    array-local (`transform` indexed lambda over the embedding), so
+    there is NO n×dims shuffle and no join of the fact table; max/count
+    per vector are array folds, order-independent and bit-exact (the
+    oracle computes the same values through a flat join shape).
+    Degenerate dims (min=max) code to 0 with zero error."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("dim_idx", "xf")).select(
+        "vec_id", "dim_idx", F.col("xf").cast("double").alias("x")
+    )
+    stats_arr = (
+        flat.groupBy("dim_idx")
+        .agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "dmin", "dmax"))
+            ).alias("stats")
+        )
+        .select(
+            F.transform("stats", lambda s: s["dmin"]).alias("dmins"),
+            F.transform("stats", lambda s: s["dmax"]).alias("dmaxs"),
+        )
+    )
+    withstats = emb.crossJoin(F.broadcast(stats_arr))
+
+    def _per_dim(v: Column, i: Column) -> Column:
+        x = v.cast("double")
+        dmin = F.element_at("dmins", i + 1)
+        dmax = F.element_at("dmaxs", i + 1)
+        code = F.when(dmax == dmin, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.floor((x - dmin) / (dmax - dmin) * 256.0).cast("int"),
+            )
+        )
+        err = F.abs(x - (dmin + ((code.cast("double") + 0.5) * (dmax - dmin) / 256.0)))
+        return F.struct(code.alias("code"), err.alias("err"))
+
+    coded = withstats.select(
+        "vec_id",
+        F.transform("embedding", _per_dim).alias("ce"),
+    )
+    return coded.select(
+        "vec_id",
+        F.array_max(F.transform("ce", lambda s: s["err"])).alias("max_abs_err"),
+        F.aggregate(
+            "ce",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.when((s["code"] == 0) | (s["code"] == 255), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        ).alias("n_saturated"),
+    )

@@ -465,3 +465,69 @@ def trailing_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (frame_sum / F.count("*").over(w)).alias("trailing_avg"),
         F.count("*").over(w).alias("n_trailing"),
     )
+
+
+_NBR_EPS = 0.05  # true pair predicate: |Δprice| <= eps
+_NBR_BIN = 0.1  # candidate bin width (> eps so ±1 bins cover all pairs)
+
+
+@query(
+    "price_neighbor_pairs_binned",
+    oracle=f"""
+    SELECT CAST(FLOOR(a.p_retailprice / 10.0) AS INT) AS price_decade,
+           COUNT(*) AS n_pairs,
+           MIN(ABS(a.p_retailprice - b.p_retailprice)) AS min_gap,
+           MAX(ABS(a.p_retailprice - b.p_retailprice)) AS max_gap
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND ABS(a.p_retailprice - b.p_retailprice) <= {_NBR_EPS}
+    GROUP BY 1
+    """,
+    covers=["J-extended"],
+)
+def price_neighbor_pairs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range self-join (|Δprice| ≤ ε) executed as a BINNED
+    equi-join — the scale rewrite for range predicates with NO equality
+    key, where Catalyst's only native plan is BroadcastNestedLoop
+    (O(n·m) comparisons and a broadcast that can't fit at lake scale).
+
+    The bin trick: bucket values into width-w bins (w > ε); the left
+    side keeps its own bin, the right side explodes into {{b-1, b, b+1}}.
+    Any pair within ε is then guaranteed to share a candidate bin (and
+    shares exactly ONE, since the un-exploded side has a single bin), so
+    a hash equi-join on the bin key + the exact residual predicate
+    returns precisely the true pairs.  Cost: 3× one side's rows through
+    a hash shuffle — linear, partitionable, AQE-skew-splittable —
+    versus the nested-loop's quadratic probe.  The oracle is the
+    direct quadratic join: values must be identical, only the plan
+    differs.  (Same technique generalizes to interval overlap and
+    proximity joins on time or geohash.)"""
+    prep(spark)
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    a = part.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_retailprice").alias("a_price"),
+        F.floor(F.col("p_retailprice") / _NBR_BIN).alias("bin"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("b_price"),
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / _NBR_BIN) - 1,
+                F.floor(F.col("p_retailprice") / _NBR_BIN),
+                F.floor(F.col("p_retailprice") / _NBR_BIN) + 1,
+            )
+        ).alias("bin"),
+    )
+    gap = F.abs(F.col("a_price") - F.col("b_price"))
+    pairs = a.join(b, "bin").filter(
+        (F.col("a_key") < F.col("b_key")) & (gap <= _NBR_EPS)
+    )
+    return pairs.groupBy(
+        F.floor(F.col("a_price") / 10.0).cast("int").alias("price_decade")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min(gap).alias("min_gap"),
+        F.max(gap).alias("max_gap"),
+    )
