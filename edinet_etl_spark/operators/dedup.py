@@ -266,8 +266,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        # sizes is one row per doc — grows with the corpus, so no
+        # forced broadcast; AQE picks broadcast while it fits
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )

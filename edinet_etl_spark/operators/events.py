@@ -169,7 +169,8 @@ def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_decode",
     oracle="""
     SELECT event_type,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

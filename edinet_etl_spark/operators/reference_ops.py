@@ -129,7 +129,7 @@ def year_offset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cast_failure_skip",
     oracle="""
-    SELECT SUM(v) AS total, COUNT(*) AS n_valid
+    SELECT CAST(SUM(v) AS BIGINT) AS total, COUNT(*) AS n_valid
     FROM (
       SELECT TRY_CAST(
                (CASE WHEN p_size % 2 = 0 THEN split_part(p_brand, '#', 2)

@@ -6,10 +6,13 @@ join J1, semi join J2, anti join J4, counts A3, unions U1/U2) on the
 TPC-H-ish test tables, plus the scan-to-limit "flagship" spine (§7.1).
 
 Scale notes (100 TB):
-- Dimension joins (region/nation/supplier, and customer where it fits)
-  are explicitly ``F.broadcast`` — no shuffle of the fact table for
-  enrichment, mirroring the reference's in-memory lookup at
-  ``src/transform.py:169`` but distributed.
+- Fixed-size dimension joins (region/nation/supplier) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for enrichment,
+  mirroring the reference's in-memory lookup at ``src/transform.py:169``
+  but distributed.  Tables that GROW with scale (customer, part) are
+  never hinted: AQE broadcasts them at small SF and falls back to a
+  shuffle join when runtime size exceeds the threshold — a forced hint
+  would override that exactly when it matters.
 - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
   handles skew.  Filters are applied before joins so Catalyst pushes
   them into the parquet scan (verified in tests/test_plans.py).
@@ -101,7 +104,12 @@ def revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY §7.1): the reference's final analytics shape —
     "revenue per company-year" (``src/transform.py:204-211``) transposed
     to revenue per nation-year.  Fact table shuffles once on o_orderkey;
-    customer/nation/region enrich via broadcast hash joins.
+    nation/region are true fixed-size dimensions and carry explicit
+    broadcast hints.  customer is NOT hinted: it grows with scale
+    (15 M rows at sf100 — far past any broadcast threshold at 100 TB),
+    so the orders⋈customer strategy is left to Catalyst/AQE, which
+    still picks broadcast at small SF and switches to shuffle-hash/
+    sort-merge when the dimension outgrows the threshold.
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -111,7 +119,7 @@ def revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
@@ -148,6 +156,11 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT follows a total ORDER BY (revenue is exact-decimal so the sort
     key is deterministic; l_orderkey breaks ties) — the L1 arrival-order
     discipline from SURVEY §2.6 applied Spark-side.
+
+    No forced broadcast: the BUILDING-segment slice of customer is
+    still 1/5 of a table that grows with SF (3 M rows at sf100), so
+    the join strategy is AQE's call — broadcast at small SF, shuffle
+    join once the filtered dimension outgrows the threshold.
     """
     prep(spark)
     cutoff = F.lit("1998-03-15").cast("timestamp")
@@ -156,7 +169,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -644,6 +644,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
         )
+        # materialized once: cells feeds the self-join twice plus the
+        # final membership join, and Spark has no common-subplan reuse —
+        # without this the broadcast crossJoin + window argmin (the
+        # most expensive stage) would run three times
+        .localCheckpoint(eager=True)
     )
     a = cells.alias("a")
     b = cells.alias("b")
@@ -684,12 +689,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flat f JOIN stats s ON f.dim_idx = s.dim_idx
     ), recon AS (
       SELECT vec_id, code,
-             ABS(x - (dmin + ((CAST(code AS DOUBLE) + 0.5) * (dmax - dmin) / 256.0))) AS err
+             ABS(x - (dmin + ((CAST(code AS DOUBLE) + 0.5) * (dmax - dmin) / 256.0))) AS err,
+             (dmax <> dmin AND (code = 0 OR code = 255)) AS sat
       FROM coded
     )
     SELECT vec_id,
            MAX(err) AS max_abs_err,
-           CAST(SUM(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT)
              AS n_saturated
     FROM recon
     GROUP BY vec_id
@@ -711,7 +717,9 @@ def embedding_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is NO n×dims shuffle and no join of the fact table; max/count
     per vector are array folds, order-independent and bit-exact (the
     oracle computes the same values through a flat join shape).
-    Degenerate dims (min=max) code to 0 with zero error."""
+    Degenerate dims (min=max) code to 0 with zero error and are
+    EXCLUDED from n_saturated — a constant dimension isn't an
+    out-of-range clip, and counting it would inflate the metric."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
     flat = emb.select("vec_id", F.posexplode("embedding").alias("dim_idx", "xf")).select(
@@ -744,7 +752,8 @@ def embedding_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         err = F.abs(x - (dmin + ((code.cast("double") + 0.5) * (dmax - dmin) / 256.0)))
-        return F.struct(code.alias("code"), err.alias("err"))
+        sat = (dmax != dmin) & ((code == 0) | (code == 255))
+        return F.struct(code.alias("code"), err.alias("err"), sat.alias("sat"))
 
     coded = withstats.select(
         "vec_id",
@@ -757,6 +766,6 @@ def embedding_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ce",
             F.lit(0).cast("bigint"),
             lambda acc, s: acc
-            + F.when((s["code"] == 0) | (s["code"] == 255), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            + F.when(s["sat"], F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
         ).alias("n_saturated"),
     )

@@ -80,7 +80,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg-side join input arrives already broadcast-joined, so the only
     # shuffle left is the small keyed aggregate.  (1.5s → ~0.4s at
     # sf0.1.)
-    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # (no forced broadcast: the brand slice still grows with SF — AQE
+    # broadcasts it while it fits and shuffle-joins beyond that)
+    li_brand = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = li_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (_exact_sum_double(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty")
     )
@@ -205,7 +207,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             F.lit(100.0)
             * _exact_sum_double(promo)
@@ -434,7 +436,7 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
             minp,
             (li.l_partkey == minp.m_partkey)

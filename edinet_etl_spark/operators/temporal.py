@@ -469,6 +469,10 @@ def trailing_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NBR_EPS = 0.05  # true pair predicate: |Δprice| <= eps
 _NBR_BIN = 0.1  # candidate bin width (> eps so ±1 bins cover all pairs)
+# Coverage invariant of the ±1-bin candidate explode: two values within
+# eps can sit at most one bin apart ONLY while bin width exceeds eps.
+# Tuning eps above the bin width would silently drop true pairs.
+assert _NBR_BIN > _NBR_EPS, "±1-bin coverage requires _NBR_BIN > _NBR_EPS"
 
 
 @query(

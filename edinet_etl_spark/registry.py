@@ -64,16 +64,93 @@ def load_all() -> None:
     from edinet_etl_spark.streaming import jobs  # noqa: F401
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The driver's correctness sweep checks a ~50-query *prefix* of
+# registration order (CORRECTNESS_r01 stopped at 50).  This explicit
+# order front-loads one representative per SURVEY §2 row and per
+# north-star family — flagship first, then relational/reference_ops
+# (the §2.1–§2.10 surface), sql/subquery/udf/multimodal/llmdata-tail/
+# temporal/text/similarity/streaming representatives — so a bounded
+# sweep still yields a hard correctness signal for every family.
+# Modules fully driver-proven in round 1 (analytics, dedup, events,
+# llmdata head) sort last; within unlisted queries, family order below
+# then registration order.  Names here that stop existing raise at
+# lookup time (guarded in _ordered_names).
+_PRIORITY: tuple[str, ...] = (
+    # flagship + relational §2 surface
+    "revenue_by_nation_year", "pricing_summary", "top_unshipped_orders",
+    "order_priority_check", "local_supplier_volume", "forecast_revenue_change",
+    "filtered_customer_projection", "part_membership_filters",
+    "customers_without_orders", "suppliers_with_shipments",
+    "region_nation_cross", "order_union_all", "table_counts",
+    "nullsafe_segment_match", "nation_balance_full_join",
+    # reference_ops: A1/A2, F1–F15, P7–P13, L, U
+    "best_order_per_customer", "largest_lineitem_per_order",
+    "year_offset_decode", "cast_failure_skip", "string_functions",
+    "date_functions", "date_range_generation", "deterministic_top_orders",
+    "distinct_nation_segments", "segment_intersect",
+    "fulfilled_only_customers_except", "dynamic_value_filter",
+    "flag_dispatch", "returnflag_multiset_ops",
+    # F14 (round-1 red, oracle type fixed)
+    "props_json_decode",
+    # SQL API + correlated-subquery representative (Q21)
+    "sql_top_nation_per_region", "sql_lateral_top2_orders",
+    "suppliers_kept_waiting",
+    # UDF surface (Pandas UDF + UDTF)
+    "pandas_udf_clipped_balances", "udtf_char_ngrams",
+    # multimodal (X1/X2 plumbing)
+    "multimodal_decode", "multimodal_frame_sample",
+    # llmdata tail added after round 1's sweep
+    "source_mix_report", "token_budget_pack",
+    "token_budget_pack_partitioned", "doc_chunk_windows",
+    # temporal: as-of join + binned range join
+    "asof_latest_order_per_event", "price_neighbor_pairs_binned",
+    # text
+    "text_stats", "tfidf_top_terms",
+    # similarity: brute-force baseline + LSH ANN scale path
+    "cosine_topk_bruteforce", "lsh_bucket_ann",
+    # streaming: windowed agg, custom stateful, stream-stream join
+    "streaming_tumbling_hourly", "streaming_user_totals",
+    "streaming_purchase_attribution",
+)
+
+# Tail order for queries not in _PRIORITY: still-unproven families
+# first, round-1-green modules last.
+_MODULE_ORDER: tuple[str, ...] = (
+    "temporal", "text", "similarity", "subqueries", "tpch_rest",
+    "udf_surface", "jobs", "multimodal", "sql_api", "relational",
+    "reference_ops", "llmdata", "events", "dedup", "analytics",
+)
+
+
+def _ordered_names() -> list[str]:
     load_all()
-    return dict(QUERIES)
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    head = list(_PRIORITY)
+    in_head = set(head)
+    mod_rank = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    rest = [n for n in QUERIES if n not in in_head]
+    reg_rank = {n: i for i, n in enumerate(QUERIES)}
+    rest.sort(
+        key=lambda n: (
+            mod_rank.get(QUERIES[n].__module__.rsplit(".", 1)[-1], len(mod_rank)),
+            reg_rank[n],
+        )
+    )
+    return head + rest
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    load_all()
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
 
 
 def coverage() -> dict[str, Any]:
     load_all()
-    return {n: {"oracle": n in ORACLES, "covers": COVERS[n]} for n in QUERIES}
+    return {
+        n: {"oracle": n in ORACLES, "covers": COVERS[n]} for n in _ordered_names()
+    }

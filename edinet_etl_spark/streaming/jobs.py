@@ -38,19 +38,23 @@ from edinet_etl_spark.numeric import dsum, sql_dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 
-# Raw stream schema: ts arrives as int64 nanos (the feed's parquet
-# physical type, see tables._load_events) and is normalized to a
-# microsecond timestamp before any event-time operator.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_schema(ts_is_nanos: bool) -> T.StructType:
+    """Stream-source schema matching the feed's physical encoding: a
+    TIMESTAMP(NANOS) file surfaces ``ts`` as int64 under the legacy
+    conf (then normalized ns → µs), a TIMESTAMP(MICROS) file reads as
+    a plain timestamp.  The encoding is probed from the parquet footer
+    by ``tables.events_ts_is_nanos`` — one rule shared with the batch
+    loader, so batch and stream always see identical instants."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _feed_dir(sf_dir: str) -> str:
@@ -73,21 +77,21 @@ def _feed_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet; same columns and
     instants as the batch loader."""
+    from edinet_etl_spark.tables import events_ts_is_nanos
+
     prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = events_ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    else:
+        ts = F.col("ts")
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(_feed_dir(sf_dir))
     )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 
 def run_available_now(
@@ -411,7 +415,11 @@ def streaming_nation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = cust.join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("nation"))
-    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    # dim is customer-sized — grows with scale, so no forced broadcast;
+    # the planner broadcasts while it fits and shuffle-joins beyond.
+    # At true 100 TB the dim side would be pre-bucketed on c_custkey so
+    # the per-micro-batch join co-locates without a stream-side shuffle.
+    enriched = ev.join(dim, ev.user_id == dim.c_custkey)
     agg = (
         enriched.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "nation")

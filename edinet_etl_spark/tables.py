@@ -128,22 +128,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events feed is written with parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright.  Read nanos as raw
-    longs (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide
-    to microseconds — the same truncation DuckDB applies when it
-    narrows ns → µs, so both engines see identical instants.
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS)
+    (or raw int64 nanos) — the one encoding Spark's vectorized reader
+    can't ingest natively.  Probed from the parquet footer so batch
+    (`_load_events`) and streaming (`streaming.jobs.read_events_stream`)
+    apply the *same* rule to the *same* file; the two paths previously
+    duplicated the rule and drifted when the fixture switched ns → µs.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # adapt to the file's physical type: TIMESTAMP(NANOS) surfaces as
-    # long under the legacy conf and needs ns→µs truncation; an events
-    # file written with a regular TIMESTAMP (micros) — e.g. a re-export
-    # of this table — passes through unchanged
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An events feed written with parquet TIMESTAMP(NANOS) is rejected
+    outright by Spark's vectorized reader.  When the footer says nanos,
+    read them as raw longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and floor-divide to microseconds — the same truncation DuckDB
+    applies when it narrows ns → µs, so both engines see identical
+    instants.  A regular TIMESTAMP(MICROS) file passes through.
+    """
+    if events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
     else:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts = F.col("ts")
     return df.select("event_id", ts, "user_id", "event_type", "value", "props")
 

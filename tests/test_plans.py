@@ -38,8 +38,10 @@ EXPECTATIONS = [
     # TPC-H Q1 shape: scan → parallel_scan RR exchange (unsplittable
     # input) → partial agg → ONE shuffle → final agg → sort
     ("pricing_summary", 3, ["HashAggregate"], ["PythonUDF", "CartesianProduct"]),
-    # 5-way star join: every dim broadcast, one agg shuffle + sort
-    ("revenue_by_nation_year", 3, ["BroadcastHashJoin"], ["SortMergeJoin", "PythonUDF"]),
+    # 5-way star join: fixed dims (nation/region) hinted broadcast;
+    # customer is NOT hinted (grows with SF) but small enough at sf0.01
+    # that the static planner still picks broadcast for it
+    ("revenue_by_nation_year", 3, ["BroadcastHashJoin"], ["PythonUDF"]),
     # window dedup: exactly one hash partitioning for the window
     ("best_order_per_customer", 1, ["Window"], ["PythonUDF"]),
     # semi/anti joins stay joins, not collected sets
@@ -53,6 +55,13 @@ EXPECTATIONS = [
     ("text_stats", 0, [], ["PythonUDF", "Exchange"]),
     # band join: tiny side broadcast nested loop, fact side unshuffled
     ("part_price_band_join", 2, ["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # binned ±1 neighbor join: whole POINT is the equi-join on bin —
+    # a planner regression to a nested-loop/cartesian probe would be
+    # quadratic while still passing the oracle
+    # (any hash/merge equi-join is fine; only the quadratic probes are
+    # banned, so no "contains" pin on a specific equi-join flavor)
+    ("price_neighbor_pairs_binned", 4, [],
+     ["BroadcastNestedLoopJoin", "CartesianProduct", "PythonUDF"]),
     # as-of: union + ONE window shuffle, no range join blowup
     ("asof_latest_order_per_event", 1, ["Window", "Union"], ["CartesianProduct", "PythonUDF"]),
     # decontamination: benchmark side broadcasts; corpus never shuffles
