@@ -15,10 +15,16 @@ strings is the same ordering as MIN over the numeric hash value.
 
 Scale notes (the whole point of MinHash/SimHash): candidate generation
 is a self-join on (band_id, band_hash) — a hash-partitioned equi-join
-whose fan-out is bounded by bucket size, not O(n²).  At 100 TB you'd
-salt giant buckets (a bucket with B docs yields B² pairs; cap B, or
-shard the band hash) — noted in bench notes; at test SF buckets are
-small.
+whose fan-out is bounded by bucket size, not O(n²).  Pathological
+buckets (boilerplate content hashing to one band value — B docs yield
+B²/2 pairs) are SALTED: each bucket is split into ⌈B/_MAX_BUCKET⌉
+deterministic sub-buckets of ≤ _MAX_BUCKET docs and pairs expand only
+within a sub-bucket, so per-bucket pair work is B·_MAX_BUCKET/2 —
+LINEAR in bucket size with a constant cap, never quadratic.  No doc is
+dropped; cross-sub-bucket pairs are the (documented) recall cost, paid
+only by buckets the theory already marks as low-precision.  The
+`lsh_band_bucket_stats` query is the observability side: per band,
+how many buckets exceeded the cap and how many docs sat in them.
 """
 
 from __future__ import annotations
@@ -32,6 +38,12 @@ from edinet_etl_spark.tables import load
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band r = N_HASHES / N_BANDS = 2
+# Giant-bucket salt threshold: band buckets larger than this are split
+# into deterministic ≤-cap sub-buckets (rank by doc_id, floor-divide).
+# 64 keeps every sf0.01 bucket intact (max observed: 32) while bounding
+# the pair fan-out of the sf0.1 tail (max observed: 319) and of any
+# boilerplate-dominated bucket at lake scale.
+_MAX_BUCKET = 64
 
 
 def _shingles(docs: DataFrame, k: int = 5) -> DataFrame:
@@ -92,6 +104,30 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+def salted_buckets(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
+    """Group band rows into candidate buckets, splitting any bucket
+    larger than ``cap`` into deterministic sub-buckets (rank docs by
+    doc_id within the bucket, floor-divide the rank) →
+    (band_id, band_hash, salt, ids[≤cap]).
+
+    The window partitions on (band_id, band_hash) and the groupBy keys
+    are a superset of that, so Catalyst plans ONE exchange for both —
+    salting adds a within-partition sort, never a second shuffle.  The
+    downstream pair explode is bounded by cap²/2 per sub-bucket, i.e.
+    linear in bucket size overall; without it a single boilerplate
+    bucket of B docs costs B²/2 pairs (measured 14.6× superlinear on
+    the 10× replicated-corpus probe)."""
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    return (
+        bands.withColumn(
+            "salt", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap))
+        )
+        .groupBy("band_id", "band_hash", "salt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 # --- oracle SQL building blocks (same pipeline in ANSI SQL) ---
 
 _SQL_SHINGLES = """
@@ -114,6 +150,24 @@ _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM mins"
     for b in range(N_BANDS)
 )
+# Salted band rows: same sub-bucket split as `salted_buckets`, in SQL.
+_SQL_SALTED = f"""
+  SELECT doc_id, band_id, band_hash,
+         CAST(FLOOR((ROW_NUMBER() OVER (
+            PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
+            / {_MAX_BUCKET}.0) AS BIGINT) AS salt
+  FROM bands
+"""
+# Candidate pairs from salted band rows (shared by the minhash query
+# and both neardup consumers' oracles).
+_SQL_PAIRS = """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM salted a
+  JOIN salted b ON a.band_id = b.band_id
+               AND a.band_hash = b.band_hash
+               AND a.salt = b.salt
+               AND a.doc_id < b.doc_id
+"""
 
 
 @query(
@@ -169,38 +223,78 @@ def bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
          mins AS ({_SQL_MINS}),
-         bands AS ({_SQL_BANDS})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id
-                AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED})
+    {_SQL_PAIRS}
     """,
     covers=["M6-dedup", "J-extended"],
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs (shingle → 8 minhashes →
-    4 bands of 2 → band-bucket self-join).  The banding join is the
-    scale path: O(n) bucket build instead of O(n²) pair scan."""
+    4 bands of 2 → salted band-bucket self-join).  The banding join is
+    the scale path: O(n) bucket build instead of O(n²) pair scan, and
+    `salted_buckets` caps per-bucket pair fan-out at _MAX_BUCKET²/2 so
+    a pathological bucket costs linear, not quadratic, work."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     bands = lsh_bands(minhash_signatures(docs))
     # Bucket-group instead of self-join: a self-join would execute the
     # whole shingle→minhash pipeline once PER SIDE (no common-subplan
     # reuse in Spark) plus a join shuffle.  Grouping computes signatures
-    # once; pairs expand inside each bucket (bounded fan-out — the LSH
-    # guarantee), then one distinct across bands.  Measured 7.3s → ~2s
-    # at sf0.1.
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # once; pairs expand inside each (salted) bucket, then one distinct
+    # across bands.  Measured 7.3s → ~2s at sf0.1.
     return (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        salted_buckets(bands)
+        .select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
+    )
+
+
+@query(
+    "lsh_band_bucket_stats",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         sizes AS (
+           SELECT band_id, band_hash, COUNT(*) AS n
+           FROM bands GROUP BY band_id, band_hash
+         )
+    SELECT band_id,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > {_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversize_buckets,
+           CAST(SUM(CASE WHEN n > {_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)
+             AS n_docs_in_oversize
+    FROM sizes
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+    covers=["M6-dedup", "A-extended"],
+)
+def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the giant-bucket salt: per band, bucket count,
+    the largest bucket, and how many buckets/docs exceed _MAX_BUCKET —
+    the 'logged drop count' a production dedup run reports so salting
+    is a measured trade, not a silent one.  Pure aggregate over the
+    band table: one (band,hash) shuffle + one tiny per-band rollup."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs))
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    over = F.col("n") > _MAX_BUCKET
+    return (
+        sizes.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_oversize_buckets"),
+            F.sum(F.when(over, F.col("n")).otherwise(0)).cast("bigint").alias("n_docs_in_oversize"),
+        )
+        .orderBy("band_id")
     )
 
 
@@ -337,13 +431,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
          mins AS ({_SQL_MINS}),
          bands AS ({_SQL_BANDS}),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a
-           JOIN bands b ON a.band_id = b.band_id
-                       AND a.band_hash = b.band_hash
-                       AND a.doc_id < b.doc_id
-         ),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
          edges AS (
            SELECT doc_a AS u, doc_b AS v FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -445,13 +534,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
          mins AS ({_SQL_MINS}),
          bands AS ({_SQL_BANDS}),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a
-           JOIN bands b ON a.band_id = b.band_id
-                       AND a.band_hash = b.band_hash
-                       AND a.doc_id < b.doc_id
-         ),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
          edges AS (
            SELECT doc_a AS u, doc_b AS v FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -513,7 +597,14 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DELTA_START = 400  # doc_id >= this = "tonight's batch" (100 of 500 at sf0.01)
+# "Tonight's batch" = the top 20% of the doc_id space — scale-relative
+# so the batch/corpus ratio is the same at every SF (at sf0.01:
+# doc_ids 400..499, i.e. 100 of 500).  The threshold is
+# floor(0.8 * (max(doc_id) + 1)), computed from the data.
+_DELTA_FRACTION = 0.8
+_SQL_DELTA_START = (
+    "(SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) FROM documents)"
+)
 
 
 @query(
@@ -521,47 +612,89 @@ _DELTA_START = 400  # doc_id >= this = "tonight's batch" (100 of 500 at sf0.01)
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
          mins AS ({_SQL_MINS}),
-         bands AS ({_SQL_BANDS})
-    SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS dup_of_doc_id
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id
-                AND a.band_hash = b.band_hash
-                AND b.doc_id >= {_DELTA_START}
-                AND a.doc_id < b.doc_id
+         bands AS ({_SQL_BANDS}),
+         old_kept AS (
+           SELECT doc_id, band_id, band_hash FROM (
+             SELECT doc_id, band_id, band_hash,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk
+             FROM bands WHERE doc_id < {_SQL_DELTA_START}
+           ) WHERE rk <= {_MAX_BUCKET}
+         ),
+         new_salted AS (
+           SELECT doc_id, band_id, band_hash,
+                  CAST(FLOOR((ROW_NUMBER() OVER (
+                     PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
+                     / {_MAX_BUCKET}.0) AS BIGINT) AS salt
+           FROM bands WHERE doc_id >= {_SQL_DELTA_START}
+         )
+    SELECT DISTINCT new_doc_id, dup_of_doc_id FROM (
+      SELECT n.doc_id AS new_doc_id, o.doc_id AS dup_of_doc_id
+      FROM new_salted n
+      JOIN old_kept o ON o.band_id = n.band_id AND o.band_hash = n.band_hash
+      UNION ALL
+      SELECT b.doc_id AS new_doc_id, a.doc_id AS dup_of_doc_id
+      FROM new_salted a
+      JOIN new_salted b ON a.band_id = b.band_id
+                       AND a.band_hash = b.band_hash
+                       AND a.salt = b.salt
+                       AND a.doc_id < b.doc_id
+    )
     """,
     covers=["M6-dedup", "J-extended", "X-incremental"],
 )
 def delta_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: candidate pairs for a NEW batch of
-    documents against everything before it (batch = doc_id ≥ 400 here;
-    in production, tonight's crawl vs. the corpus).  The asymmetric
-    band join is the whole point: corpus×corpus pairs are never
-    generated — cost is O(batch × bucket), not O(corpus²), which is
+    documents against everything before it (batch = the top 20% of the
+    doc_id space; in production, tonight's crawl vs. the corpus).  The
+    asymmetric band join is the whole point: corpus×corpus pairs are
+    never generated — cost is O(batch × cap), not O(corpus²), which is
     what makes nightly dedup of a 100 TB corpus feasible.  At real
-    scale the corpus side's band table is PRECOMPUTED and stored
-    (signatures are append-only derived data); only the batch's
+    scale the corpus side's capped band table is PRECOMPUTED and
+    stored (signatures are append-only derived data); only the batch's
     signatures are fresh work, and the join is a broadcast of the
     (tiny) batch bands against the bucketed corpus bands.
 
-    Earlier-doc pairs (a < b) mirror `minhash_lsh_candidates`' pair
-    orientation: the new doc is the duplicate, the older doc the
-    canonical it collides with.  Like `minhash_lsh_candidates`, the
-    expansion is bucket-group (NOT a two-sided band join, which would
-    run the shingle→minhash pipeline once per side); the batch filter
-    lands on the exploded new-doc lane so old×old pairs are pruned
-    before the distinct."""
+    Pair orientation mirrors `minhash_lsh_candidates`: the new doc is
+    the duplicate, the older doc the canonical it collides with
+    (old < new always; batch-internal pairs keep a < b).
+
+    Giant-bucket guard, asymmetric form: the CORPUS side of each
+    bucket is capped at _MAX_BUCKET representatives (lowest doc_ids —
+    the canonical-leaning choice), so a boilerplate bucket costs each
+    new doc ≤ _MAX_BUCKET comparisons instead of the whole bucket —
+    new docs are never dropped.  Batch-INTERNAL pairs go through the
+    same salted sub-bucket split as `salted_buckets`, so a
+    self-similar batch (replicated crawl) costs linear, not quadratic,
+    work.  Measured on the 10× replicated-corpus probe: 13.2× → ~2×."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(docs))
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # Scalar batch threshold: one statistics-only aggregate (parquet
+    # footer max), driver-side like the neardup loop controls.
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    start = int(_DELTA_FRACTION * (max_id + 1))
+    bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(eager=True)
+    bucket_w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    old_kept = (
+        bands.filter(F.col("doc_id") < start)
+        .withColumn("rk", F.row_number().over(bucket_w))
+        .filter(F.col("rk") <= _MAX_BUCKET)
+        .select(
+            F.col("doc_id").alias("dup_of_doc_id"), "band_id", "band_hash"
+        )
     )
-    return (
-        buckets.select(F.explode("ids").alias("new_doc_id"), "ids")
-        .filter(F.col("new_doc_id") >= _DELTA_START)
+    new_bands = bands.filter(F.col("doc_id") >= start)
+    # batch × corpus-representatives: plain equi-join on the bucket key
+    # (THE production topology: fresh batch bands probe the stored,
+    # per-bucket-capped corpus band table)
+    vs_corpus = new_bands.join(old_kept, ["band_id", "band_hash"]).select(
+        F.col("doc_id").alias("new_doc_id"), "dup_of_doc_id"
+    )
+    # batch × batch: salted sub-buckets, pairs within a sub-bucket only
+    within_batch = (
+        salted_buckets(new_bands)
+        .select(F.explode("ids").alias("new_doc_id"), "ids")
         .select("new_doc_id", F.explode("ids").alias("dup_of_doc_id"))
         .filter(F.col("dup_of_doc_id") < F.col("new_doc_id"))
-        .distinct()
     )
+    return vs_corpus.unionByName(within_batch).distinct()
