@@ -33,8 +33,17 @@ FEATURE_DIM = 8
 
 _DECODE_SCHEMA = (
     "doc_id long, mime string, width int, height int, n_bytes long, "
-    f"feature array<float>"
+    "feature array<float>, feature_md5 string"
 )
+
+
+def _byte_counts(payload: bytes) -> list[int]:
+    """Histogram of byte values mod FEATURE_DIM — the integer core of
+    the stub feature (exact, engine-portable; see feature_md5)."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    return counts
 
 
 def decode_image_stub(payload: bytes) -> list[float]:
@@ -53,9 +62,7 @@ def decode_image_stub(payload: bytes) -> list[float]:
         )
     except ImportError:
         # Deterministic fake: normalized counts of byte values mod FEATURE_DIM.
-        counts = [0] * FEATURE_DIM
-        for b in payload:
-            counts[b % FEATURE_DIM] += 1
+        counts = _byte_counts(payload)
         total = max(1, len(payload))
         return [c / total for c in counts]
 
@@ -65,9 +72,20 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     Per-batch vectorized work; only the per-payload decode is a Python
     loop (it wraps a C library in the real path).
+
+    feature_md5 fingerprints the INTEGER count vector the feature is
+    normalized from — exact in any engine, so the oracle can verify
+    the Python feature path content byte-for-byte without comparing
+    float renderings.
     """
+    import hashlib
+
     for pdf in batches:
         feats = [decode_image_stub(p) for p in pdf["payload"]]
+        fps = [
+            hashlib.md5(",".join(map(str, _byte_counts(p))).encode()).hexdigest()
+            for p in pdf["payload"]
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -76,6 +94,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "height": pdf["height"],
                 "n_bytes": [len(p) for p in pdf["payload"]],
                 "feature": feats,
+                "feature_md5": fps,
             }
         )
 
@@ -116,18 +135,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "mime", "width", "height", "n_bytes")
 
 
+_FEATURE_MD5_SQL = "md5(" + " || ',' || ".join(
+    f"CAST(SUM(CASE WHEN ascii(ch) % {FEATURE_DIM} = {j} THEN 1 ELSE 0 END) AS BIGINT)"
+    for j in range(FEATURE_DIM)
+) + ")"
+
+
 @query(
     "multimodal_features",
-    oracle=None,  # float features from the stubbed decode: rows-only check
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), fps AS (
+      SELECT doc_id, {_FEATURE_MD5_SQL} AS feature_md5
+      FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars AS n_bytes, fps.feature_md5
+    FROM documents d JOIN fps ON d.doc_id = fps.doc_id
+    """,
     covers=["M6-multimodal"],
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full feature output including the array<float> column (rows-only
-    check: the stub feature is engine-internal by design)."""
+    """Feature-extraction leg of the multimodal pipeline, verified END
+    TO END: the Python kernel fingerprints the integer count vector
+    its float feature is normalized from, and the oracle recomputes
+    the same histogram character-wise in SQL (payloads are the ascii
+    text bytes, so byte % 8 == ascii(char) % 8).  This closes the loop
+    the frame-sample query proved for fan-out — here for per-doc
+    feature CONTENT — so the stubbed decode's plumbing is checked
+    byte-for-byte, not rows-only.  The float normalization itself
+    (count / n_bytes) is covered by unit tests; the array<float>
+    column rides the same kernel (multimodal_decode schema)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     media = with_media_columns(docs)
-    return media.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+    decoded = media.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+    return decoded.select("doc_id", "n_bytes", "feature_md5")
 
 
 _FRAME_SIZE = 256

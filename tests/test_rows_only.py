@@ -37,10 +37,21 @@ def test_approx_distinct_within_error_bound(spark):
 
 def test_multimodal_features_deterministic_and_normalized(spark):
     """The stub feature is a normalized byte histogram: deterministic
-    across runs, FEATURE_DIM wide, summing to ~1."""
-    q = registry.QUERIES["multimodal_features"]
-    a = {r["doc_id"]: list(r["feature"]) for r in q(spark, SF_DIR).collect()}
-    b = {r["doc_id"]: list(r["feature"]) for r in q(spark, SF_DIR).collect()}
+    across runs, FEATURE_DIM wide, summing to ~1.  (The registered
+    query now projects the md5 fingerprint for its oracle; the float
+    array rides the same kernel and is checked here.)"""
+    from edinet_etl_spark.operators.multimodal import (
+        _DECODE_SCHEMA,
+        _decode_batches,
+        with_media_columns,
+    )
+
+    def decoded():
+        media = with_media_columns(load(spark, SF_DIR, "documents"))
+        df = media.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+        return {r["doc_id"]: list(r["feature"]) for r in df.collect()}
+
+    a, b = decoded(), decoded()
     assert a == b  # bit-deterministic across runs
     for doc_id, feat in list(a.items())[:50]:
         assert len(feat) == FEATURE_DIM
