@@ -130,10 +130,14 @@ def salted_buckets(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
 
 # --- oracle SQL building blocks (same pipeline in ANSI SQL) ---
 
-_SQL_SHINGLES = """
+def _sql_shingles_from(src: str) -> str:
+    return f"""
   SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
-  FROM (SELECT doc_id, text, unnest(generate_series(1, n_chars - 4)) AS i FROM documents)
+  FROM (SELECT doc_id, text, unnest(generate_series(1, n_chars - 4)) AS i FROM {src})
 """
+
+
+_SQL_SHINGLES = _sql_shingles_from("documents")
 _SQL_MINS = (
     "SELECT doc_id, "
     + ", ".join(
@@ -243,6 +247,59 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse in Spark) plus a join shuffle.  Grouping computes signatures
     # once; pairs expand inside each (salted) bucket, then one distinct
     # across bands.  Measured 7.3s → ~2s at sf0.1.
+    return (
+        salted_buckets(bands)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "canonical_minhash_candidates",
+    oracle=f"""
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sh AS ({_sql_shingles_from("canon")}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED})
+    {_SQL_PAIRS}
+    """,
+    covers=["M6-dedup", "A1", "J-extended"],
+)
+def canonical_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup pipeline: EXACT dedup first
+    (collapse byte-identical copies to their lowest-id keeper), THEN
+    MinHash/LSH over the canonical docs only.  This is the pipeline
+    order SCALE.md prescribes for replicated corpora — exact copies
+    are the #1 cause of giant LSH buckets, and collapsing them before
+    shingling removes that load at the cheapest possible stage (a
+    16-byte-key groupBy vs. a ~n_chars-per-doc hash pipeline).
+
+    On the 10× replicated-corpus probe this composition is the
+    difference between the LSH stage processing 10× the docs and
+    processing exactly the original corpus: the exact-collapse absorbs
+    the replication, so end-to-end cost is ~flat while plain
+    `minhash_lsh_candidates` (even salted) still hashes every copy.
+
+    Output pairs are over canonical doc_ids (the dedup ledger for
+    near-dup decisions once exact copies are already folded)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    bands = lsh_bands(minhash_signatures(canon))
     return (
         salted_buckets(bands)
         .select(F.explode("ids").alias("doc_a"), "ids")

@@ -91,6 +91,33 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, shingle) for every 8-word shingle — the
+    decontamination/overlap unit (GPT-3/Pile convention).  Built from
+    sequence+slice: pure codegen, no UDF; docs under 8 tokens yield no
+    rows (both engines agree — DuckDB's generate_series is empty)."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 8,
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(7)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8)).alias("shingle"),
+        )
+    )
+
+
 @query(
     "benchmark_contamination",
     oracle="""
@@ -114,26 +141,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated doc ids (the pipeline would anti-join them away)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    with_sh = (
-        docs.select("doc_id", "source", toks.alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.when(
-                    F.size("toks") >= 8,
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(7)),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8)).alias("shingle"),
-        )
-    )
+    with_sh = _word_shingles(docs)
     bench = with_sh.filter(F.col("source") == "src0").select("shingle")
     return (
         with_sh.filter(F.col("source") != "src0")
@@ -586,4 +594,78 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(start div {_CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+    sh0 AS (SELECT source, array_to_string(toks[i:i+7], ' ') AS shingle
+            FROM (SELECT source, toks,
+                         unnest(generate_series(1, length(toks)-7)) AS i FROM tok)),
+    sh AS (SELECT DISTINCT source, shingle FROM sh0),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared) AS jaccard
+    FROM pairs
+    JOIN sizes za ON za.source = source_a
+    JOIN sizes zb ON zb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    covers=["LLM-decontaminate", "M6-dedup", "A-extended"],
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct 8-word shingles they share, and the shingle-set
+    Jaccard — the dataset-level diagnostic a curation run consults
+    before mixing sources (a high-overlap pair means one source is
+    scraping the other, and mixture weights double-count it).
+
+    Plan: the shingle table reduces to DISTINCT (source, shingle) —
+    16-byte-ish rows, one shuffle — then a bucket-group on shingle
+    collects the ≤|sources| set per shingle and explodes pairs inside
+    it: fan-out is bounded by the SOURCE COUNT (a label vocabulary,
+    tens), never by corpus size, so there is no shingle-level row
+    self-join anywhere.  The per-source sizes are a K-row aggregate
+    joined back at the end (K² output rows).  At 100 TB the only big
+    shuffle is the distinct — hash-partitioned on shingle, partial
+    aggregation upstream.  Jaccard is int/int in double: exact."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _word_shingles(docs).select("source", "shingle").distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    per = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    pairs = (
+        per.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        pairs.join(za, F.col("source_a") == F.col("sa"))
+        .join(zb, F.col("source_b") == F.col("sb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )
