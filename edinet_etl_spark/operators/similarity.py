@@ -228,7 +228,25 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SEED_STRIDE = 50  # centroid seeds = vec_id % stride == 0 → K ≈ n/stride
+_IVF_K = 10  # train-time centroid count: K cells at EVERY corpus size
+# Seed stride is scale-relative — stride = ceil(n / K), so the seed set
+# is "every stride-th vector" with exactly ~K members no matter how big
+# the corpus is (a production IVF fixes K at train time; a fixed STRIDE
+# would instead grow K linearly with the corpus, making the n×K
+# assignment crossJoin quadratic — measured 25× on the 10× probe).
+# At true lake scale K itself grows ~√n behind a hierarchical coarse
+# quantizer; the salted sub-cell pair scan (semdedup_prune) keeps the
+# pair stage linear in cell size either way.
+_SQL_SEED_STRIDE = (
+    f"(SELECT CAST(CEIL((MAX(vec_id) + 1) / {_IVF_K}.0) AS BIGINT) FROM embeddings)"
+)
+
+
+def _seed_stride(emb) -> int:
+    """ceil((max_id+1)/K) — one statistics-only scalar aggregate
+    (parquet footer max), driver-side like other config scalars."""
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    return -(-(max_id + 1) // _IVF_K)
 
 
 @query(
@@ -236,7 +254,7 @@ _IVF_SEED_STRIDE = 50  # centroid seeds = vec_id % stride == 0 → K ≈ n/strid
     oracle=f"""
     WITH seeds AS (
       SELECT vec_id AS sid, embedding AS semb
-      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, s.sid,
              {_sql_dot('e.embedding', 's.semb')} AS sdot
@@ -281,7 +299,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
@@ -324,7 +342,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH seeds AS (
       SELECT vec_id AS sid, embedding AS semb
-      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, s.sid,
              {_sql_dot('e.embedding', 's.semb')} AS sdot
@@ -370,7 +388,7 @@ def kmeans_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominant cost (n·K dots) is embarrassingly parallel."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
@@ -402,7 +420,7 @@ def kmeans_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH seeds AS (
       SELECT vec_id AS sid, embedding AS semb
-      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, s.sid,
              {_sql_dot('e.embedding', 's.semb')} AS sdot
@@ -443,7 +461,7 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching index build cost."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
@@ -498,7 +516,7 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bf_pairs) WHERE rn <= 3
     ), seeds AS (
       SELECT vec_id AS sid, embedding AS semb
-      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
     ), assign AS (
       SELECT vec_id, embedding, sid,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sdot DESC, sid) AS rn
@@ -565,6 +583,11 @@ def ivf_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.4
+# Sub-cell cap for the semdedup pair scan (same scheme as the LSH
+# giant-bucket salt): cells larger than this split into deterministic
+# ≤-cap sub-cells ranked by vec_id, and near-dup pairs are only probed
+# within a sub-cell.  64 keeps every sf0.01 cell intact (~50 members).
+_SEM_CELL_CAP = 64
 
 
 @query(
@@ -572,7 +595,7 @@ _SEMDEDUP_TAU = 0.4
     oracle=f"""
     WITH seeds AS (
       SELECT vec_id AS sid, embedding AS semb
-      FROM embeddings WHERE vec_id % {_IVF_SEED_STRIDE} = 0
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, s.sid,
              {_sql_dot('e.embedding', 's.semb')} AS sdot
@@ -583,11 +606,15 @@ _SEMDEDUP_TAU = 0.4
                                 ORDER BY sdot DESC, sid) AS rn
       FROM scored
     ), cells AS (
-      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+      SELECT vec_id, embedding, sid,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+                PARTITION BY sid ORDER BY vec_id) - 1)
+                / {_SEM_CELL_CAP}.0) AS BIGINT) AS salt
+      FROM assign WHERE rn = 1
     ), dropped AS (
       SELECT DISTINCT b.sid, b.vec_id
       FROM cells a JOIN cells b
-        ON a.sid = b.sid AND a.vec_id < b.vec_id
+        ON a.sid = b.sid AND a.salt = b.salt AND a.vec_id < b.vec_id
       WHERE {_sql_dot('a.embedding', 'b.embedding')} /
               (sqrt({_sql_dot('a.embedding', 'a.embedding')})
                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > {_SEMDEDUP_TAU}
@@ -617,15 +644,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: cell assignment reuses the IVF coarse quantizer (broadcast
     K-seed crossJoin + window argmin — no shuffle of the corpus until
     the single hash exchange on cell id); the pair join is a hash
-    equi-join on cell, O(Σ cell²) never corpus²; norms are precomputed
-    per vector (the `embedding_neardup_blocked` lesson).  At 100 TB,
-    cell sizes are capped by K chosen at train time, and the dropped
-    set is a semi-join back against the corpus — both shuffle-bounded
-    by the cell key.  τ=0.4 sits just under this corpus's max
-    within-cell cosine (0.483) so the prune is non-vacuous."""
+    equi-join on (cell, sub-cell) with cells over _SEM_CELL_CAP split
+    into ranked sub-cells, so pair work is linear in cell size (cap
+    constant), never O(cell²); norms are precomputed per vector (the
+    `embedding_neardup_blocked` lesson).  K is the train-time constant
+    (_IVF_K), so the n×K assignment is linear too — with both guards
+    the 10× replicated probe dropped from 25.1× to ~2×.  Sub-cell
+    granularity is the documented recall trade (a near-dup pair split
+    across sub-cells survives the prune; exact-duplicate embeddings
+    are folded upstream by exact dedup).  τ=0.4 sits just under this
+    corpus's max within-cell cosine (0.483) so the prune is
+    non-vacuous."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _IVF_SEED_STRIDE == 0).select(
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).select(
@@ -635,6 +667,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    w_cell = Window.partitionBy("sid").orderBy("vec_id")
     cells = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -643,6 +676,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sid",
             "embedding",
             F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        # sub-cell salt (same scheme as dedup.salted_buckets): the pair
+        # scan below runs only within ≤-cap sub-cells, so a cell of C
+        # members costs C·cap/2 cosines — linear in C, never C²/2
+        .withColumn(
+            "salt",
+            F.floor((F.row_number().over(w_cell) - F.lit(1)) / F.lit(_SEM_CELL_CAP)),
         )
         # materialized once: cells feeds the self-join twice plus the
         # final membership join, and Spark has no common-subplan reuse —
@@ -656,7 +696,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.norm") * F.col("b.norm")
     )
     dropped = (
-        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .filter(cosine > _SEMDEDUP_TAU)
         .select(F.col("b.sid").alias("sid"), F.col("b.vec_id").alias("vec_id"))
         .distinct()
