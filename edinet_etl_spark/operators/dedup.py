@@ -380,10 +380,16 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard over blocked candidate pairs (blocking key
-    = source; at scale the block would be the LSH bucket).  The
-    intersection count comes from a token-level equi-join — distributed,
-    never materializing per-pair token sets.  Jaccard is an int/int
-    division in double: deterministic."""
+    = source).  The intersection count comes from a token-level
+    equi-join — distributed, never materializing per-pair token sets.
+    Jaccard is an int/int division in double: deterministic.
+
+    This is the EXACT all-pairs-within-block baseline: within-block
+    pair work is quadratic in block size by construction (10× probe:
+    36.8×).  The scale path is `jaccard_verify_candidates` — the same
+    exact metric computed only for salted-LSH candidate pairs, which
+    is how a production near-dup pipeline stages it (candidates →
+    verify)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     # checkpoint the token set: it feeds the sizes agg AND both sides
@@ -421,6 +427,88 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # forced broadcast; AQE picks broadcast while it fits
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "jaccard_verify_candidates",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN tok a ON a.doc_id = p.doc_a
+           JOIN tok b ON b.doc_id = p.doc_b AND b.tok = a.tok
+           GROUP BY p.doc_a, p.doc_b
+         )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage near-dup pipeline: salted MinHash/LSH
+    candidate generation, then EXACT token-set Jaccard verification of
+    only those pairs — never all pairs within a block.  Verification
+    cost is O(Σ_candidates |tokens|): linear in candidate count with a
+    per-doc constant, which is what makes exact verification feasible
+    at 100 TB (`ngram_jaccard_pairs` is the all-pairs baseline it
+    replaces; LSH recall at the 0.8 threshold with 4 bands × r=2 is
+    1-(1-j²)⁴ ≈ 0.98).
+
+    Plan: candidates come from the salted bucket-group (one band
+    shuffle); the intersection count joins the candidate pairs to the
+    distinct token table twice — both joins hash-partition on doc_id,
+    and the per-pair fan-out is bounded by document token count."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand = (
+        salted_buckets(lsh_bands(minhash_signatures(docs)))
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("ta_id"), F.col("tok").alias("ta_tok"))
+    tb = tok.select(F.col("doc_id").alias("tb_id"), F.col("tok").alias("tb_tok"))
+    inter = (
+        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb_id") == F.col("doc_b")) & (F.col("tb_tok") == F.col("ta_tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("sa_id"), F.col("n_tok").alias("sa_n"))
+    sb = sizes.select(F.col("doc_id").alias("sb_id"), F.col("n_tok").alias("sb_n"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa_n") + F.col("sb_n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa_id") == F.col("doc_a"))
+        .join(sb, F.col("sb_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )

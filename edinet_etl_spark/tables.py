@@ -136,10 +136,21 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     apply the *same* rule to the *same* file; the two paths previously
     duplicated the rule and drifted when the fixture switched ns → µs.
     """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # multi-file layout (real lakes, the 10x probe's output): all
+        # parts share one schema — probe the first data file's footer
+        inner = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ) or sorted(f for f in os.listdir(path) if not f.startswith(("_", ".")))
+        path = os.path.join(path, inner[0])
+    t = pq.read_schema(path).field("ts").type
     return pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns")
 
 
