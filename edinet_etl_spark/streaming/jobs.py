@@ -58,9 +58,12 @@ def _raw_schema(ts_is_nanos: bool) -> T.StructType:
 
 
 def _feed_dir(sf_dir: str) -> str:
-    """Stage the single events.parquet file into a directory the file
-    stream source can monitor (a feed IS a directory files land in;
-    the test fixture is one file).  Symlink, no copy; idempotent."""
+    """Stage the events parquet data into a directory the file stream
+    source can monitor (a feed IS a directory files land in).  The
+    fixture is one file; a multi-file lake layout (e.g. the 10× probe's
+    output directory) symlinks each data file individually, so the
+    stream sees them as successive arrivals under maxFilesPerTrigger —
+    i.e. a real multi-batch feed.  Symlink, no copy; idempotent."""
     import hashlib
     import os
     import tempfile
@@ -68,9 +71,18 @@ def _feed_dir(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"edinet_stream_feed_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.startswith(("_", ".")):
+                continue
+            link = os.path.join(d, f if f.endswith(".parquet") else f + ".parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
@@ -492,3 +504,40 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return run_available_now(
         joined, "stream_purchase_attribution_result", "append"
     )
+
+
+@query(
+    "streaming_cdc_snapshot",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY user_id
+    """,
+    covers=["M5-stream", "X-maintenance"],
+)
+def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC maintenance: the event stream merge-upserts
+    per-user totals into a parquet serving snapshot via ``foreachBatch``
+    (`stream_upsert_to_snapshot`), and the FINAL SNAPSHOT ON DISK must
+    equal the batch group-by — proving the whole loop (micro-batch
+    aggregation → merge → atomic staging swap → checkpointed
+    exactly-once) ends at the same answer as one declarative query.
+
+    Each call starts from an empty checkpoint + snapshot, so the run
+    is deterministic; with a multi-file feed the merge genuinely runs
+    once per micro-batch and the decimal-exact ``dsum`` discipline
+    makes re-merged totals bit-identical to the single-pass sum."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"edinet_cdc_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    snap = os.path.join(base, "snapshot")
+    ckpt = os.path.join(base, "ckpt")
+    ev = read_events_stream(spark, sf_dir)
+    q = stream_upsert_to_snapshot(ev, snap, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(snap)
