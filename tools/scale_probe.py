@@ -61,6 +61,16 @@ PROBE = [
     "corpus_common_ngrams",
     "weighted_mixture_sample",
     "kmeans_train_step",
+    # round-2 salting/IVF regression sentinels: these were the measured
+    # super-linear offenders (14.6×/13.2×/25.1×/14.0×) before the
+    # sub-bucket salts and the fixed-K seed stride; keep them in the
+    # default probe so a regression is caught by the default run
+    "minhash_lsh_candidates",
+    "delta_dedup_against_corpus",
+    "semdedup_prune",
+    "embedding_neardup_blocked",
+    "canonical_minhash_candidates",
+    "jaccard_verify_candidates",
 ]
 
 
