@@ -18,11 +18,13 @@ is a self-join on (band_id, band_hash) — a hash-partitioned equi-join
 whose fan-out is bounded by bucket size, not O(n²).  Pathological
 buckets (boilerplate content hashing to one band value — B docs yield
 B²/2 pairs) are SALTED: each bucket is split into ⌈B/_MAX_BUCKET⌉
-deterministic sub-buckets of ≤ _MAX_BUCKET docs and pairs expand only
-within a sub-bucket, so per-bucket pair work is B·_MAX_BUCKET/2 —
-LINEAR in bucket size with a constant cap, never quadratic.  No doc is
-dropped; cross-sub-bucket pairs are the (documented) recall cost, paid
-only by buckets the theory already marks as low-precision.  The
+deterministic BALANCED sub-buckets (round-robin over the doc_id rank,
+so all sub-buckets are within one of each other in size and none is a
+singleton) and pairs expand only within a sub-bucket — per-bucket pair
+work is B·_MAX_BUCKET/2, LINEAR in bucket size with a constant cap,
+never quadratic.  Every doc keeps ≥1 pairing partner in its band;
+cross-sub-bucket pairs are the (documented) recall cost, paid only by
+buckets the theory already marks as low-precision.  The
 `lsh_band_bucket_stats` query is the observability side: per band,
 how many buckets exceeded the cap and how many docs sat in them.
 """
@@ -39,7 +41,7 @@ from edinet_etl_spark.tables import load
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band r = N_HASHES / N_BANDS = 2
 # Giant-bucket salt threshold: band buckets larger than this are split
-# into deterministic ≤-cap sub-buckets (rank by doc_id, floor-divide).
+# into balanced ≤-cap sub-buckets (rank by doc_id, round-robin mod).
 # 64 keeps every sf0.01 bucket intact (max observed: 32) while bounding
 # the pair fan-out of the sf0.1 tail (max observed: 319) and of any
 # boilerplate-dominated bucket at lake scale.
@@ -106,9 +108,15 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 
 def salted_buckets(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
     """Group band rows into candidate buckets, splitting any bucket
-    larger than ``cap`` into deterministic sub-buckets (rank docs by
-    doc_id within the bucket, floor-divide the rank) →
+    larger than ``cap`` into deterministic BALANCED sub-buckets →
     (band_id, band_hash, salt, ids[≤cap]).
+
+    Split rule: n_sub = ceil(B / cap); salt = (rank-1) mod n_sub
+    (rank by doc_id).  Round-robin keeps sub-buckets within one of
+    each other in size (⌈B/n_sub⌉ ≤ cap), so for cap ≥ 3 no sub-bucket
+    is ever a singleton — a floor-divide split would strand a size-1
+    remainder (e.g. 65 → 64+1) whose doc then generates no pairs in
+    that band at identical cost to the balanced 33+32.
 
     The window partitions on (band_id, band_hash) and the groupBy keys
     are a superset of that, so Catalyst plans ONE exchange for both —
@@ -118,13 +126,26 @@ def salted_buckets(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
     bucket of B docs costs B²/2 pairs (measured 14.6× superlinear on
     the 10× replicated-corpus probe)."""
     w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    wc = Window.partitionBy("band_id", "band_hash")
+    n_sub = F.ceil(F.count("*").over(wc) / F.lit(cap))
     return (
-        bands.withColumn(
-            "salt", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap))
-        )
+        bands.withColumn("salt", (F.row_number().over(w) - F.lit(1)) % n_sub)
         .groupBy("band_id", "band_hash", "salt")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+
+
+def candidate_pairs(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from salted band buckets — the
+    one pair-expansion pipeline shared by every LSH consumer (mirrors
+    the `_SQL_PAIRS` fragment on the oracle side)."""
+    return (
+        salted_buckets(bands, cap)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
     )
 
 
@@ -154,12 +175,15 @@ _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || h{2 * b + 1}) AS band_hash FROM mins"
     for b in range(N_BANDS)
 )
-# Salted band rows: same sub-bucket split as `salted_buckets`, in SQL.
+# Salted band rows: same balanced sub-bucket split as
+# `salted_buckets` (salt = (rank-1) mod ceil(count/cap)), in SQL.
 _SQL_SALTED = f"""
   SELECT doc_id, band_id, band_hash,
-         CAST(FLOOR((ROW_NUMBER() OVER (
+         (ROW_NUMBER() OVER (
             PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
-            / {_MAX_BUCKET}.0) AS BIGINT) AS salt
+           % CAST(CEIL(COUNT(*) OVER (
+               PARTITION BY band_id, band_hash) / {_MAX_BUCKET}.0) AS BIGINT)
+           AS salt
   FROM bands
 """
 # Candidate pairs from salted band rows (shared by the minhash query
@@ -247,13 +271,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse in Spark) plus a join shuffle.  Grouping computes signatures
     # once; pairs expand inside each (salted) bucket, then one distinct
     # across bands.  Measured 7.3s → ~2s at sf0.1.
-    return (
-        salted_buckets(bands)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    return candidate_pairs(bands)
 
 
 @query(
@@ -300,13 +318,7 @@ def canonical_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     bands = lsh_bands(minhash_signatures(canon))
-    return (
-        salted_buckets(bands)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    return candidate_pairs(bands)
 
 
 @query(
@@ -477,13 +489,7 @@ def jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-pair fan-out is bounded by document token count."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    cand = (
-        salted_buckets(lsh_bands(minhash_signatures(docs)))
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    cand = candidate_pairs(lsh_bands(minhash_signatures(docs)))
     tok = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .distinct()
@@ -745,10 +751,12 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "Tonight's batch" = the top 20% of the doc_id space — scale-relative
 # so the batch/corpus ratio is the same at every SF (at sf0.01:
 # doc_ids 400..499, i.e. 100 of 500).  The threshold is
-# floor(0.8 * (max(doc_id) + 1)), computed from the data.
+# floor(_DELTA_FRACTION * (max(doc_id) + 1)), computed from the data;
+# the SQL interpolates the SAME constant so the two sides cannot drift.
 _DELTA_FRACTION = 0.8
 _SQL_DELTA_START = (
-    "(SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) FROM documents)"
+    f"(SELECT CAST(FLOOR({_DELTA_FRACTION} * (MAX(doc_id) + 1)) AS BIGINT)"
+    " FROM documents)"
 )
 
 
@@ -768,9 +776,11 @@ _SQL_DELTA_START = (
          ),
          new_salted AS (
            SELECT doc_id, band_id, band_hash,
-                  CAST(FLOOR((ROW_NUMBER() OVER (
+                  (ROW_NUMBER() OVER (
                      PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
-                     / {_MAX_BUCKET}.0) AS BIGINT) AS salt
+                    % CAST(CEIL(COUNT(*) OVER (
+                        PARTITION BY band_id, band_hash) / {_MAX_BUCKET}.0)
+                        AS BIGINT) AS salt
            FROM bands WHERE doc_id >= {_SQL_DELTA_START}
          )
     SELECT DISTINCT new_doc_id, dup_of_doc_id FROM (
@@ -814,8 +824,9 @@ def delta_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     work.  Measured on the 10× replicated-corpus probe: 13.2× → ~2×."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    # Scalar batch threshold: one statistics-only aggregate (parquet
-    # footer max), driver-side like the neardup loop controls.
+    # Scalar batch threshold: one narrow MAX scan of doc_id collected
+    # driver-side (like the neardup loop controls; in production the
+    # batch boundary is pipeline metadata, not derived from the data).
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     start = int(_DELTA_FRACTION * (max_id + 1))
     bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(eager=True)

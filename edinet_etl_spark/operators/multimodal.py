@@ -46,12 +46,15 @@ def _byte_counts(payload: bytes) -> list[int]:
     return counts
 
 
-def decode_image_stub(payload: bytes) -> list[float]:
+def decode_image_stub(payload: bytes, counts: list[int] | None = None) -> list[float]:
     """Decode + feature-extract one image payload.
 
     Real path (requires Pillow, absent in this container): decode,
     resize to a thumbnail, return pooled pixel features.  Stub path: a
     deterministic byte-histogram feature so the plumbing is testable.
+    ``counts`` lets a caller that already histogrammed the payload (the
+    batch kernel shares one pass with the fingerprint) skip re-reading
+    every byte.
     """
     try:  # pragma: no cover - image libs not installed here
         from PIL import Image  # noqa: F401
@@ -62,7 +65,8 @@ def decode_image_stub(payload: bytes) -> list[float]:
         )
     except ImportError:
         # Deterministic fake: normalized counts of byte values mod FEATURE_DIM.
-        counts = _byte_counts(payload)
+        if counts is None:
+            counts = _byte_counts(payload)
         total = max(1, len(payload))
         return [c / total for c in counts]
 
@@ -81,10 +85,16 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        feats = [decode_image_stub(p) for p in pdf["payload"]]
+        # one histogram pass per payload, feeding BOTH outputs (the
+        # per-byte loop is the stage's dominant Python cost)
+        all_counts = [_byte_counts(p) for p in pdf["payload"]]
+        feats = [
+            decode_image_stub(p, counts)
+            for counts, p in zip(all_counts, pdf["payload"])
+        ]
         fps = [
-            hashlib.md5(",".join(map(str, _byte_counts(p))).encode()).hexdigest()
-            for p in pdf["payload"]
+            hashlib.md5(",".join(map(str, counts)).encode()).hexdigest()
+            for counts in all_counts
         ]
         yield pd.DataFrame(
             {

@@ -73,16 +73,25 @@ def _feed_dir(sf_dir: str) -> str:
     os.makedirs(d, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
-        for f in sorted(os.listdir(src)):
-            if f.startswith(("_", ".")):
-                continue
-            link = os.path.join(d, f if f.endswith(".parquet") else f + ".parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, f), link)
+        wanted = {
+            (f if f.endswith(".parquet") else f + ".parquet"): os.path.join(src, f)
+            for f in os.listdir(src)
+            if not f.startswith(("_", "."))
+        }
     else:
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        wanted = {"events.parquet": src}
+    # reconcile: a regenerated or re-laid-out source must not leave
+    # dangling links (FileNotFoundException in the stream) or leftover
+    # links from a previous layout (double-counted rows).  lexists, not
+    # exists: a dangling symlink still occupies the name.
+    for f in os.listdir(d):
+        link = os.path.join(d, f)
+        if f not in wanted or os.path.realpath(link) != os.path.realpath(wanted[f]):
+            os.unlink(link)
+    for name, target in wanted.items():
+        link = os.path.join(d, name)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
     return d
 
 
@@ -92,7 +101,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from edinet_etl_spark.tables import events_ts_is_nanos
 
     prep(spark)
-    nanos = events_ts_is_nanos(sf_dir)
+    nanos = events_ts_is_nanos(sf_dir, spark)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")

@@ -128,20 +128,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_ts_is_nanos(sf_dir: str) -> bool:
+def events_ts_is_nanos(sf_dir: str, spark: SparkSession | None = None) -> bool:
     """True when ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS)
     (or raw int64 nanos) — the one encoding Spark's vectorized reader
     can't ingest natively.  Probed from the parquet footer so batch
     (`_load_events`) and streaming (`streaming.jobs.read_events_stream`)
     apply the *same* rule to the *same* file; the two paths previously
     duplicated the rule and drifted when the fixture switched ns → µs.
+
+    Local paths read the footer directly (pyarrow).  Non-local URIs
+    (hdfs://, s3a://, ... — local pyarrow I/O can't resolve them) fall
+    back to Spark's own schema inference under the nanosAsLong conf:
+    a NANOS file then surfaces ``ts`` as LongType, a MICROS file as
+    TimestampType — the same rule, evaluated by the engine that CAN
+    reach the filesystem.
     """
     import os
+    import re
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/events.parquet"
+    remote = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    )
+    if remote:
+        if spark is None:
+            spark = SparkSession.active()
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            dt = spark.read.parquet(path).schema["ts"].dataType
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return isinstance(dt, T.LongType)
     if os.path.isdir(path):
         # multi-file layout (real lakes, the 10x probe's output): all
         # parts share one schema — probe the first data file's footer
@@ -162,7 +184,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies when it narrows ns → µs, so both engines see identical
     instants.  A regular TIMESTAMP(MICROS) file passes through.
     """
-    if events_ts_is_nanos(sf_dir):
+    if events_ts_is_nanos(sf_dir, spark):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")

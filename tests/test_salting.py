@@ -31,21 +31,25 @@ def _bands_df(spark, sizes: dict[str, int]):
 def test_salted_buckets_complete_and_capped(spark):
     bands = _bands_df(spark, {"a": 150, "b": 64, "c": 65, "d": 1})
     out = salted_buckets(bands, cap=64).collect()
-    # every sub-bucket within cap; singleton buckets filtered
+    # every sub-bucket within cap; singleton BUCKETS filtered
     for r in out:
         assert 2 <= len(r["ids"]) <= 64
-    # completeness: every doc of every multi-doc sub-bucket appears once
+    # completeness: every doc of every multi-doc bucket appears once —
+    # the balanced round-robin split never strands a size-1 remainder
     per_bucket: dict[str, list[int]] = {}
+    sizes: dict[str, list[int]] = {}
     for r in out:
         per_bucket.setdefault(r["band_hash"], []).extend(r["ids"])
-    # "a" = 150 docs -> sub-buckets 64+64+22, all docs present
+        sizes.setdefault(r["band_hash"], []).append(len(r["ids"]))
+    # "a" = 150 docs, n_sub=3 -> balanced 50+50+50, all docs present
     assert sorted(per_bucket["a"]) == list(range(0, 150))
+    assert sorted(sizes["a"]) == [50, 50, 50]
     # "b" = exactly cap -> one intact sub-bucket
     assert sorted(per_bucket["b"]) == list(range(1000, 1064))
-    # "c" = cap+1 -> split 64+1; the singleton remainder is filtered,
-    # so one doc intentionally drops out of PAIR generation (it still
-    # exists upstream — only pair work is pruned)
-    assert len(per_bucket["c"]) == 64
+    # "c" = cap+1 -> BALANCED split 33+32 (a floor-divide split would
+    # strand doc rank 65 alone and cost it every pair in this band)
+    assert len(per_bucket["c"]) == 65
+    assert sorted(sizes["c"]) == [32, 33]
     # "d" singleton bucket produces nothing
     assert "d" not in per_bucket
 
@@ -63,7 +67,7 @@ def test_salted_buckets_pair_work_is_linear(spark):
         .count()
     )
     assert n_pairs <= B * cap / 2
-    assert n_pairs == (64 * 63 // 2) * 2 + (22 * 21 // 2)
+    assert n_pairs == 3 * (50 * 49 // 2)  # balanced 50+50+50
 
 
 def test_salted_buckets_deterministic(spark):
