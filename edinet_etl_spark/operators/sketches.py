@@ -1,0 +1,410 @@
+"""Mergeable-sketch / probabilistic-structure surface: count-min
+heavy hitters, bloom-filter pre-join pruning, and a fixed-iteration
+PageRank — the approximate+iterative layer a training-data pipeline
+runs beside exact dedup (M6 north-star extensions; the reference, a
+757-LoC pandas ETL, has no sketch layer).
+
+Everything is HASH-DETERMINISTIC: md5-hex → bigint (the repo's
+portable hash, same family as `llmdata.train_test_split_counts`), so
+each sketch is bit-identical in any engine and the DuckDB oracles
+compare exactly.  The approximation error lives in the DATA STRUCTURE
+(CMS overestimates, bloom false-positives — both *reported* by the
+queries below), never in run-to-run nondeterminism.
+
+Scale design:
+- The CMS is a (d × w) counter matrix built by a plain groupBy — Spark
+  partial-aggregates map-side, so each executor ships at most d·w
+  counters regardless of input rows: the textbook mergeable sketch.
+- The bloom bitmap is ≤ `_BLOOM_BITS/32` packed words built from the
+  *selective dim side* and broadcast to the fact scan — the manual
+  form of Spark's runtime bloom-filter join pruning, with the
+  reduction ratio surfaced as output.
+- PageRank is edge-partitioned joins + exact-decimal contribution
+  sums (`numeric.dsum`), the plan that survives a billion-edge graph;
+  iteration count is fixed so the oracle unrolls to pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edinet_etl_spark.numeric import dsum
+from edinet_etl_spark.registry import query
+from edinet_etl_spark.session import prep
+from edinet_etl_spark.tables import load
+
+# Count-min sketch geometry: d independent hash rows × w buckets.
+_CMS_D = 4
+_CMS_W = 256
+
+# Bloom filter geometry: m bits packed into 32-bit-per-word BIGINTs
+# (bit 63 is avoided — DuckDB raises on `1::BIGINT << 63` overflow),
+# k independent hash functions.
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
+
+# PageRank: damping 0.85, fixed iteration count (so the DuckDB oracle
+# is the same computation unrolled into CTEs).
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _hash32(col: Column, seed: str) -> Column:
+    """Portable deterministic 32-bit hash: first 8 md5-hex digits of
+    ``seed:value`` as a bigint — identical in Spark (`conv`) and DuckDB
+    (`'0x'||hex :: BIGINT`)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _sql_hash32(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the unsplittable-fixture row-level reshuffle
+    (same rationale as `dedup._shingles`: one row group would pin the
+    word explode + hashing to a single task)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    return docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+
+def _cms_sketch(words: DataFrame) -> DataFrame:
+    """(row_id, bucket, cnt) counter matrix — ≤ _CMS_D·_CMS_W groups,
+    so the groupBy's map-side partial aggregation collapses each task
+    to a constant-size payload before the (tiny) shuffle."""
+    buckets = F.array(
+        *[(_hash32(F.col("word"), f"s{i}") % _CMS_W) for i in range(_CMS_D)]
+    )
+    return (
+        words.select(F.posexplode(buckets).alias("row_id", "bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_cms_ctes() -> str:
+    """Shared oracle CTEs: words → per-row hashed buckets → cms."""
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_id,"
+        f" {_sql_hash32('word', f's{i}')} % {_CMS_W} AS bucket FROM words"
+        for i in range(_CMS_D)
+    )
+    return f"""words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), hashed AS (
+{rows}
+    ), cms AS (
+      SELECT row_id, bucket, COUNT(*) AS cnt FROM hashed GROUP BY row_id, bucket
+    )"""
+
+
+@query(
+    "cms_sketch_counts",
+    oracle=f"""
+    WITH {_sql_cms_ctes()}
+    SELECT row_id, bucket, cnt FROM cms
+    """,
+    covers=["M6-sketch"],
+)
+def cms_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream: d×w counter
+    matrix.  The output IS the mergeable sketch — union two corpora's
+    matrices and `SUM(cnt)` per cell to get the combined sketch, which
+    is how 100 TB shards combine without ever exchanging raw words."""
+    prep(spark)
+    return _cms_sketch(_words(_repartitioned_docs(spark, sf_dir)))
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH {_sql_cms_ctes()},
+    truth AS (
+      SELECT word, COUNT(*) AS true_cnt FROM words GROUP BY word
+    ), probes AS (
+"""
+    + "\n      UNION ALL\n".join(
+        f"      SELECT word, true_cnt, {i} AS row_id,"
+        f" {_sql_hash32('word', f's{i}')} % {_CMS_W} AS bucket FROM truth"
+        for i in range(_CMS_D)
+    )
+    + f"""
+    ), est AS (
+      SELECT p.word, p.true_cnt, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN cms c ON p.row_id = c.row_id AND p.bucket = c.bucket
+      GROUP BY p.word, p.true_cnt
+    )
+    SELECT word, true_cnt, est_cnt FROM est
+    ORDER BY true_cnt DESC, word LIMIT 20
+    """,
+    covers=["M6-sketch"],
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words with BOTH the exact count and the count-min
+    estimate (est ≥ truth by construction; the gap is the sketch's
+    collision overestimate).  At scale the `truth` branch disappears
+    and candidate words probe the tiny broadcast sketch directly —
+    here both sides are kept so the query itself measures sketch
+    quality."""
+    prep(spark)
+    words = _words(_repartitioned_docs(spark, sf_dir))
+    sketch = _cms_sketch(words)
+    truth = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    buckets = F.array(
+        *[(_hash32(F.col("word"), f"s{i}") % _CMS_W) for i in range(_CMS_D)]
+    )
+    probes = truth.select(
+        "word", "true_cnt", F.posexplode(buckets).alias("row_id", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("word", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.orderBy(F.desc("true_cnt"), "word").limit(20)
+
+
+def _bloom_positions_sql(expr: str, prefix: str) -> list[str]:
+    return [
+        f"{_sql_hash32(expr, f'{prefix}{i}')} % {_BLOOM_BITS}" for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_positions(col: Column, prefix: str) -> Column:
+    return F.array(
+        *[(_hash32(col, f"{prefix}{i}") % _BLOOM_BITS) for i in range(_BLOOM_K)]
+    )
+
+
+_MASK = "shiftleft(cast(1 as bigint), cast(p & 31 as int))"
+
+
+def _bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, bits): the packed bloom bitmap of a key set.
+    ≤ _BLOOM_BITS/32 rows regardless of key count — broadcastable to
+    every fact-scan task at any scale."""
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col).cast("string"), "b")).alias("p")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("word_idx"),
+            F.expr(_MASK).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+_SQL_BLOOM_CTES = f"""keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pos AS (
+{chr(10).join('      SELECT ' + p + ' AS p FROM keys' + ('' if i == _BLOOM_K - 1 else chr(10) + '      UNION ALL') for i, p in enumerate(_bloom_positions_sql('CAST(c_custkey AS STRING)', 'b')))}
+    ), bloom AS (
+      SELECT p >> 5 AS word_idx,
+             bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS bits
+      FROM pos GROUP BY p >> 5
+    )"""
+
+
+@query(
+    "bloom_filter_bitmap",
+    oracle=f"""
+    WITH {_SQL_BLOOM_CTES}
+    SELECT word_idx, bits FROM bloom
+    """,
+    covers=["M6-sketch"],
+)
+def bloom_filter_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed bloom bitmap ({_BLOOM_BITS} bits, k={_BLOOM_K}) of the
+    BUILDING-segment customer keys.  Like the CMS, the bitmap is
+    mergeable (`bit_or` per word across shards) and deterministic, so
+    building it distributed and comparing it to a single-node build is
+    exact."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return _bloom_bitmap(keys, "c_custkey")
+
+
+@query(
+    "bloom_prejoin_reduction",
+    oracle=f"""
+    WITH {_SQL_BLOOM_CTES},
+    probes AS (
+{chr(10).join('      SELECT o_orderkey, o_custkey, ' + p + ' AS p FROM orders' + ('' if i == _BLOOM_K - 1 else chr(10) + '      UNION ALL') for i, p in enumerate(_bloom_positions_sql('CAST(o_custkey AS STRING)', 'b')))}
+    ), flags AS (
+      SELECT o_orderkey, o_custkey,
+             SUM(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (1::BIGINT << CAST(p & 31 AS INTEGER))) <> 0
+                      THEN 1 ELSE 0 END) AS hits
+      FROM probes LEFT JOIN bloom b ON (p >> 5) = b.word_idx
+      GROUP BY o_orderkey, o_custkey
+    )
+    SELECT COUNT(*) AS total_orders,
+           CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_candidates,
+           CAST(SUM(CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS true_matches,
+           CAST(SUM(CASE WHEN hits = {_BLOOM_K} AND k.c_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+    FROM flags LEFT JOIN keys k ON flags.o_custkey = k.c_custkey
+    """,
+    covers=["M6-sketch", "J2"],
+)
+def bloom_prejoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join pruning, measured: build the bitmap from the
+    selective dim side, broadcast it to the orders scan, and report
+    total rows / bloom-pass candidates / true semi-join matches /
+    false positives in one row.
+
+    This is the manual form of Spark's runtime bloom-filter join
+    pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`): at
+    100 TB the fact table never shuffles rows whose key can't be in
+    the dim — only `bloom_candidates` rows reach the join exchange,
+    and the query itself quantifies that reduction (plus the false-
+    positive cost, which the exact join then discards)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = _bloom_bitmap(keys, "c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    probes = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(_bloom_positions(F.col("o_custkey").cast("string"), "b")).alias("p"),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.expr(_MASK)) != 0)
+    ).cast("int")
+    flags = (
+        probes.join(
+            F.broadcast(bloom),
+            F.shiftright(F.col("p"), 5) == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(hit).alias("hits"))
+    )
+    truth_keys = keys.withColumnRenamed("c_custkey", "k_custkey")
+    is_cand = (F.col("hits") == _BLOOM_K).cast("int")
+    is_true = F.col("k_custkey").isNotNull().cast("int")
+    return (
+        flags.join(
+            F.broadcast(truth_keys),
+            F.col("o_custkey") == F.col("k_custkey"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.sum(is_cand).alias("bloom_candidates"),
+            F.sum(is_true).alias("true_matches"),
+            F.sum((is_cand.cast("boolean") & (F.col("k_custkey").isNull())).cast("int"))
+            .alias("false_positives"),
+        )
+    )
+
+
+def _sql_pagerank() -> str:
+    """Unrolled PageRank oracle: _PR_ITERS CTE hops, each the exact-
+    decimal contribution sum the Spark loop performs."""
+    base = [
+        """pairs AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS STRING) AS u,
+                      't:' || event_type AS t
+      FROM events
+    ), edges AS (
+      SELECT u AS src, t AS dst FROM pairs
+      UNION ALL
+      SELECT t AS src, u AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+    )"""
+    ]
+    contrib_sum = (
+        "CAST(CAST(SUM(CAST(r.rank / d.d AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)"
+    )
+    for i in range(1, _PR_ITERS + 1):
+        base.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + {_PR_DAMP} * {contrib_sum}
+               AS rank
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+    return ",\n    ".join(base)
+
+
+@query(
+    "pagerank_event_graph",
+    oracle=f"""
+    WITH {_sql_pagerank()}
+    SELECT r.node, d.d AS degree, r.rank
+    FROM r{_PR_ITERS} r JOIN deg d ON r.node = d.src
+    """,
+    covers=["M6-graph"],
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_PR_ITERS} fixed iterations, damping {_PR_DAMP}) on
+    the bipartite user ↔ event-type interaction graph.
+
+    Plan: the edge table joins the current rank vector on `src`
+    (co-partitioned with the `deg` join — one clustering serves both)
+    and the contribution sum per `dst` goes through `numeric.dsum`, so
+    ranks are bit-identical under ANY partitioning / AQE re-plan — the
+    property that lets the unrolled DuckDB oracle compare exactly.
+    Every node here has out-degree ≥ 1 by construction (each edge is
+    mirrored), so there is no dangling-mass term.
+
+    Scale: this is the standard edge-partitioned iteration — state per
+    round is one (node, rank) table, shuffled once per hop on the join
+    key; at a billion edges the same plan holds with the rank table
+    hash-partitioned and the graph bucketed on src.  The driver-side
+    `.count()` is loop-control only (the documented iterative idiom,
+    cf. `dedup.neardup_components`)."""
+    prep(spark)
+    events = load(spark, sf_dir, "events")
+    pairs = events.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionAll(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()  # loop-control constant (graph order)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    # Materialize the (edge × src-degree) table once: every iteration
+    # joins against it, and without a cut each unrolled hop would
+    # re-scan events and re-run the distinct (the iterative-loop idiom,
+    # cf. similarity.kmeans_train_step / dedup.neardup_components).
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst"), (F.col("rank") / F.col("d")).alias("contrib")
+        )
+        ranks = contribs.groupBy("dst").agg(dsum(F.col("contrib"), "csum")).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15 / n) + F.lit(_PR_DAMP) * F.col("csum")).alias("rank"),
+        )
+    return ranks.join(deg, ranks["node"] == deg["src"]).select(
+        "node", F.col("d").alias("degree"), "rank"
+    )

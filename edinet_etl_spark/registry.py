@@ -54,6 +54,7 @@ def load_all() -> None:
         reference_ops,
         relational,
         similarity,
+        sketches,
         sql_api,
         subqueries,
         temporal,
@@ -111,12 +112,15 @@ _PRIORITY: tuple[str, ...] = (
     # streaming: windowed agg, custom stateful, stream-stream join
     "streaming_tumbling_hourly", "streaming_user_totals",
     "streaming_purchase_attribution",
+    # sketch/graph family (round 3+: positions 51+ ride a wider driver
+    # window if one exists; full local differential coverage regardless)
+    "cms_heavy_hitters", "bloom_prejoin_reduction", "pagerank_event_graph",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
 # first, round-1-green modules last.
 _MODULE_ORDER: tuple[str, ...] = (
-    "temporal", "text", "similarity", "subqueries", "tpch_rest",
+    "sketches", "temporal", "text", "similarity", "subqueries", "tpch_rest",
     "udf_surface", "jobs", "multimodal", "sql_api", "relational",
     "reference_ops", "llmdata", "events", "dedup", "analytics",
 )

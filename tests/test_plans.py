@@ -90,6 +90,19 @@ EXPECTATIONS = [
     ("trailing_hour_user_avg", 1, ["Window"], ["PythonUDF"]),
     # k-means step: K-seed broadcast crossJoin (never a shuffled product)
     ("kmeans_train_step", 4, ["BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct", "PythonUDF"]),
+    # CMS build: word fan-out collapses map-side to ≤ d·w counters —
+    # one RR reshuffle (unsplittable fixture) + ONE tiny agg exchange
+    ("cms_sketch_counts", 2, ["HashAggregate"], ["PythonUDF", "CartesianProduct"]),
+    # sketch probe joins the ≤ d·w-row matrix BROADCAST, never shuffled
+    ("cms_heavy_hitters", 5, ["BroadcastHashJoin"], ["PythonUDF", "SortMergeJoin", "CartesianProduct"]),
+    # bloom build: ≤ bits/32 packed words, one agg exchange
+    ("bloom_filter_bitmap", 1, ["HashAggregate"], ["PythonUDF"]),
+    # pre-join pruning: the bitmap AND the key set broadcast to the
+    # fact scan; the fact table itself never sort-merge joins
+    ("bloom_prejoin_reduction", 5, ["BroadcastHashJoin"], ["PythonUDF", "SortMergeJoin", "CartesianProduct"]),
+    # PageRank hop: edge×deg table is checkpoint-materialized, each
+    # hop is rank-join + ONE dst agg exchange; no quadratic probes
+    ("pagerank_event_graph", 10, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
