@@ -103,6 +103,155 @@ def compact(spark: SparkSession, in_dir: str, out_dir: str,
     )
 
 
+ZORDER_BITS = 16
+
+
+def zorder_value(a, b, bits: int = ZORDER_BITS):
+    """2-D Morton (Z-order) code: interleave the low ``bits`` bits of
+    two non-negative int columns — bit i of ``a`` lands at 2i, bit i of
+    ``b`` at 2i+1.  Sorting by this value clusters rows that are close
+    in BOTH dimensions, so per-file (and per-row-group) min/max ranges
+    stay tight in both — the multi-dimensional generalization of sort-
+    by-one-key data skipping (Delta/Iceberg OPTIMIZE ZORDER does the
+    same thing).  Pure codegen bit expressions, no Python."""
+    z = None
+    for i in range(bits):
+        pa = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i)
+        pb = F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i + 1
+        )
+        zi = pa.bitwiseOR(pb)
+        z = zi if z is None else z.bitwiseOR(zi)
+    return z
+
+
+def sql_zorder_value(a_expr: str, b_expr: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB mirror of :func:`zorder_value` (same bit algebra)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a_expr} >> {i}) & 1)::BIGINT << {2 * i})")
+        parts.append(f"((({b_expr} >> {i}) & 1)::BIGINT << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+ZORDER_DIM_BITS = 8
+
+
+def write_zordered_orders(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 16
+) -> None:
+    """orders laid out along the (o_custkey, order-day) Z-curve in
+    ``n_files`` range-partitioned files.  Every file then covers a
+    compact rectangle-ish region of the (customer, date) plane, so a
+    2-D predicate prunes most files via footer min/max — where a
+    single-key sort prunes only its own dimension.
+
+    Both dimensions are min/max-normalized to ``ZORDER_DIM_BITS``-bit
+    grid coordinates before interleaving — raw interleave would let
+    the wider-domain dimension own the code's high bits and collapse
+    the curve back into a single-key sort.  (Lakehouse OPTIMIZE
+    ZORDER does the same via range-partition IDs per dimension.)  The
+    one-row domain-stats aggregate is the standard write-time prep
+    pass and is collected once, not per row."""
+    od = load(spark, sf_dir, "orders").withColumn(
+        "o_day",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+            "bigint"
+        ),
+    )
+    lo_k, hi_k, lo_d, hi_d = od.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_day"), F.max("o_day")
+    ).collect()[0]
+    grid = (1 << ZORDER_DIM_BITS) - 1
+
+    def norm(c, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return F.least(
+            F.lit(grid).cast("bigint"),
+            ((c - F.lit(int(lo))) * grid / span).cast("bigint"),
+        )
+
+    od = od.withColumn(
+        "zval",
+        zorder_value(
+            norm(F.col("o_custkey").cast("bigint"), lo_k, hi_k),
+            norm(F.col("o_day"), lo_d, hi_d),
+            bits=ZORDER_DIM_BITS,
+        ),
+    ).drop("o_day")
+    (
+        od.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def write_keysorted_orders(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 16
+) -> None:
+    """The single-dimension baseline: same file count, range-laid-out
+    by o_custkey alone (perfect custkey pruning, no date pruning)."""
+    od = load(spark, sf_dir, "orders")
+    (
+        od.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def files_overlapping_rectangle(
+    out_dir: str,
+    custkey_range: tuple[int, int],
+    date_range: tuple[str, str],
+) -> tuple[int, int]:
+    """(overlapping, total) file counts for a 2-D rectangle predicate,
+    decided purely from parquet footer min/max — exactly the stats a
+    scan's file/row-group skipping consults."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    lo_k, hi_k = custkey_range
+    lo_d = datetime.date.fromisoformat(date_range[0])
+    hi_d = datetime.date.fromisoformat(date_range[1])
+
+    def _day(v):
+        # parquet stats surface DATE as date or datetime depending on
+        # the writer's physical type — normalize to date
+        return v.date() if isinstance(v, datetime.datetime) else v
+    total = overlap = 0
+    for r, _, files in os.walk(out_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(r, f))
+            kmin = kmax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if name == "o_custkey":
+                        kmin = st.min if kmin is None else min(kmin, st.min)
+                        kmax = st.max if kmax is None else max(kmax, st.max)
+                    elif name == "o_orderdate":
+                        mn, mx = _day(st.min), _day(st.max)
+                        dmin = mn if dmin is None else min(dmin, mn)
+                        dmax = mx if dmax is None else max(dmax, mx)
+            if kmin is None or dmin is None:
+                overlap += 1  # no stats → can't skip
+            elif kmax >= lo_k and kmin <= hi_k and dmax >= lo_d and dmin <= hi_d:
+                overlap += 1
+    return overlap, total
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """Snapshot upsert without a table format: updates win on key
     collision, unmatched base rows survive — ``updates ∪ (base ⟕̸

@@ -796,3 +796,66 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         base, updates, "c_custkey", ["c_mktsegment"], "2024-06-01"
     )
+
+
+def _zorder_oracle() -> str:
+    from edinet_etl_spark.layout import sql_zorder_value
+
+    day = "date_diff('day', DATE '1992-01-01', o_orderdate)"
+    z = sql_zorder_value("o_custkey", day)
+    return f"""
+    WITH coded AS (
+      SELECT ({z}) >> 22 AS curve_bucket,
+             o_custkey AS k,
+             CAST({day} AS BIGINT) AS d
+      FROM orders
+    )
+    SELECT curve_bucket, COUNT(*) AS n_rows,
+           MIN(k) AS custkey_min, MAX(k) AS custkey_max,
+           MIN(d) AS day_min, MAX(d) AS day_max
+    FROM coded GROUP BY curve_bucket
+    """
+
+
+@query(
+    "zorder_locality_stats",
+    oracle=_zorder_oracle(),
+    covers=["M6-layout"],
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve locality, measured: orders mapped onto
+    the (o_custkey, order-day) Z-curve, bucketed by the code's high
+    bits (= contiguous curve segments = what one file/row-group holds
+    under a Z-order layout), reporting each bucket's row count and its
+    min/max EXTENT in both dimensions.
+
+    The point of the numbers: under a Z-order layout every bucket's
+    custkey span AND date span are narrow simultaneously, so a 2-D
+    predicate skips most buckets by footer min/max — the write-side
+    companion is `layout.write_zordered_orders`, whose file-skipping
+    win over a single-key sort is measured in tests/test_layout.py.
+    Pure codegen bit algebra + ONE aggregate exchange; the same
+    expression Z-orders a 100 TB fact at write time."""
+    prep(spark)
+    from edinet_etl_spark.layout import zorder_value
+
+    od = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+        "bigint"
+    )
+    z = zorder_value(F.col("o_custkey").cast("bigint"), day)
+    return (
+        od.select(
+            F.shiftright(z, 22).alias("curve_bucket"),
+            F.col("o_custkey").alias("k"),
+            day.alias("d"),
+        )
+        .groupBy("curve_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("custkey_min"),
+            F.max("k").alias("custkey_max"),
+            F.min("d").alias("day_min"),
+            F.max("d").alias("day_max"),
+        )
+    )

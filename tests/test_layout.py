@@ -120,3 +120,65 @@ def test_format_roundtrips_orc_jsonl(spark, tmp_path):
         "l_shipdate timestamp_ntz",
     )
     assert sorted(map(tuple, jsonl.collect())) == expected
+
+
+def test_zorder_file_skipping_beats_single_key_sort(spark, tmp_path):
+    """The Z-order claim, measured from parquet footers: for a 2-D
+    rectangle predicate (custkey range × date range), the Z-ordered
+    layout's min/max stats prune strictly more files than the same
+    file count laid out by a single-key sort — and both layouts must
+    agree with the unpruned row count (skipping is lossless)."""
+    sf = "/root/testdata/sf0.01"
+    zdir, kdir = str(tmp_path / "z"), str(tmp_path / "k")
+    layout.write_zordered_orders(spark, sf, zdir, n_files=16)
+    layout.write_keysorted_orders(spark, sf, kdir, n_files=16)
+
+    # the fixture's domains: custkeys 0..~1500, dates 1995..2001.
+    # Workload = one narrow filter per dimension (the full key domain /
+    # full date domain on the other axis).
+    k_rect = ((1000, 1400), ("1990-01-01", "2005-12-31"))
+    d_rect = ((0, 10_000), ("1996-01-01", "1996-12-31"))
+    hits = {}
+    for label, d in (("z", zdir), ("k", kdir)):
+        hk, tot = layout.files_overlapping_rectangle(d, *k_rect)
+        hd, tot2 = layout.files_overlapping_rectangle(d, *d_rect)
+        assert tot == tot2 == 16
+        hits[label] = (hk, hd)
+    # single-key sort is perfect on its own dimension and useless on
+    # the other (every file spans the full date range); Z-order prunes
+    # BOTH dimensions, so it wins the two-query workload in total and
+    # is the only layout that prunes the non-sort dimension at all.
+    z_k, z_d = hits["z"]
+    k_k, k_d = hits["k"]
+    assert k_d == 16  # the baseline cannot prune dates
+    assert z_d < 16   # Z-order can
+    assert z_k < 16   # ... while still pruning custkey too
+    assert z_k + z_d < k_k + k_d, hits
+
+    # losslessness: both layouts return identical rows for the 2-D
+    # intersection predicate
+    pred = (
+        (F.col("o_custkey").between(1000, 1400))
+        & (F.col("o_orderdate").between("1996-01-01", "1996-12-31"))
+    )
+    n_z = spark.read.parquet(zdir).filter(pred).count()
+    n_k = spark.read.parquet(kdir).filter(pred).count()
+    n_base = load(spark, sf, "orders").filter(pred).count()
+    assert n_z == n_k == n_base > 0
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Morton-code unit check: z(a=0b11, b=0) == 0b0101, z(0, 0b11)
+    == 0b1010, and the code is monotone in each dim's high bits."""
+    df = spark.range(1).select(
+        layout.zorder_value(F.lit(3).cast("bigint"), F.lit(0).cast("bigint")).alias("za"),
+        layout.zorder_value(F.lit(0).cast("bigint"), F.lit(3).cast("bigint")).alias("zb"),
+        layout.zorder_value(F.lit(5).cast("bigint"), F.lit(6).cast("bigint")).alias("zc"),
+    )
+    r = df.collect()[0]
+    assert r["za"] == 0b0101
+    assert r["zb"] == 0b1010
+    # 5 = 0b101, 6 = 0b110 → interleave(a bits even, b bits odd):
+    # bit0(a)=1→z0, bit0(b)=0→z1, bit1(a)=0→z2, bit1(b)=1→z3,
+    # bit2(a)=1→z4, bit2(b)=1→z5 → 0b110001 + 0b001000 = 0b111001
+    assert r["zc"] == 0b111001
