@@ -278,18 +278,22 @@ _SQL_SEED_STRIDE = (
 _STRIDE_CACHE: dict[str, int] = {}
 
 
-def _seed_stride(emb) -> int:
-    """ceil((max_id+1)/K) — one scalar MAX aggregate over vec_id
+def _seed_stride(emb, k: int = _IVF_K) -> int:
+    """ceil((max_id+1)/k) — one scalar MAX aggregate over vec_id
     (a narrow single-column scan; Spark does NOT push MAX into parquet
     footers by default), collected driver-side like the engine's other
     config scalars and CACHED per plan so the five IVF-family queries
     don't each re-pay the pass within a session.  In production the
     stride is a property of the trained index, computed once at build
     time — this helper stands in for reading it from index metadata."""
-    key = emb.sparkSession.sparkContext.applicationId + "|" + emb._jdf.queryExecution().analyzed().toString()
+    key = (
+        emb.sparkSession.sparkContext.applicationId
+        + f"|k={k}|"
+        + emb._jdf.queryExecution().analyzed().toString()
+    )
     if key not in _STRIDE_CACHE:
         max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-        _STRIDE_CACHE[key] = -(-(max_id + 1) // _IVF_K)
+        _STRIDE_CACHE[key] = -(-(max_id + 1) // k)
     return _STRIDE_CACHE[key]
 
 
@@ -863,4 +867,348 @@ def embedding_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc
             + F.when(s["sat"], F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
         ).alias("n_saturated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS-style compressed-domain search
+# leg that completes the IVF (coarse cells) + SQ8 (scalar codes) index
+# family.  M subspaces × K centroids; centroids are deterministic seed
+# sub-vectors (every stride-th vector, like the IVF coarse quantizer)
+# so both engines replay the identical "trained" codebook.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces (64 dims → 4 × 16)
+_PQ_DSUB = 16  # dims per subspace
+_PQ_K = 4  # centroids per subspace codebook (2 bits/subspace)
+_SQL_PQ_STRIDE = (
+    f"(SELECT CAST(CEIL((MAX(vec_id) + 1) / {_PQ_K}.0) AS BIGINT) FROM embeddings)"
+)
+_SQL_PQ_SUBS = "[" + ", ".join(str(s) for s in range(_PQ_M)) + "]"
+
+
+def _sql_pq_dist2(x: str, c: str) -> str:
+    """|x|² − 2x·c + |c|² with a FIXED association — three bit-exact
+    list_dot_product folds composed as ((a − 2b) + c), mirrored
+    exactly by the Spark expression (`_pq_dist2`)."""
+    return (
+        f"((list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[]))"
+        f" - (2 * list_dot_product(CAST({x} AS DOUBLE[]), CAST({c} AS DOUBLE[]))))"
+        f" + list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[])))"
+    )
+
+
+# Shared oracle CTEs: slice each vector into M sub-vectors, build the
+# seed codebook per subspace, assign each sub-vector to its nearest
+# centroid (squared L2, ties to the lower centroid id).
+_SQL_PQ_CODES_CTES = f"""
+    subs AS (
+      SELECT e.vec_id, CAST(t.s AS INT) AS sub_id,
+             list_slice(e.embedding, t.s * {_PQ_DSUB} + 1,
+                        t.s * {_PQ_DSUB} + {_PQ_DSUB}) AS subvec
+      FROM embeddings e, UNNEST({_SQL_PQ_SUBS}) t(s)
+    ), cents AS (
+      SELECT CAST(e.vec_id // {_SQL_PQ_STRIDE} AS INT) AS cid,
+             CAST(t.s AS INT) AS sub_id,
+             list_slice(e.embedding, t.s * {_PQ_DSUB} + 1,
+                        t.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cvec
+      FROM embeddings e, UNNEST({_SQL_PQ_SUBS}) t(s)
+      WHERE e.vec_id % {_SQL_PQ_STRIDE} = 0
+    ), pq_scored AS (
+      SELECT s.vec_id, s.sub_id, c.cid,
+             {_sql_pq_dist2('s.subvec', 'c.cvec')} AS dist2
+      FROM subs s JOIN cents c ON s.sub_id = c.sub_id
+    ), codes AS (
+      SELECT vec_id, sub_id, cid, dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub_id ORDER BY dist2, cid) AS rn
+        FROM pq_scored
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_dist2(x: Column, c: Column) -> Column:
+    """Spark mirror of `_sql_pq_dist2`: same three folds, same
+    association, bit-identical doubles."""
+    return (dot_exact(x, x) - (F.lit(2.0) * dot_exact(x, c))) + dot_exact(c, c)
+
+
+def _pq_sub_id_explode() -> Column:
+    return F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)]))
+
+
+def _pq_slice(vec: Column, sub_id: Column) -> Column:
+    return F.slice(vec, sub_id * _PQ_DSUB + 1, F.lit(_PQ_DSUB))
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str):
+    """(emb, subs, cents, codes): the PQ encode pipeline both search
+    queries share.  Plan shape: sub-vector explode is array-local
+    (×M rows, no shuffle); the codebook is K·M tiny rows broadcast;
+    assignment is a broadcast hash join + one window argmin whose
+    partition key (vec_id, sub_id) is M× finer than the corpus — at
+    100 TB the encode is one map-side pass plus a single exchange."""
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    stride = _seed_stride(emb, _PQ_K)
+    subs = emb.select(
+        "vec_id", _pq_sub_id_explode().alias("sub_id"), "embedding"
+    ).select(
+        "vec_id",
+        "sub_id",
+        _pq_slice(F.col("embedding"), F.col("sub_id")).alias("subvec"),
+    )
+    cents = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cid"),
+            _pq_sub_id_explode().alias("sub_id"),
+            "embedding",
+        )
+        .select(
+            "cid",
+            "sub_id",
+            _pq_slice(F.col("embedding"), F.col("sub_id")).alias("cvec"),
+        )
+    )
+    scored = subs.join(F.broadcast(cents), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "cid",
+        _pq_dist2(F.col("subvec"), F.col("cvec")).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "cid", "dist2")
+    )
+    return emb, subs, cents, codes
+
+
+def _pq_fold4(col_fmt: str) -> str:
+    """((x0 + x1) + x2) + x3 over per-subspace MAX-CASE pivots —
+    fixed association so the double sum is engine-independent."""
+    terms = [col_fmt.format(s=s) for s in range(_PQ_M)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out}\n               + {t})"
+    return out
+
+
+def _pq_pivot(agg_col: str) -> list[str]:
+    return [
+        f"MAX(CASE WHEN sub_id = {s} THEN {agg_col} END)" for s in range(_PQ_M)
+    ]
+
+
+@query(
+    "pq_codebook_recon_error",
+    oracle=f"""
+    WITH {_SQL_PQ_CODES_CTES}
+    SELECT vec_id,
+           CAST(((MAX(CASE WHEN sub_id = 0 THEN cid END) * {_PQ_K}
+             + MAX(CASE WHEN sub_id = 1 THEN cid END)) * {_PQ_K}
+             + MAX(CASE WHEN sub_id = 2 THEN cid END)) * {_PQ_K}
+             + MAX(CASE WHEN sub_id = 3 THEN cid END) AS INT) AS pq_code,
+           {_pq_fold4("MAX(CASE WHEN sub_id = {s} THEN dist2 END)")} AS recon_err
+    FROM codes
+    GROUP BY vec_id
+    """,
+    covers=["M6-similarity", "A-extended"],
+)
+def pq_codebook_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: split each 64-d vector into 4 sub-vectors, assign
+    each to its nearest of 4 seed centroids (squared L2, ties to the
+    lower centroid id), pack the 4 codes into one byte-sized int and
+    report the per-vector reconstruction error (sum of per-subspace
+    residuals, fixed fold order).
+
+    Completes the compression ladder next to SQ8
+    (`embedding_sq8_recon_error`): SQ8 stores 1 byte/dim, PQ here
+    stores 1 byte/VECTOR (4 × 2 bits) — the 256× compression that
+    makes billion-vector search RAM-resident.  Plan: codebook is
+    M·K = 16 rows broadcast; encode is map-side; the only exchange is
+    the (vec_id, sub_id) window argmin, M× the corpus in rows but
+    O(1) in payload per row.  Reference analogue: the engine's binary
+    filing lake treats large payloads as opaque compressed blobs
+    (/root/reference/src/utils/helper.py:35-101); PQ is that idea for
+    vector payloads."""
+    prep(spark)
+    _, _, _, codes = _pq_codes(spark, sf_dir)
+    cpiv = [
+        F.max(F.when(F.col("sub_id") == s, F.col("cid"))).alias(f"c{s}")
+        for s in range(_PQ_M)
+    ]
+    dpiv = [
+        F.max(F.when(F.col("sub_id") == s, F.col("dist2"))).alias(f"d{s}")
+        for s in range(_PQ_M)
+    ]
+    packed = (
+        ((F.col("c0") * _PQ_K + F.col("c1")) * _PQ_K + F.col("c2")) * _PQ_K
+        + F.col("c3")
+    ).cast("int")
+    recon = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    return (
+        codes.groupBy("vec_id")
+        .agg(*cpiv, *dpiv)
+        .select("vec_id", packed.alias("pq_code"), recon.alias("recon_err"))
+    )
+
+
+# ADC (asymmetric distance) CTEs shared by the two search queries: the
+# query keeps its exact sub-vectors; corpus vectors are represented
+# ONLY by their codes.  Per query the distance table (LUT) has M·K
+# entries; corpus distance = sum of M LUT lookups.
+_SQL_PQ_ADC_CTES = f"""
+    lut AS (
+      SELECT q.vec_id AS query_id, q.sub_id, c.cid,
+             {_sql_pq_dist2('q.subvec', 'c.cvec')} AS d
+      FROM subs q JOIN cents c ON q.sub_id = c.sub_id
+      WHERE q.vec_id < 5
+    ), adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             {_pq_fold4("MAX(CASE WHEN l.sub_id = {s} THEN l.d END)")} AS adc_dist2
+      FROM codes k JOIN lut l ON k.sub_id = l.sub_id AND k.cid = l.cid
+      WHERE k.vec_id <> l.query_id
+      GROUP BY l.query_id, k.vec_id
+    ), adc_top AS (
+      SELECT query_id, neighbor_id, adc_dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= 3
+    )"""
+
+
+def _pq_adc_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of the adc/adc_top CTEs: LUT is |Q|·M·K = 80 rows
+    broadcast to the corpus code stream; the per-(query, neighbor) sum
+    folds the M subspace distances in fixed sub_id order via MAX-CASE
+    pivots (bit-identical association on both engines)."""
+    _, subs, cents, codes = _pq_codes(spark, sf_dir)
+    lut = (
+        subs.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "sub_id")
+        .select(
+            "query_id",
+            "sub_id",
+            "cid",
+            _pq_dist2(F.col("subvec"), F.col("cvec")).alias("d"),
+        )
+    )
+    dpiv = [
+        F.max(F.when(F.col("sub_id") == s, F.col("d"))).alias(f"d{s}")
+        for s in range(_PQ_M)
+    ]
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(*dpiv)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")).alias(
+                "adc_dist2"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "adc_dist2")
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_SQL_PQ_CODES_CTES}, {_SQL_PQ_ADC_CTES}
+    SELECT query_id, neighbor_id, adc_dist2 FROM adc_top
+    """,
+    covers=["M6-similarity", "J-extended", "W-extended"],
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with asymmetric distance computation: top-3 neighbors
+    per query (vec_id < 5) ranked by the sum of per-subspace distances
+    from the query's EXACT sub-vectors to each corpus vector's
+    CENTROIDS — the corpus is touched only through its 1-byte codes.
+
+    This is the memory-bound half of a FAISS IVFPQ index: at 100 TB of
+    raw vectors the code table is ~0.4 % of the data, the LUT
+    (|Q|·M·K doubles) broadcasts for free, and the scan is one
+    map-side hash-join pass + a (query, neighbor) partial aggregate
+    (map-side combine caps the shuffle at |Q| rows per neighbor).
+    Composable with the IVF cell filter (`ivf_ann_topk`) to prune the
+    scan itself."""
+    prep(spark)
+    return _pq_adc_top(spark, sf_dir)
+
+
+@query(
+    "pq_recall_at3",
+    oracle=f"""
+    WITH {_SQL_PQ_CODES_CTES}, {_SQL_PQ_ADC_CTES}, exact_pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_pq_dist2('q.embedding', 'e.embedding')} AS dist2
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn
+        FROM exact_pairs
+      ) WHERE rn <= 3
+    )
+    SELECT a.query_id,
+           CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(e.neighbor_id) / 3.0 AS recall_at3
+    FROM adc_top a LEFT JOIN exact_top e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+    """,
+    covers=["M6-similarity", "A-extended"],
+)
+def pq_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop PQ index quality: recall@3 of the compressed-domain
+    ADC ranking against exact squared-L2 ground truth, per query — the
+    same measurement discipline as `ivf_recall_at3` (don't ship an
+    index without its recall number).  Ground truth is a broadcast
+    query×corpus scan (|Q| = 5), the ADC side reuses the code path of
+    `pq_adc_topk`; the comparison is a 15-row broadcast join."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    adc_top = _pq_adc_top(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact_pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pq_dist2(F.col("q_emb"), F.col("n_emb")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    exact_top = (
+        exact_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hit = exact_top.withColumn("hit", F.lit(1))
+    return (
+        adc_top.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(3.0)).alias("recall_at3"),
+        )
     )

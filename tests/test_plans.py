@@ -103,6 +103,17 @@ EXPECTATIONS = [
     # PageRank hop: edge×deg table is checkpoint-materialized, each
     # hop is rank-join + ONE dst agg exchange; no quadratic probes
     ("pagerank_event_graph", 10, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # PQ encode: 16-row codebook BROADCAST to the sub-vector stream;
+    # the only exchanges are the (vec_id, sub_id) argmin window + the
+    # per-vector repack agg — never a shuffled product
+    ("pq_codebook_recon_error", 4, ["BroadcastHashJoin", "Window"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # ADC search: LUT broadcast into the code stream; per-(query,
+    # neighbor) sum is a partial-aggregated hash agg, top-k a window
+    # (7 = 4 parallel_scan RR repartitions of the unsplittable fixture
+    # + code argmin + pair agg + top-k window — no shuffled joins)
+    ("pq_adc_topk", 7, ["BroadcastHashJoin", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 
