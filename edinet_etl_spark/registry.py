@@ -51,6 +51,7 @@ def load_all() -> None:
         events,
         llmdata,
         multimodal,
+        pii,
         reference_ops,
         relational,
         similarity,
@@ -120,7 +121,7 @@ _PRIORITY: tuple[str, ...] = (
 # Tail order for queries not in _PRIORITY: still-unproven families
 # first, round-1-green modules last.
 _MODULE_ORDER: tuple[str, ...] = (
-    "sketches", "temporal", "text", "similarity", "subqueries", "tpch_rest",
+    "sketches", "pii", "temporal", "text", "similarity", "subqueries", "tpch_rest",
     "udf_surface", "jobs", "multimodal", "sql_api", "relational",
     "reference_ops", "llmdata", "events", "dedup", "analytics",
 )
