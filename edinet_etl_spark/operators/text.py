@@ -285,3 +285,69 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "doc_freq", "tfidf_ratio")
     )
+
+
+@query(
+    "doc_rarity_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           CAST(MIN(df.doc_freq) AS BIGINT) AS rarest_df,
+           CAST(SUM(df.doc_freq) AS DOUBLE)
+             / (COUNT(*) * ANY_VALUE(n.n_docs)) AS mean_df_ratio
+    FROM tok JOIN df USING (term) CROSS JOIN n
+    GROUP BY tok.doc_id
+    """,
+    covers=["M6-text", "A-extended"],
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded rarity/quality signal per document: for each
+    doc's DISTINCT terms, the mean document-frequency ratio (how
+    "ordinary" its vocabulary is corpus-wide) and the rarest term's
+    document frequency.  Low mean_df_ratio ≈ jargon/noise; rarest_df=1
+    flags docs carrying hapax terms — the cheap stand-in for an LM
+    perplexity filter that needs no model and no libm (the score is an
+    integer-sum ratio: one correctly-rounded double division).
+
+    Plan: distinct (doc, term) pairs via array_distinct BEFORE the
+    explode (array-local dedup, shrinks the shuffle), one term-keyed
+    aggregate for df, join back on term (AQE broadcasts the df side
+    when the vocabulary is small — here 10² terms; at web scale the
+    vocab join is the classic skew case and term salting applies),
+    then one doc-keyed aggregate.  n_docs is a broadcast scalar."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    )
+    df = tok.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tok.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_terms"),
+            F.min("doc_freq").cast("bigint").alias("rarest_df"),
+            F.sum("doc_freq").alias("sum_df"),
+            F.first("n_docs").alias("n_docs"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_terms",
+            "rarest_df",
+            (
+                F.col("sum_df").cast("double")
+                / (F.col("n_distinct_terms") * F.col("n_docs"))
+            ).alias("mean_df_ratio"),
+        )
+    )

@@ -103,6 +103,19 @@ EXPECTATIONS = [
     # PageRank hop: edge×deg table is checkpoint-materialized, each
     # hop is rank-join + ONE dst agg exchange; no quadratic probes
     ("pagerank_event_graph", 10, ["BroadcastHashJoin"], ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # rarity scoring: explode → term agg → term join (AQE may broadcast
+    # the vocab side) → doc agg; all equi-keyed, no quadratic probes
+    # (the 1-row n_docs scalar attaches via broadcast NLJ — benign)
+    ("doc_rarity_scores", 5, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct"]),
+    # PII scrub: pure codegen regex chain — zero shuffle, zero Python
+    ("pii_scrub_customers", 0, [], ["PythonUDF", "Exchange"]),
+    # triangle count: degree-oriented wedge join — every join is a key
+    # equi-join (hub wedges bounded by orientation); the naive
+    # unoriented 3-way self-join would be a hub² blowup
+    # (single-row count cards attach via broadcast NLJ — benign)
+    ("triangle_count_copurchase", 12, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct"]),
     # PQ encode: 16-row codebook BROADCAST to the sub-vector stream;
     # the only exchanges are the (vec_id, sub_id) argmin window + the
     # per-vector repack agg — never a shuffled product
