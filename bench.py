@@ -64,6 +64,10 @@ HEADLINE = [
     # LLM-data curation
     "benchmark_contamination",
     "train_test_split_counts",
+    # round-2 continuation: compressed-domain ANN + corpus rarity + PII
+    "pq_adc_topk",
+    "doc_rarity_scores",
+    "pii_scrub_customers",
 ]
 
 

@@ -669,3 +669,50 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "bpe_top_merges",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair
+      FROM words, UNNEST(generate_series(1, length(word) - 1)) t(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    covers=["M6-curation", "A-extended", "L1/L2"],
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-tokenizer training iteration: count every adjacent
+    character pair inside every word across the corpus and rank the
+    top-20 merge candidates (count desc, pair asc — the pair a real
+    trainer would merge next; iterating = byte-pair encoding).
+
+    Plan: word explode → in-word pair fan-out (sequence + substring,
+    array-local, zero extra shuffle) → ONE pair-keyed aggregate.
+    Map-side combine collapses each task to its distinct-pair counts
+    (bounded by alphabet², not corpus size), so the shuffle payload is
+    constant-ish per task at any corpus scale — the same mergeable-
+    summary property as the CMS sketch.  Top-20 is a TakeOrdered over
+    the tiny aggregate, never a full sort of the pair table."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"), "word"
+    ).select(F.expr("substring(word, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

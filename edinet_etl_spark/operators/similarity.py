@@ -1212,3 +1212,69 @@ def pq_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(3.0)).alias("recall_at3"),
         )
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS a_emb
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS negative_label,
+             {_sql_dot('a.a_emb', 'e.embedding')} /
+               (sqrt({_sql_dot('a.a_emb', 'a.a_emb')})
+                * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cosine
+      FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, negative_id, negative_label, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "W-extended"],
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining: for each anchor (vec_id < 5)
+    the 3 most-similar vectors with a DIFFERENT label — the "hard
+    negatives" that make contrastive/embedding training informative
+    (easy random negatives teach nothing; the near-miss neighbors
+    define the decision boundary).
+
+    Plan: anchors broadcast, corpus scanned once, per-anchor top-k via
+    window rank with WindowGroupLimit pushdown — identical cost shape
+    to `cosine_topk_bruteforce`.  At 100 TB you swap the scan for the
+    ANN cell probe (`ivf_ann_topk`) filtered to foreign labels; the
+    ranking and determinism discipline (fixed-fold dot, ties by id)
+    stay the same."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            (
+                dot_exact(F.col("a_emb"), F.col("embedding"))
+                / (
+                    F.sqrt(dot_exact(F.col("a_emb"), F.col("a_emb")))
+                    * F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "negative_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("anchor_id", "negative_id", "negative_label", "cosine")
+    )

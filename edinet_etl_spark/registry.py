@@ -52,6 +52,7 @@ def load_all() -> None:
         llmdata,
         multimodal,
         pii,
+        quality,
         reference_ops,
         relational,
         similarity,
@@ -121,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
 # Tail order for queries not in _PRIORITY: still-unproven families
 # first, round-1-green modules last.
 _MODULE_ORDER: tuple[str, ...] = (
-    "sketches", "pii", "temporal", "text", "similarity", "subqueries", "tpch_rest",
+    "sketches", "pii", "quality", "temporal", "text", "similarity", "subqueries", "tpch_rest",
     "udf_surface", "jobs", "multimodal", "sql_api", "relational",
     "reference_ops", "llmdata", "events", "dedup", "analytics",
 )

@@ -116,6 +116,21 @@ EXPECTATIONS = [
     # (single-row count cards attach via broadcast NLJ — benign)
     ("triangle_count_copurchase", 12, ["HashAggregate"],
      ["PythonUDF", "CartesianProduct"]),
+    # BPE merge step: word/pair fan-out collapses map-side to distinct
+    # pair counts; top-20 is TakeOrdered over the aggregate, no global sort
+    ("bpe_top_merges", 2, ["HashAggregate", "TakeOrderedAndProject"],
+     ["PythonUDF", "CartesianProduct", "Sort "]),
+    # hard-negative mining: anchors broadcast, one corpus scan,
+    # per-anchor rank with group-limit pushdown
+    ("hard_negative_mining", 3, ["WindowGroupLimit"],
+     ["PythonUDF", "SortMergeJoin"]),
+    # profile: ONE scan, all aggregates share it (Expand for the
+    # multi-column distinct), stack unpivot — no per-column rescans
+    ("table_profile_orders", 4, ["Expand"], ["PythonUDF", "CartesianProduct"]),
+    # integrity gate: FK rules as anti joins (dims broadcast; the
+    # fact-fact orderkey check may shuffle), 5-row union output
+    ("data_quality_checks", 11, ["LeftAnti", "Union"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # PQ encode: 16-row codebook BROADCAST to the sub-vector stream;
     # the only exchanges are the (vec_id, sub_id) argmin window + the
     # per-vector repack agg — never a shuffled product
