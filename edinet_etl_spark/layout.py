@@ -66,6 +66,23 @@ def write_date_partitioned_events(
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
 
 
+def overwrite_one_day(
+    spark: SparkSession, out_dir: str, day_df: DataFrame
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``day_df``, leaving every other date directory untouched — the
+    idempotent daily-backfill primitive (static overwrite mode would
+    truncate the WHOLE table first; at a 100 TB lake that difference is
+    the job).  The mode switch is per-write via the session conf; we
+    restore the previous value so hostile sessions stay unsurprised."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        day_df.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_one_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     """A one-day slice; the date predicate must appear as a
     PartitionFilter (directory pruning), not a data filter."""

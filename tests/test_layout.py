@@ -182,3 +182,35 @@ def test_zorder_value_interleaves_bits(spark):
     # bit0(a)=1→z0, bit0(b)=0→z1, bit1(a)=0→z2, bit1(b)=1→z3,
     # bit2(a)=1→z4, bit2(b)=1→z5 → 0b110001 + 0b001000 = 0b111001
     assert r["zc"] == 0b111001
+
+
+def test_dynamic_partition_overwrite_touches_only_its_day(spark, tmp_path):
+    """Backfilling one day must not disturb the other date partitions
+    (dynamic partitionOverwriteMode), and the table total must reflect
+    exactly the replaced day."""
+    out = str(tmp_path / "events_dyn")
+    layout.write_date_partitioned_events(spark, SF_DIR, out)
+    total_before = spark.read.parquet(out).count()
+    day = "2024-01-03"
+    day_before = layout.read_one_day(spark, out, day).count()
+    assert day_before > 0
+    # replacement slice: that day's events with value doubled, HALF the rows
+    repl = (
+        load(spark, SF_DIR, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .filter(F.col("event_date") == day)
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") * 2)
+    )
+    n_repl = repl.count()
+    assert 0 < n_repl < day_before
+    layout.overwrite_one_day(spark, out, repl)
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("event_date") == day).count() == n_repl
+    # every other partition untouched
+    assert after.count() == total_before - day_before + n_repl
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )

@@ -220,6 +220,16 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the closed 10:00 window emitted exactly once, WITHOUT the late
     # event (no re-open, no second emission)
     assert first_window == [2], rows
+    # drop ACCOUNTING: the runtime's own counters must attribute the
+    # late event — at scale this progress metric (the same number the
+    # UI shows) is how an operator discovers silent data loss, so pin
+    # that it actually fires rather than trusting output-side absence
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, [p.get("stateOperators") for p in q.recentProgress]
 
 
 def test_foreachbatch_upsert_snapshot(spark, tmp_path):
