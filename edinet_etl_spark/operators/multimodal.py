@@ -245,3 +245,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_len int, frame_md5 string"
         ),
     )
+
+
+# Audio leg: payload bytes read as 8-bit PCM samples, framed without
+# overlap; per-frame energy = Σ (sample − _AUDIO_BIAS)² — pure integer
+# math, so the mapInPandas kernel and the SQL oracle agree bit-exactly.
+_AUDIO_FRAME = 256
+_AUDIO_BIAS = 64
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if not b:  # oracle emits no row for an empty payload
+                continue
+            n_frames = -(-len(b) // _AUDIO_FRAME)
+            total = 0
+            peak = -1
+            peak_frame = -1
+            for i in range(n_frames):
+                frame = b[i * _AUDIO_FRAME : (i + 1) * _AUDIO_FRAME]
+                e = sum((s - _AUDIO_BIAS) ** 2 for s in frame)
+                total += e
+                if e > peak:
+                    peak, peak_frame = e, i
+            out.append((doc_id, n_frames, total, peak, peak_frame))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "total_energy", "peak_energy", "peak_frame"],
+        )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             (i - 1) // {_AUDIO_FRAME} AS frame_idx,
+             (ascii(substr(text, CAST(i AS INT), 1)) - {_AUDIO_BIAS})
+               * (ascii(substr(text, CAST(i AS INT), 1)) - {_AUDIO_BIAS}) AS sq
+      FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+    ), frames AS (
+      SELECT doc_id, frame_idx, SUM(sq) AS energy
+      FROM samples GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS peak_energy,
+           CAST(MIN(CASE WHEN energy = me THEN frame_idx END) AS BIGINT)
+             AS peak_frame
+    FROM (SELECT *, MAX(energy) OVER (PARTITION BY doc_id) AS me FROM frames)
+    GROUP BY doc_id
+    """,
+    covers=["M6-multimodal", "X1"],
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary payloads: bytes as 8-bit
+    PCM samples, non-overlapping {frame}-sample windows, per-frame
+    energy Σ(s−bias)², reduced to the per-doc summary (frame count,
+    total and peak energy, earliest peak frame — the VAD/loudness
+    screening pass an audio curation pipeline runs first).
+
+    Same discipline as the image/frame stubs: payloads are ascii text
+    bytes standing in for PCM, so the SQL oracle replays the identical
+    integer math per character and the Arrow-batched ``mapInPandas``
+    kernel is proven bit-for-bit, not just shape-checked.  Plan: one
+    Python island, per-doc work linear in payload bytes, no shuffle
+    (summaries computed inside the kernel)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.mapInPandas(
+        _audio_batches,
+        schema=(
+            "doc_id long, n_frames bigint, total_energy bigint, "
+            "peak_energy bigint, peak_frame bigint"
+        ),
+    )
