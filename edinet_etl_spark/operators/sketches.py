@@ -541,3 +541,99 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         (F.col("n_triangles") / F.col("n_wedges").cast("double")).alias("closure_rate"),
     )
+
+
+_LIFT_MIN_SUPPORT = 8  # pair must co-occur in ≥ this many orders
+
+
+@query(
+    "copurchase_lift_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), pair_n AS (
+      SELECT u, v, COUNT(*) AS n_ab FROM pairs GROUP BY u, v
+    ), item_n AS (
+      SELECT l_partkey AS item, COUNT(DISTINCT l_orderkey) AS n_i
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT COUNT(DISTINCT o_orderkey) AS n_orders FROM orders
+    )
+    SELECT p.u AS part_a, p.v AS part_b,
+           CAST(p.n_ab AS BIGINT) AS n_together,
+           CAST(ia.n_i AS BIGINT) AS n_a,
+           CAST(ib.n_i AS BIGINT) AS n_b,
+           CAST(p.n_ab * t.n_orders AS BIGINT)
+             / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON ia.item = p.u
+    JOIN item_n ib ON ib.item = p.v
+    CROSS JOIN tot t
+    WHERE p.n_ab >= {_LIFT_MIN_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    covers=["A-extended", "J-extended", "L1/L2"],
+)
+def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 part pairs by LIFT
+    (P(a,b) / P(a)P(b)) with a minimum co-occurrence support — the
+    classic recommender/affinity signal.  Lift instead of PMI keeps
+    the score an exact integer ratio (`n_ab·N / (n_a·n_b)`, ONE
+    correctly-rounded double division) — no libm, same ordering.
+
+    Plan: the per-order pair fan-out is the same bounded explode as
+    the triangle counter (distinct collapses multiplicity); item and
+    pair supports are two partial-aggregated group-bys; the final join
+    attaches two |parts|-row sides (AQE broadcasts them) and the
+    min-support filter prunes BEFORE the join fan-in.  Top-20 is a
+    TakeOrdered over the surviving pairs."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    item_n = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("n_i")
+    )
+    tot = (
+        parallel_scan(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+    ia = item_n.select(F.col("item").alias("u"), F.col("n_i").alias("na"))
+    ib = item_n.select(F.col("item").alias("v"), F.col("n_i").alias("nb"))
+    return (
+        pair_n.join(ia, "u")
+        .join(ib, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("n_ab").cast("bigint").alias("n_together"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("bigint")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -214,3 +214,49 @@ def grouped_map_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zscore_fn(),
         schema="user_id long, event_id long, value double, zscore double",
     )
+
+
+_BAND_CASE = (
+    "CASE WHEN o_totalprice < 50000 THEN 'low' "
+    "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@query(
+    "sql_udf_band_totals",
+    oracle=f"""
+    SELECT {_BAND_CASE} AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    covers=["X-udf", "A-extended"],
+)
+def sql_udf_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF surface: a function DEFINED IN SQL
+    (CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr) used from a
+    SQL query — the pluggable-function path that stays entirely inside
+    Catalyst: the body inlines into the plan at analysis time, so the
+    "UDF" costs nothing at runtime (full codegen, pushdown-friendly),
+    unlike the Python UDF boundary the other udf_surface queries
+    deliberately exercise.  The oracle inlines the same expression —
+    results compare, mechanism differs by design."""
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low' "
+        "WHEN p < 200000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS STRING)
+                    AS DOUBLE) AS total_price
+        FROM orders_v
+        GROUP BY price_band(o_totalprice)
+        """
+    )
