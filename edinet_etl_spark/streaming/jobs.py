@@ -550,3 +550,116 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
     return spark.read.parquet(snap)
+
+
+# ------------------------------------------------------------------
+# Streaming data-quality monitor: additive rule counters maintained
+# per micro-batch (the streaming face of operators/quality.py)
+# ------------------------------------------------------------------
+
+# (rule name, violation predicate as a Spark Column factory, oracle SQL
+# predicate) — every rule is an ADDITIVE count, so per-batch counts
+# merge by SUM and the final monitor state equals the batch scan.
+def _quality_rules():
+    return [
+        ("error_events", F.col("event_type") == "error", "event_type = 'error'"),
+        ("outlier_value", F.col("value") > 400.0, "value > 400.0"),
+        ("null_props", F.col("props").isNull(), "props IS NULL"),
+        (
+            "unknown_event_type",
+            ~F.col("event_type").isin("click", "signup", "error", "view", "purchase"),
+            "event_type NOT IN ('click','signup','error','view','purchase')",
+        ),
+    ]
+
+
+def stream_quality_monitor(events: DataFrame, snapshot_dir: str, checkpoint_dir: str):
+    """foreachBatch quality monitor: each micro-batch counts its rule
+    violations (one conditional-sum pass, no per-rule rescans) and
+    merge-adds them into a parquet metrics snapshot — the live
+    dashboard table an on-call reads.  Counts are additive, so
+    exactly-once replay (checkpointed batch ids + idempotent staging
+    swap) makes the monitor's final state equal the one-shot batch
+    scan no matter how the feed was chopped into batches."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        aggs = [
+            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, pred, _ in _quality_rules()
+        ] + [F.count("*").cast("bigint").alias("n_rows")]
+        wide = batch_df.agg(*aggs)
+        names = [n for n, _, _ in _quality_rules()] + ["n_rows"]
+        stack = ", ".join(f"'{n}', {n}" for n in names)
+        updates = wide.select(
+            F.expr(f"stack({len(names)}, {stack}) AS (check_name, n)")
+        )
+        if os.path.exists(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = (
+                base.unionByName(updates)
+                .groupBy("check_name")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = updates
+        staging = snapshot_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(staging, snapshot_dir)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@query(
+    "streaming_quality_monitor",
+    oracle="""
+    SELECT 'error_events' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n
+    FROM events
+    UNION ALL
+    SELECT 'outlier_value',
+           CAST(COUNT(*) FILTER (WHERE value > 400.0) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'null_props',
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'unknown_event_type',
+           CAST(COUNT(*) FILTER (
+             WHERE event_type NOT IN ('click','signup','error','view','purchase')
+           ) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'n_rows', CAST(COUNT(*) AS BIGINT) FROM events
+    """,
+    covers=["M5-stream", "S8", "A3"],
+)
+def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming observability: the event stream maintains
+    a rule-violation metrics snapshot via ``foreachBatch``
+    (`stream_quality_monitor`), and the FINAL snapshot must equal the
+    one-shot batch scan — additivity + exactly-once replay proven the
+    same way as `streaming_cdc_snapshot`."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"edinet_qmon_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    snap = os.path.join(base, "snapshot")
+    ckpt = os.path.join(base, "ckpt")
+    ev = read_events_stream(spark, sf_dir)
+    q = stream_quality_monitor(ev, snap, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(snap)
