@@ -429,3 +429,45 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    covers=["F14"],
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    path extraction with ``try_variant_get`` — the modern engine path
+    for schema-on-read JSON (parse once, probe many, columnar-friendly;
+    vs F14's per-path ``get_json_object`` string re-parse in
+    `props_json_decode`).  The oracle reads the same paths with
+    DuckDB's JSON functions — the value surface is identical, the
+    storage encoding is each engine's own.  All aggregates integer →
+    exact."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )

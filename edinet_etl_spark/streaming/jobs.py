@@ -541,7 +541,11 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prep(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the applicationId: two sessions running this query
+    # concurrently must not clobber each other's snapshot/checkpoint
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"edinet_cdc_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     snap = os.path.join(base, "snapshot")
@@ -654,7 +658,9 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prep(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"edinet_qmon_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     snap = os.path.join(base, "snapshot")

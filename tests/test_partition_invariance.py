@@ -1,0 +1,67 @@
+"""Partition-shape invariance: the 1000-executor claim, tested.
+
+Every float aggregate in this repo goes through the decimal `dsum`
+discipline or array-local fixed folds precisely so that the ANSWER
+does not depend on how many partitions the shuffle used — i.e. on
+cluster shape.  This suite reruns representative float-bearing
+queries under two very different `spark.sql.shuffle.partitions`
+settings (5 vs 37, both co-prime to the data) and asserts the
+canonical result hash is BIT-IDENTICAL.
+
+A failure here means some aggregate silently depends on partial-agg
+tree shape — exactly the class of bug that only shows up when the
+job moves from laptop to cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from edinet_etl_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+# float-heavy representatives across families (dsum, windows, fixed
+# folds, iterative, stateful streaming excluded only for runtime cost)
+CASES = [
+    "pricing_summary",
+    "revenue_by_nation_year",
+    "running_customer_spend",
+    "tumbling_hourly_stats",
+    "time_weighted_avg_value",
+    "cosine_topk_bruteforce",
+    "pq_adc_topk",
+    "kmeans_train_step",
+    "salted_returnflag_totals",
+    "price_quantity_corr",
+    "streaming_quality_monitor",
+]
+
+
+def _canon_hash(df) -> str:
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        return v.hex() if isinstance(v, float) else str(v)
+
+    lines = sorted(
+        ",".join(cell(r[i]) for i in order) for r in df.collect()
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        h5 = _canon_hash(registry.QUERIES[name](spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        h37 = _canon_hash(registry.QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h5 == h37, f"{name}: result depends on shuffle partitioning"
