@@ -50,13 +50,15 @@ def scrub(col: Column) -> Column:
 
 def detector_counts(col: Column) -> list[Column]:
     """One `n_<detector>` BIGINT per detector.  Counts are measured on
-    the progressively-masked text (same consumption order as `scrub`)
-    so a span never double-counts across detectors."""
+    the progressively TOKEN-masked text — the identical replacement
+    `scrub` applies — so the counts describe exactly the redactions in
+    the shipped output (masking with '' instead would splice adjacent
+    text and could mint matches scrub never masks)."""
     cols = []
     masked = col
-    for name, pat, _tok in PII_DETECTORS:
+    for name, pat, tok in PII_DETECTORS:
         cols.append(F.regexp_count(masked, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
-        masked = F.regexp_replace(masked, F.lit(pat), F.lit(""))
+        masked = F.regexp_replace(masked, F.lit(pat), F.lit(tok))
     return cols
 
 
@@ -70,15 +72,25 @@ def _sql_scrub(expr: str) -> str:
 def _sql_counts(expr: str) -> list[str]:
     cols = []
     masked = expr
-    for name, pat, _tok in PII_DETECTORS:
+    for name, pat, tok in PII_DETECTORS:
         cols.append(
             f"CAST(len(regexp_extract_all({masked}, '{pat}')) AS BIGINT) AS n_{name}"
         )
-        masked = f"regexp_replace({masked}, '{pat}', '', 'g')"
+        masked = f"regexp_replace({masked}, '{pat}', '{tok}', 'g')"
     return cols
 
 
 _TOTAL = " + ".join(f"n_{n}" for n, _, _ in PII_DETECTORS)
+
+
+def _total_col() -> Column:
+    """Python mirror of the `_TOTAL` SQL string: sum of the per-
+    detector count columns."""
+    total = None
+    for name, _, _ in PII_DETECTORS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return total
 
 
 @query(
@@ -109,10 +121,7 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub(F.col("c_name")).alias("masked_name"),
         *detector_counts(F.col("c_name")),
     )
-    total = None
-    for name, _, _ in PII_DETECTORS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
+    total = _total_col()
     return scanned.select(
         "c_custkey",
         "masked_name",
@@ -156,10 +165,7 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrub(F.col("c_name"))).alias("n1"),
         *detector_counts(F.col("c_name")),
     )
-    total = None
-    for name, _, _ in PII_DETECTORS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
+    total = _total_col()
     return scanned.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.when(total > 0, 1).otherwise(0)).cast("bigint").alias("n_rows_with_pii"),

@@ -521,12 +521,11 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tri = per_edge.agg(F.sum("t").cast("bigint").alias("n_triangles"))
-    wed = adj.agg(
-        F.sum(
-            (F.size("nbrs").cast("bigint") * (F.size("nbrs") - 1)) / F.lit(2)
-        )
-        .cast("bigint")
-        .alias("n_wedges")
+    # C(d,2) in INTEGER arithmetic (bigint product, DIV 2, bigint SUM)
+    # — the double-division form would round past 2^53 and become
+    # partition-shape dependent; the oracle's // is mirrored exactly
+    wed = adj.select(F.size("nbrs").cast("bigint").alias("sz")).agg(
+        F.sum(F.expr("(sz * (sz - 1)) DIV 2")).cast("bigint").alias("n_wedges")
     )
     counts = (
         deg.agg(F.count("*").cast("bigint").alias("n_nodes"))

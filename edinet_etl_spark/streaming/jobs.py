@@ -348,28 +348,93 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _applied_batch(snapshot_dir: str) -> int:
+    """Last batch id merged into the snapshot (-1 if none).  The
+    marker travels INSIDE the snapshot directory (written to staging
+    before the atomic rename), so snapshot content and marker can
+    never disagree after a crash."""
+    import os
+
+    marker = os.path.join(snapshot_dir, "_applied_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return -1
+
+
+def _swap_snapshot(merged, snapshot_dir: str, batch_id: int) -> None:
+    """Materialize ``merged`` to staging, stamp the batch-id marker,
+    atomically swap.  foreachBatch is AT-LEAST-once: if the driver
+    dies between this swap and the checkpoint commit, the batch is
+    re-delivered — the caller must skip batch ids ≤ `_applied_batch`
+    or an additive merge double-counts (parquet files like
+    ``_applied_batch`` that start with '_' are invisible to the
+    reader, like _SUCCESS)."""
+    import os
+    import shutil
+
+    staging = snapshot_dir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_applied_batch"), "w") as f:
+        f.write(str(batch_id))
+    if os.path.exists(snapshot_dir):
+        shutil.rmtree(snapshot_dir)
+    os.rename(staging, snapshot_dir)
+
+
+def _snapshot_workdir(spark, sf_dir: str, prefix: str) -> tuple[str, str]:
+    """Fresh (snapshot, checkpoint) pair under a tag unique to BOTH
+    the data dir and this session — two sessions running the same
+    query concurrently must not clobber each other."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    return os.path.join(base, "snapshot"), os.path.join(base, "ckpt")
+
+
 def stream_upsert_to_snapshot(
     events: DataFrame, snapshot_dir: str, checkpoint_dir: str
 ):
-    """CDC-style sink: each micro-batch merge-upserts per-user totals
-    into a parquet snapshot via ``foreachBatch`` + ``merge_upsert`` —
-    the pattern for maintaining a queryable serving table from a
-    stream without a table format.  foreachBatch gives the batch
-    DataFrame API (joins, overwrite) inside the streaming commit;
-    exactly-once comes from the checkpoint replaying whole batches
-    into an idempotent merge.
+    """CDC-style sink: each micro-batch merge-ADDS per-user totals
+    into a parquet snapshot via ``foreachBatch`` — the pattern for
+    maintaining a queryable serving table from a stream without a
+    table format.  foreachBatch delivery is AT-LEAST-once (a crash
+    between snapshot swap and checkpoint commit re-delivers the
+    batch), so the additive merge alone is NOT idempotent; the
+    batch-id marker stamped inside the snapshot (atomic with the
+    swap, see `_swap_snapshot`) turns re-delivery into a no-op —
+    that pair is what makes the end state exactly-once.
 
     Note the overwrite staging: parquet cannot be read and overwritten
     in one job, so the merge materializes to a staging dir and swaps.
     (Delta/Iceberg make this an atomic commit; the orchestration is
     identical.)
     """
-    from edinet_etl_spark.layout import merge_upsert
+    upsert = make_totals_upsert(snapshot_dir)
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_totals_upsert(snapshot_dir: str):
+    """The CDC merge closure, exposed so tests can re-deliver a batch
+    id and pin replay idempotence."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
+        if batch_id <= _applied_batch(snapshot_dir):
+            return  # re-delivered batch after a crash: already merged
         spark = batch_df.sparkSession
         updates = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"), dsum(F.col("value"), "total_value")
@@ -387,18 +452,9 @@ def stream_upsert_to_snapshot(
             )
         else:
             merged = updates
-        staging = snapshot_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(staging, snapshot_dir)
+        _swap_snapshot(merged, snapshot_dir, batch_id)
 
-    return (
-        events.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return upsert
 
 
 @query(
@@ -535,21 +591,8 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic; with a multi-file feed the merge genuinely runs
     once per micro-batch and the decimal-exact ``dsum`` discipline
     makes re-merged totals bit-identical to the single-pass sum."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     prep(spark)
-    # tag includes the applicationId: two sessions running this query
-    # concurrently must not clobber each other's snapshot/checkpoint
-    tag = hashlib.md5(
-        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"edinet_cdc_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    snap = os.path.join(base, "snapshot")
-    ckpt = os.path.join(base, "ckpt")
+    snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_cdc")
     ev = read_events_stream(spark, sf_dir)
     q = stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
@@ -581,15 +624,29 @@ def stream_quality_monitor(events: DataFrame, snapshot_dir: str, checkpoint_dir:
     """foreachBatch quality monitor: each micro-batch counts its rule
     violations (one conditional-sum pass, no per-rule rescans) and
     merge-adds them into a parquet metrics snapshot — the live
-    dashboard table an on-call reads.  Counts are additive, so
-    exactly-once replay (checkpointed batch ids + idempotent staging
-    swap) makes the monitor's final state equal the one-shot batch
-    scan no matter how the feed was chopped into batches."""
+    dashboard table an on-call reads.  Counts are additive, and the
+    batch-id marker inside the snapshot makes at-least-once
+    foreachBatch re-delivery a no-op, so the monitor's final state
+    equals the one-shot batch scan no matter how the feed was chopped
+    into batches or where a restart landed."""
+    upsert = make_quality_upsert(snapshot_dir)
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_quality_upsert(snapshot_dir: str):
+    """The monitor merge closure, exposed so tests can re-deliver a
+    batch id and pin replay idempotence."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
+        if batch_id <= _applied_batch(snapshot_dir):
+            return  # re-delivered batch after a crash: already counted
         spark = batch_df.sparkSession
         aggs = [
             F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
@@ -610,18 +667,9 @@ def stream_quality_monitor(events: DataFrame, snapshot_dir: str, checkpoint_dir:
             )
         else:
             merged = updates
-        staging = snapshot_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(staging, snapshot_dir)
+        _swap_snapshot(merged, snapshot_dir, batch_id)
 
-    return (
-        events.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return upsert
 
 
 @query(
@@ -652,19 +700,8 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`stream_quality_monitor`), and the FINAL snapshot must equal the
     one-shot batch scan — additivity + exactly-once replay proven the
     same way as `streaming_cdc_snapshot`."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     prep(spark)
-    tag = hashlib.md5(
-        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"edinet_qmon_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    snap = os.path.join(base, "snapshot")
-    ckpt = os.path.join(base, "ckpt")
+    snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_qmon")
     ev = read_events_stream(spark, sf_dir)
     q = stream_quality_monitor(ev, snap, ckpt)
     q.awaitTermination()

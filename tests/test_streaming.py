@@ -253,3 +253,35 @@ def test_foreachbatch_upsert_snapshot(spark, tmp_path):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(got.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered after a
+    crash (same batch_id) must NOT double-count.  Pins the batch-id
+    marker inside the snapshot (atomic with the staging swap) for both
+    additive sinks."""
+    from edinet_etl_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events").limit(100)
+
+    # quality monitor: replay batch 0, then a genuine batch 1
+    snap_q = str(tmp_path / "qsnap")
+    upsert_q = jobs.make_quality_upsert(snap_q)
+    upsert_q(ev, 0)
+    first = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    upsert_q(ev, 0)  # re-delivery: must be a no-op
+    replay = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    assert replay == first
+    upsert_q(ev, 1)  # new batch: must add
+    second = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    assert second["n_rows"] == 2 * first["n_rows"]
+
+    # CDC totals: same contract
+    snap_c = str(tmp_path / "csnap")
+    upsert_c = jobs.make_totals_upsert(snap_c)
+    upsert_c(ev, 0)
+    base = {r["user_id"]: r["n_events"] for r in spark.read.parquet(snap_c).collect()}
+    upsert_c(ev, 0)
+    assert {
+        r["user_id"]: r["n_events"] for r in spark.read.parquet(snap_c).collect()
+    } == base

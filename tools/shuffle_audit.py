@@ -35,9 +35,11 @@ DEFAULT = [
 
 
 def _parse_total(v: str) -> float:
-    """Metric renders as '400', '1,234' or '4.9 KiB (min, med, max…)'
-    — return the total in base units (bytes or records)."""
-    head = v.split(" (")[0].strip().replace(",", "")
+    """Metric renders as '400', '1,234' or — for multi-task size
+    metrics — as TWO lines: 'total (min, med, max (stageId: taskId))'
+    then '4.9 KiB (1262.0 B, …)'.  The total is the first token(s) of
+    the LAST line; return it in base units (bytes or records)."""
+    head = v.splitlines()[-1].split(" (")[0].strip().replace(",", "")
     m = re.match(r"^([0-9.]+)\s*([A-Za-z]+)?$", head)
     if not m:
         return 0.0
@@ -70,7 +72,6 @@ def measure(spark, fn, sf_dir: str) -> dict[str, float]:
                 "shuffle bytes written",
                 "shuffle records written",
                 "spill size",
-                "number of output rows",
             ):
                 totals[name] = totals.get(name, 0.0) + _parse_total(val.get())
     return totals
