@@ -83,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_by_nation_year", "pricing_summary", "top_unshipped_orders",
     "order_priority_check", "local_supplier_volume", "forecast_revenue_change",
     "filtered_customer_projection", "part_membership_filters",
-    "customers_without_orders", "suppliers_with_shipments",
+    "customers_without_orders", "pii_scrub_customers",
     "region_nation_cross", "order_union_all", "table_counts",
     "nullsafe_segment_match", "nation_balance_full_join",
     # reference_ops: A1/A2, F1–F15, P7–P13, L, U
@@ -91,7 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "year_offset_decode", "cast_failure_skip", "string_functions",
     "date_functions", "date_range_generation", "deterministic_top_orders",
     "distinct_nation_segments", "segment_intersect",
-    "fulfilled_only_customers_except", "dynamic_value_filter",
+    "data_quality_checks", "dynamic_value_filter",
     "flag_dispatch", "returnflag_multiset_ops",
     # F14 (round-1 red, oracle type fixed)
     "props_json_decode",
@@ -101,22 +101,26 @@ _PRIORITY: tuple[str, ...] = (
     # UDF surface (Pandas UDF + UDTF)
     "pandas_udf_clipped_balances", "udtf_char_ngrams",
     # multimodal (X1/X2 plumbing)
-    "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_decode", "pq_adc_topk",
     # llmdata tail added after round 1's sweep
     "source_mix_report", "token_budget_pack",
-    "token_budget_pack_partitioned", "doc_chunk_windows",
+    "triangle_count_copurchase", "doc_chunk_windows",
     # temporal: as-of join + binned range join
     "asof_latest_order_per_event", "price_neighbor_pairs_binned",
     # text
-    "text_stats", "tfidf_top_terms",
+    "text_stats", "cms_heavy_hitters",
     # similarity: brute-force baseline + LSH ANN scale path
     "cosine_topk_bruteforce", "lsh_bucket_ann",
     # streaming: windowed agg, custom stateful, stream-stream join
     "streaming_tumbling_hourly", "streaming_user_totals",
     "streaming_purchase_attribution",
-    # sketch/graph family (round 3+: positions 51+ ride a wider driver
-    # window if one exists; full local differential coverage regardless)
-    "cms_heavy_hitters", "bloom_prejoin_reduction", "pagerank_event_graph",
+    # positions 51+: displaced within-family duplicates + the rest of
+    # the sketch family — ride a wider driver window if one exists;
+    # full local differential coverage regardless
+    "bloom_prejoin_reduction", "pagerank_event_graph",
+    "multimodal_frame_sample", "token_budget_pack_partitioned",
+    "tfidf_top_terms", "fulfilled_only_customers_except",
+    "suppliers_with_shipments",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
