@@ -26,7 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import dsum
@@ -635,4 +635,82 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+_KMV_K = 64  # k-th minimum value; rel. error ~ 1/sqrt(k-2) ≈ 13 %
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM hashed
+    ), kth AS (
+      SELECT l_returnflag, h AS hk FROM ranked WHERE rn = {_KMV_K}
+    ), exact AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.l_returnflag, e.exact_distinct,
+           ({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk AS kmv_estimate,
+           ABS(({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk
+               - e.exact_distinct) / e.exact_distinct AS rel_error
+    FROM exact e JOIN kth k USING (l_returnflag)
+    """,
+    covers=["A-extended", "M6-sketch"],
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, per return flag: hash
+    every key to a uniform 52-bit value (13 md5 hex digits — exact in
+    a double, 16¹³ = 2⁵²), keep the k smallest DISTINCT hashes, and
+    estimate D ≈ (k−1)·2⁵²/h₍ₖ₎.  Reported next to the exact count
+    with its realized relative error — the sketch's honesty check.
+
+    Unlike `approx_distinct_parts` (HLL, engine-internal → rows-only
+    check), KMV is hash-DETERMINISTIC: both engines replay the
+    identical sketch, so even the *approximate* answer compares
+    bit-exact.  Scale: the sketch is mergeable (union the k-minima,
+    re-take k smallest), the shuffle payload is ≤ k hashes per group
+    per task, and the estimate is one exactly-rounded division.
+    Where the window rank here is per-group fine-grained, a production
+    build map-side combines via sorted top-k arrays."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    hashed = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("l_returnflag", F.col("h").alias("hk"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    est = (F.lit(_KMV_K - 1) * F.lit(4503599627370496.0)) / F.col("hk")
+    return (
+        exact.join(kth, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct")
+            ).alias("rel_error"),
+        )
     )

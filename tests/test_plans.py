@@ -116,6 +116,10 @@ EXPECTATIONS = [
     # (single-row count cards attach via broadcast NLJ — benign)
     ("triangle_count_copurchase", 12, ["HashAggregate"],
      ["PythonUDF", "CartesianProduct"]),
+    # KMV sketch: distinct hash set + per-group k-th-min window +
+    # exact countDistinct (Expand) — all equi-keyed
+    ("kmv_distinct_estimate", 7, ["Window"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # BPE merge step: word/pair fan-out collapses map-side to distinct
     # pair counts; top-20 is TakeOrdered over the aggregate, no global sort
     ("bpe_top_merges", 2, ["HashAggregate", "TakeOrderedAndProject"],
