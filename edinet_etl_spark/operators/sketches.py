@@ -444,8 +444,9 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
            (SELECT CAST(w AS BIGINT) FROM wed) AS n_wedges,
            (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
-           (SELECT t FROM tri) / CAST((SELECT w FROM wed) AS DOUBLE)
-             AS closure_rate
+           CASE WHEN (SELECT w FROM wed) > 0
+                THEN (SELECT t FROM tri) / CAST((SELECT w FROM wed) AS DOUBLE)
+           END AS closure_rate
     """,
     covers=["M6-graph", "A-extended", "J-extended"],
 )
@@ -479,6 +480,17 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+    )
+    return triangle_card(pairs)
+
+
+def triangle_card(pairs: DataFrame) -> DataFrame:
+    """Degree-ordered edge-iterator triangle summary over ANY distinct
+    undirected edge set (columns u < v) — the reusable core of
+    `triangle_count_copurchase`, also pinned against a brute-force
+    model in tests/test_properties.py."""
+    pairs = (
+        pairs
         # pairs feeds degrees, orientation and the edge iteration —
         # materialize the distinct edge set once
         .localCheckpoint(eager=True)
@@ -538,7 +550,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
-        (F.col("n_triangles") / F.col("n_wedges").cast("double")).alias("closure_rate"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.col("n_triangles") / F.col("n_wedges").cast("double"),
+        ).alias("closure_rate"),
     )
 
 

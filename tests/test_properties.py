@@ -433,3 +433,40 @@ def test_scd2_merge_matches_dict_model(spark, current, batch):
         else:
             model.append((k, v, "2024-01-01", "None", True))
     assert got == sorted(model)
+
+
+# ------------------------------------------------------- triangles
+_edge = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+@given(st.lists(_edge, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_triangle_card_matches_bruteforce_model(spark, raw_edges):
+    """Degree-ordered edge-iterator triangle counting == the O(n³)
+    brute-force model for ANY small graph (duplicates/orientation in
+    the input collapse to a distinct u<v edge set first, as the query
+    does)."""
+    from itertools import combinations
+
+    from edinet_etl_spark.operators.sketches import triangle_card
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    nodes = sorted({n for e in edges for n in e})
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    # NB the model's wedge count is over TOTAL degree; the query counts
+    # oriented (out-degree) wedges — compare what's comparable:
+    # triangles, nodes, edges exactly; oriented wedges ≥ triangles.
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    row = triangle_card(df).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] <= row["n_wedges"] <= wedges
