@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import dec, dsum, sql_dsum
+from edinet_etl_spark.blocks import ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -472,12 +473,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented recall trade (no-op at test scale: sf0.1 blocks
     max out under the cap, results identical)."""
     prep(spark)
-    w_block = Window.partitionBy("p_brand", "p_size").orderBy("p_partkey")
-    n_sub = F.ceil(
-        F.count("*").over(Window.partitionBy("p_brand", "p_size")) / F.lit(64)
-    )
     part = load(spark, sf_dir, "part").withColumn(
-        "salt", (F.row_number().over(w_block) - F.lit(1)) % n_sub
+        "salt", ranked_salt(["p_brand", "p_size"], "p_partkey", 64)
     )
     a = part.alias("a")
     b = part.alias("b")

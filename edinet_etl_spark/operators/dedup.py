@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from edinet_etl_spark.blocks import ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -125,11 +126,10 @@ def salted_buckets(bands: DataFrame, cap: int = _MAX_BUCKET) -> DataFrame:
     linear in bucket size overall; without it a single boilerplate
     bucket of B docs costs B²/2 pairs (measured 14.6× superlinear on
     the 10× replicated-corpus probe)."""
-    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-    wc = Window.partitionBy("band_id", "band_hash")
-    n_sub = F.ceil(F.count("*").over(wc) / F.lit(cap))
     return (
-        bands.withColumn("salt", (F.row_number().over(w) - F.lit(1)) % n_sub)
+        bands.withColumn(
+            "salt", ranked_salt(["band_id", "band_hash"], "doc_id", cap)
+        )
         .groupBy("band_id", "band_hash", "salt")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)

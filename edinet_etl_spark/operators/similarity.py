@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from edinet_etl_spark.blocks import ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -145,14 +146,12 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that is a 2B/3 reduction of all array work (6.1s → ~1.9s at
     # sf0.1).  sqrt(norm2_a)*sqrt(norm2_b) is the exact same double
     # expression the oracle evaluates per pair.
-    w_block = Window.partitionBy("label").orderBy("vec_id")
-    n_sub = F.ceil(F.count("*").over(Window.partitionBy("label")) / F.lit(_BLOCK_CAP))
     emb = (
         parallel_scan(spark, sf_dir, "embeddings")
         .withColumn(
             "norm", F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
         )
-        .withColumn("salt", (F.row_number().over(w_block) - F.lit(1)) % n_sub)
+        .withColumn("salt", ranked_salt(["label"], "vec_id", _BLOCK_CAP))
         # both self-join sides read this subplan and Spark has no
         # common-subplan reuse — materialize the scan+norm+window once
         .localCheckpoint(eager=True)
@@ -717,7 +716,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
-    w_cell = Window.partitionBy("sid").orderBy("vec_id")
     cells = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -727,17 +725,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
         )
-        # balanced sub-cell salt (same scheme as dedup.salted_buckets):
+        # balanced sub-cell salt (shared `blocks.ranked_salt` scheme):
         # the pair scan below runs only within ≤-cap sub-cells, so a
         # cell of C members costs C·cap/2 cosines — linear in C, never
         # C²/2; round-robin keeps every sub-cell ≥ 2 members
-        .withColumn(
-            "salt",
-            (F.row_number().over(w_cell) - F.lit(1))
-            % F.ceil(
-                F.count("*").over(Window.partitionBy("sid")) / F.lit(_SEM_CELL_CAP)
-            ),
-        )
+        .withColumn("salt", ranked_salt(["sid"], "vec_id", _SEM_CELL_CAP))
         # materialized once: cells feeds the self-join twice plus the
         # final membership join, and Spark has no common-subplan reuse —
         # without this the broadcast crossJoin + window argmin (the

@@ -669,16 +669,24 @@ _KMV_K = 64  # k-th minimum value; rel. error ~ 1/sqrt(k-2) ≈ 13 %
              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
       FROM hashed
     ), kth AS (
-      SELECT l_returnflag, h AS hk FROM ranked WHERE rn = {_KMV_K}
+      -- groups with < k distinct hashes fall back to their exact set:
+      -- keep the LAST kept row (rn = min(k, |hashes|)) and its rank
+      SELECT l_returnflag, h AS hk, rn AS n_kept FROM (
+        SELECT *, MAX(rn) OVER (PARTITION BY l_returnflag) AS max_rn
+        FROM ranked WHERE rn <= {_KMV_K}
+      ) WHERE rn = max_rn
     ), exact AS (
       SELECT l_returnflag,
              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT e.l_returnflag, e.exact_distinct,
-           ({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk AS kmv_estimate,
-           ABS(({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk
-               - e.exact_distinct) / e.exact_distinct AS rel_error
+           CASE WHEN k.n_kept < {_KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                ELSE ({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk
+           END AS kmv_estimate,
+           ABS(CASE WHEN k.n_kept < {_KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / k.hk
+               END - e.exact_distinct) / e.exact_distinct AS rel_error
     FROM exact e JOIN kth k USING (l_returnflag)
     """,
     covers=["A-extended", "M6-sketch"],
@@ -709,15 +717,29 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     ).distinct()
     w = Window.partitionBy("l_returnflag").orderBy("h")
+    w_all = Window.partitionBy("l_returnflag")
     kth = (
         hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _KMV_K)
-        .select("l_returnflag", F.col("h").alias("hk"))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("max_rn", F.max("rn").over(w_all))
+        # last kept row: rn = min(k, |hashes|) — when a group has
+        # fewer than k distinct hashes the kept set IS the exact
+        # distinct set, so the estimate falls back to its size
+        .filter(F.col("rn") == F.col("max_rn"))
+        .select(
+            "l_returnflag",
+            F.col("h").alias("hk"),
+            F.col("rn").alias("n_kept"),
+        )
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
     )
-    est = (F.lit(_KMV_K - 1) * F.lit(4503599627370496.0)) / F.col("hk")
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        (F.lit(_KMV_K - 1) * F.lit(4503599627370496.0)) / F.col("hk")
+    )
     return (
         exact.join(kth, "l_returnflag")
         .select(

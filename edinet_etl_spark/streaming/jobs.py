@@ -349,37 +349,53 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _applied_batch(snapshot_dir: str) -> int:
-    """Last batch id merged into the snapshot (-1 if none).  The
-    marker travels INSIDE the snapshot directory (written to staging
-    before the atomic rename), so snapshot content and marker can
-    never disagree after a crash."""
+    """Last batch id committed to the snapshot (-1 if none), read from
+    the CURRENT pointer file."""
     import os
 
-    marker = os.path.join(snapshot_dir, "_applied_batch")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return int(f.read().strip())
+    cur = os.path.join(snapshot_dir, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return int(f.read().strip().lstrip("v"))
     return -1
 
 
+def read_snapshot(spark, snapshot_dir: str):
+    """Resolve the CURRENT pointer and read that version's parquet —
+    the only sanctioned way to read these snapshots."""
+    import os
+
+    return spark.read.parquet(
+        os.path.join(snapshot_dir, f"v{_applied_batch(snapshot_dir)}")
+    )
+
+
 def _swap_snapshot(merged, snapshot_dir: str, batch_id: int) -> None:
-    """Materialize ``merged`` to staging, stamp the batch-id marker,
-    atomically swap.  foreachBatch is AT-LEAST-once: if the driver
-    dies between this swap and the checkpoint commit, the batch is
-    re-delivered — the caller must skip batch ids ≤ `_applied_batch`
-    or an additive merge double-counts (parquet files like
-    ``_applied_batch`` that start with '_' are invisible to the
-    reader, like _SUCCESS)."""
+    """Versioned commit: materialize ``merged`` to ``v{batch_id}``,
+    then atomically repoint the CURRENT file (write CURRENT.tmp,
+    ``os.replace`` — a FILE rename, which POSIX does make atomic; the
+    earlier rmtree+dir-rename scheme had a window where a crash lost
+    the whole snapshot).  Readers resolve CURRENT, so they see either
+    the old version or the new one, never a partial state; stale
+    versions are pruned only AFTER the pointer moves (a crash mid-
+    prune leaves harmless garbage, never a broken snapshot).
+
+    foreachBatch is AT-LEAST-once: if the driver dies between this
+    commit and the streaming checkpoint's own commit, the batch is
+    re-delivered — callers must skip batch ids ≤ `_applied_batch` or
+    an additive merge double-counts."""
     import os
     import shutil
 
-    staging = snapshot_dir + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    with open(os.path.join(staging, "_applied_batch"), "w") as f:
-        f.write(str(batch_id))
-    if os.path.exists(snapshot_dir):
-        shutil.rmtree(snapshot_dir)
-    os.rename(staging, snapshot_dir)
+    prev = _applied_batch(snapshot_dir)
+    vdir = os.path.join(snapshot_dir, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(snapshot_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(snapshot_dir, "CURRENT"))
+    if prev >= 0:
+        shutil.rmtree(os.path.join(snapshot_dir, f"v{prev}"), ignore_errors=True)
 
 
 def _snapshot_workdir(spark, sf_dir: str, prefix: str) -> tuple[str, str]:
@@ -439,8 +455,8 @@ def make_totals_upsert(snapshot_dir: str):
         updates = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"), dsum(F.col("value"), "total_value")
         )
-        if os.path.exists(snapshot_dir):
-            base = spark.read.parquet(snapshot_dir)
+        if _applied_batch(snapshot_dir) >= 0:
+            base = read_snapshot(spark, snapshot_dir)
             # merge totals: new batch counts ADD to existing totals
             merged = (
                 base.unionByName(updates)
@@ -596,7 +612,7 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     q = stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
-    return spark.read.parquet(snap)
+    return read_snapshot(spark, snap)
 
 
 # ------------------------------------------------------------------
@@ -604,20 +620,20 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per micro-batch (the streaming face of operators/quality.py)
 # ------------------------------------------------------------------
 
-# (rule name, violation predicate as a Spark Column factory, oracle SQL
-# predicate) — every rule is an ADDITIVE count, so per-batch counts
-# merge by SUM and the final monitor state equals the batch scan.
-def _quality_rules():
-    return [
-        ("error_events", F.col("event_type") == "error", "event_type = 'error'"),
-        ("outlier_value", F.col("value") > 400.0, "value > 400.0"),
-        ("null_props", F.col("props").isNull(), "props IS NULL"),
-        (
-            "unknown_event_type",
-            ~F.col("event_type").isin("click", "signup", "error", "view", "purchase"),
-            "event_type NOT IN ('click','signup','error','view','purchase')",
-        ),
-    ]
+# (rule name, violation predicate) in the Spark-SQL ∩ DuckDB dialect:
+# ONE predicate string drives both the monitor (`F.expr`) and the
+# generated oracle, so the rules cannot drift between engines.  Every
+# rule is an ADDITIVE count, so per-batch counts merge by SUM and the
+# final monitor state equals the batch scan.
+_QUALITY_RULES: list[tuple[str, str]] = [
+    ("error_events", "event_type = 'error'"),
+    ("outlier_value", "value > 400.0"),
+    ("null_props", "props IS NULL"),
+    (
+        "unknown_event_type",
+        "event_type NOT IN ('click','signup','error','view','purchase')",
+    ),
+]
 
 
 def stream_quality_monitor(events: DataFrame, snapshot_dir: str, checkpoint_dir: str):
@@ -648,18 +664,20 @@ def make_quality_upsert(snapshot_dir: str):
         if batch_id <= _applied_batch(snapshot_dir):
             return  # re-delivered batch after a crash: already counted
         spark = batch_df.sparkSession
+        # count(when) not sum(when): COUNT of zero rows is 0 while SUM
+        # is NULL — an empty micro-batch must write zeros, not NULLs
         aggs = [
-            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
-            for name, pred, _ in _quality_rules()
+            F.count(F.when(F.expr(sql), 1)).cast("bigint").alias(name)
+            for name, sql in _QUALITY_RULES
         ] + [F.count("*").cast("bigint").alias("n_rows")]
         wide = batch_df.agg(*aggs)
-        names = [n for n, _, _ in _quality_rules()] + ["n_rows"]
+        names = [n for n, _ in _QUALITY_RULES] + ["n_rows"]
         stack = ", ".join(f"'{n}', {n}" for n in names)
         updates = wide.select(
             F.expr(f"stack({len(names)}, {stack}) AS (check_name, n)")
         )
-        if os.path.exists(snapshot_dir):
-            base = spark.read.parquet(snapshot_dir)
+        if _applied_batch(snapshot_dir) >= 0:
+            base = read_snapshot(spark, snapshot_dir)
             merged = (
                 base.unionByName(updates)
                 .groupBy("check_name")
@@ -672,26 +690,26 @@ def make_quality_upsert(snapshot_dir: str):
     return upsert
 
 
+_QMON_ORACLE = "\n    UNION ALL\n    ".join(
+    [
+        "SELECT '"
+        + _QUALITY_RULES[0][0]
+        + "' AS check_name, CAST(COUNT(*) FILTER (WHERE "
+        + _QUALITY_RULES[0][1]
+        + ") AS BIGINT) AS n FROM events"
+    ]
+    + [
+        f"SELECT '{name}', CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)"
+        " FROM events"
+        for name, sql in _QUALITY_RULES[1:]
+    ]
+    + ["SELECT 'n_rows', CAST(COUNT(*) AS BIGINT) FROM events"]
+)
+
+
 @query(
     "streaming_quality_monitor",
-    oracle="""
-    SELECT 'error_events' AS check_name,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n
-    FROM events
-    UNION ALL
-    SELECT 'outlier_value',
-           CAST(COUNT(*) FILTER (WHERE value > 400.0) AS BIGINT) FROM events
-    UNION ALL
-    SELECT 'null_props',
-           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events
-    UNION ALL
-    SELECT 'unknown_event_type',
-           CAST(COUNT(*) FILTER (
-             WHERE event_type NOT IN ('click','signup','error','view','purchase')
-           ) AS BIGINT) FROM events
-    UNION ALL
-    SELECT 'n_rows', CAST(COUNT(*) AS BIGINT) FROM events
-    """,
+    oracle=_QMON_ORACLE,
     covers=["M5-stream", "S8", "A3"],
 )
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,4 +723,4 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     q = stream_quality_monitor(ev, snap, ckpt)
     q.awaitTermination()
-    return spark.read.parquet(snap)
+    return read_snapshot(spark, snap)

@@ -245,7 +245,7 @@ def test_foreachbatch_upsert_snapshot(spark, tmp_path):
     ev = jobs.read_events_stream(spark, SF_DIR)
     q = jobs.stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
-    got = spark.read.parquet(snap)
+    got = jobs.read_snapshot(spark, snap)
     batch = (
         load(spark, SF_DIR, "events")
         .groupBy("user_id")
@@ -268,20 +268,20 @@ def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
     snap_q = str(tmp_path / "qsnap")
     upsert_q = jobs.make_quality_upsert(snap_q)
     upsert_q(ev, 0)
-    first = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    first = {r["check_name"]: r["n"] for r in jobs.read_snapshot(spark, snap_q).collect()}
     upsert_q(ev, 0)  # re-delivery: must be a no-op
-    replay = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    replay = {r["check_name"]: r["n"] for r in jobs.read_snapshot(spark, snap_q).collect()}
     assert replay == first
     upsert_q(ev, 1)  # new batch: must add
-    second = {r["check_name"]: r["n"] for r in spark.read.parquet(snap_q).collect()}
+    second = {r["check_name"]: r["n"] for r in jobs.read_snapshot(spark, snap_q).collect()}
     assert second["n_rows"] == 2 * first["n_rows"]
 
     # CDC totals: same contract
     snap_c = str(tmp_path / "csnap")
     upsert_c = jobs.make_totals_upsert(snap_c)
     upsert_c(ev, 0)
-    base = {r["user_id"]: r["n_events"] for r in spark.read.parquet(snap_c).collect()}
+    base = {r["user_id"]: r["n_events"] for r in jobs.read_snapshot(spark, snap_c).collect()}
     upsert_c(ev, 0)
     assert {
-        r["user_id"]: r["n_events"] for r in spark.read.parquet(snap_c).collect()
+        r["user_id"]: r["n_events"] for r in jobs.read_snapshot(spark, snap_c).collect()
     } == base
