@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import dec, dsum, sql_dsum
-from edinet_etl_spark.blocks import ranked_salt
+from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -438,13 +438,10 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_name_pairs",
-    oracle="""
+    oracle=f"""
     WITH blocked AS (
       SELECT p_partkey, p_name, p_brand, p_size,
-             (ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-                                 ORDER BY p_partkey) - 1)
-               % CAST(CEIL(COUNT(*) OVER (PARTITION BY p_brand, p_size)
-                           / 64.0) AS BIGINT) AS salt
+             {sql_ranked_salt(['p_brand', 'p_size'], 'p_partkey', 64)} AS salt
       FROM part
     )
     SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from edinet_etl_spark.blocks import ranked_salt
+from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -179,11 +179,7 @@ _SQL_BANDS = " UNION ALL ".join(
 # `salted_buckets` (salt = (rank-1) mod ceil(count/cap)), in SQL.
 _SQL_SALTED = f"""
   SELECT doc_id, band_id, band_hash,
-         (ROW_NUMBER() OVER (
-            PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
-           % CAST(CEIL(COUNT(*) OVER (
-               PARTITION BY band_id, band_hash) / {_MAX_BUCKET}.0) AS BIGINT)
-           AS salt
+         {sql_ranked_salt(['band_id', 'band_hash'], 'doc_id', _MAX_BUCKET)} AS salt
   FROM bands
 """
 # Candidate pairs from salted band rows (shared by the minhash query

@@ -28,7 +28,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from edinet_etl_spark.blocks import ranked_salt
+from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -109,9 +109,7 @@ _BLOCK_CAP = 64  # sub-block cap (sf0.01 max label block: 59 — intact)
     oracle=f"""
     WITH blocked AS (
       SELECT vec_id, label, embedding,
-             (ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1)
-               % CAST(CEIL(COUNT(*) OVER (PARTITION BY label)
-                           / {_BLOCK_CAP}.0) AS BIGINT) AS salt
+             {sql_ranked_salt(['label'], 'vec_id', _BLOCK_CAP)} AS salt
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -656,9 +654,7 @@ _SEM_CELL_CAP = 64
       SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
     ), cells AS (
       SELECT vec_id, embedding, sid,
-             (ROW_NUMBER() OVER (PARTITION BY sid ORDER BY vec_id) - 1)
-               % CAST(CEIL(COUNT(*) OVER (PARTITION BY sid)
-                           / {_SEM_CELL_CAP}.0) AS BIGINT) AS salt
+             {sql_ranked_salt(['sid'], 'vec_id', _SEM_CELL_CAP)} AS salt
       FROM ranked
     ), dropped AS (
       SELECT DISTINCT b.sid, b.vec_id
