@@ -1,6 +1,6 @@
 """M6 similarity search over the ``embeddings`` table.
 
-Three tiers:
+Tiers:
 - brute-force top-k: exact dot/cosine against every vector — the
   correctness baseline and the right plan when the query set is small
   (broadcast queries, one scan of the corpus, per-query top-k).
@@ -9,6 +9,13 @@ Three tiers:
 - LSH bucketing: random-hyperplane signs → signature buckets; ANN
   probes only its bucket.  Hyperplanes are derived from md5 so the
   DuckDB oracle reproduces them exactly.
+- IVF proper: deterministic-seed coarse quantizer, cell probe, exact
+  rerank, nprobe dial, closed-loop recall@3, the k-means train step.
+- compression: SQ8 (1 byte/dim) and PQ (1 byte/VECTOR: 4×16-d
+  subspaces, 4-centroid codebooks) with ADC compressed-domain search
+  and its own recall@3 — the FAISS IVFPQ ladder, each leg measured.
+- training-data mining: semdedup pruning, hard-negative mining for
+  contrastive objectives.
 
 Numeric discipline: dot products are sequential double folds over the
 array (fixed order → bit-deterministic, see ``dot_exact``); cosine adds

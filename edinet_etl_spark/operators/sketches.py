@@ -1,8 +1,10 @@
-"""Mergeable-sketch / probabilistic-structure surface: count-min
-heavy hitters, bloom-filter pre-join pruning, and a fixed-iteration
-PageRank — the approximate+iterative layer a training-data pipeline
-runs beside exact dedup (M6 north-star extensions; the reference, a
-757-LoC pandas ETL, has no sketch layer).
+"""Mergeable-sketch / probabilistic-structure / graph surface:
+count-min heavy hitters, bloom-filter pre-join pruning, a KMV
+distinct-count estimator, a fixed-iteration PageRank, degree-ordered
+triangle counting, and market-basket lift mining — the
+approximate+iterative layer a training-data pipeline runs beside
+exact dedup (M6 north-star extensions; the reference, a 757-LoC
+pandas ETL, has no sketch layer).
 
 Everything is HASH-DETERMINISTIC: md5-hex → bigint (the repo's
 portable hash, same family as `llmdata.train_test_split_counts`), so

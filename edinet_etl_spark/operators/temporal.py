@@ -439,9 +439,11 @@ def trailing_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     value for its user — `rangeBetween` measured in SECONDS over the
     event-time axis (the frame the year-axis query in analytics.py
     can't express).  Spark range frames need a numeric ordering column,
-    so the frame orders by epoch seconds; DuckDB's INTERVAL-RANGE frame
-    is the same [ts-3600s, ts] window (timestamps are whole seconds in
-    the fixture, and UTC is pinned on both engines).
+    so the frame orders by epoch MICROSECONDS (`unix_timestamp` would
+    truncate to whole seconds and disagree with DuckDB's micro-exact
+    INTERVAL frame on sub-second data — caught by the sf0.1 tri-scale
+    differential); DuckDB's INTERVAL-RANGE frame is the identical
+    [ts−3600s, ts] microsecond window, UTC pinned on both engines.
 
     One shuffle on user_id; the running frame is computed by a single
     ordered scan per partition — no self-join against the hour
@@ -452,8 +454,10 @@ def trailing_hour_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        # ts is TIMESTAMP_NTZ; unix_micros needs LTZ — the cast is an
+        # identity on the instant because prep() pins the session to UTC
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     frame_sum = (
         F.sum(dec(F.col("value"))).over(w).cast("string").cast("double")
