@@ -8,6 +8,14 @@ header and no index; write errors are logged, not raised
 Spark-first shape: ``df.write.csv`` with header; ``coalesce(1)`` is
 *opt-in* for single-file parity — at 100 TB you never coalesce to one
 file, you keep one file per partition.
+
+The input is persisted around the empty guard: ``isEmpty()`` is an
+action, and on an un-cached plan it would execute the ENTIRE upstream
+pipeline (including the rate-limited HTTP fetch islands) once for the
+probe and again for the write — double API quota, and two executions
+that could see different data through the retry-swallow path.  With
+the persist, the probe materializes the data once and the write reads
+it back.
 """
 
 from __future__ import annotations
@@ -19,18 +27,7 @@ from pyspark.sql import DataFrame
 logger = logging.getLogger(__name__)
 
 
-def load_to_csv(
-    df: DataFrame,
-    output_path: str,
-    file_name: str,
-    single_file: bool = True,
-) -> str | None:
-    """Write ``df`` under ``{output_path}/{file_name}``; returns the
-    directory written, or None for empty input / write failure."""
-    if df.isEmpty():  # S8 empty guard (src/load.py:20-22, main.py:33-35)
-        logger.warning("DataFrame is empty. No file will be written.")
-        return None
-    target = f"{output_path.rstrip('/')}/{file_name}"
+def _write_csv(df: DataFrame, target: str, single_file: bool) -> str | None:
     out = df.coalesce(1) if single_file else df
     try:
         out.write.mode("overwrite").option("header", True).csv(target)
@@ -39,6 +36,25 @@ def load_to_csv(
         return None
     logger.info("Data successfully saved to %s", target)
     return target
+
+
+def load_to_csv(
+    df: DataFrame,
+    output_path: str,
+    file_name: str,
+    single_file: bool = True,
+) -> str | None:
+    """Write ``df`` under ``{output_path}/{file_name}``; returns the
+    directory written, or None for empty input / write failure."""
+    df = df.persist()
+    try:
+        if df.isEmpty():  # S8 empty guard (src/load.py:20-22, main.py:33-35)
+            logger.warning("DataFrame is empty. No file will be written.")
+            return None
+        target = f"{output_path.rstrip('/')}/{file_name}"
+        return _write_csv(df, target, single_file)
+    finally:
+        df.unpersist()
 
 
 def load_to_csv_observed(
@@ -51,6 +67,12 @@ def load_to_csv_observed(
     API: row count, exact revenue total, and null-revenue count are
     accumulated ON the write pass itself (no second scan, no extra
     job) and returned for logging/alerting.
+
+    Ordering matters: ``Observation.get`` captures the FIRST action on
+    the observed plan, so the empty guard probes the RAW (persisted)
+    frame and only the write touches the observed one — probing the
+    observed plan would report the take(1) rows the probe consumed
+    (one per partition), not the written output.
 
     The reference's monitoring is log lines with hand-computed counts
     re-scanning the frame (`/root/reference/src/extract.py:35,63-65`,
@@ -73,14 +95,19 @@ def load_to_csv_observed(
             .alias("revenue_total"),
             F.count(F.when(F.col("revenue").isNull(), 1)).alias("null_revenue"),
         ]
-    obs = Observation("pipeline_write")
-    observed = df.observe(obs, *metrics_cols)
-    target = load_to_csv(observed, output_path, file_name, single_file)
-    if target is None:
-        # empty-guard / failure path never ran an action; isEmpty()'s
-        # probe may or may not have touched the observation — report
-        # nothing rather than block on obs.get
-        return None, {}
-    metrics = dict(obs.get)
-    logger.info("Observed write metrics for %s: %s", target, metrics)
-    return target, metrics
+    df = df.persist()
+    try:
+        if df.isEmpty():
+            logger.warning("DataFrame is empty. No file will be written.")
+            return None, {}
+        obs = Observation("pipeline_write")
+        observed = df.observe(obs, *metrics_cols)
+        target = f"{output_path.rstrip('/')}/{file_name}"
+        written = _write_csv(observed, target, single_file)
+        if written is None:
+            return None, {}
+        metrics = dict(obs.get)
+    finally:
+        df.unpersist()
+    logger.info("Observed write metrics for %s: %s", written, metrics)
+    return written, metrics

@@ -79,9 +79,10 @@ class HttpFetcher(Fetcher):
     def _get(self, url: str) -> bytes:
         import urllib.request
 
+        # urlopen raises HTTPError (an OSError) for any 4xx/5xx before
+        # returning, so no status check is needed here — the retry
+        # wrapper catches it like any other transient failure
         with urllib.request.urlopen(url, timeout=self.timeout) as resp:
-            if resp.status >= 400:
-                raise OSError(f"HTTP {resp.status} for {url}")
             return resp.read()
 
     def fetch_list(self, date_str: str) -> bytes:

@@ -68,7 +68,14 @@ def _feed_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from pyspark.sql import SparkSession
+
+    # session-scoped tag (same rationale as _snapshot_workdir): two
+    # concurrent sessions must not race on each other's symlink
+    # reconciliation — one session unlinking a stale layout would
+    # break a stream the other is mid-read on
+    app = SparkSession.active().sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"edinet_stream_feed_{tag}")
     os.makedirs(d, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
@@ -215,10 +222,18 @@ def _update_user_totals(
         total = decimal.Decimal(total_dec)
     else:
         n, total = 0, decimal.Decimal(0)
+    import math
+
     for pdf in pdfs:
         for v in pdf["value"]:
             n += 1
-            total += decimal.Decimal(repr(float(v))).quantize(
+            # SQL SUM skips NULLs (NaN here after the pandas transfer);
+            # Decimal('nan').quantize would raise InvalidOperation and
+            # kill the task — mirror the declarative dsum instead
+            fv = float(v)
+            if math.isnan(fv):
+                continue
+            total += decimal.Decimal(repr(fv)).quantize(
                 q, rounding=decimal.ROUND_HALF_UP
             )
     state.update((n, str(total)))
@@ -290,15 +305,18 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_user_sessions",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
       SELECT user_id, ts, value,
+             -- (ts, event_id) order: ties on ts must accumulate in the
+             -- same order the LAG window flagged them, or a tied peer
+             -- of a session-opening row lands in the wrong session
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
@@ -442,35 +460,70 @@ def stream_upsert_to_snapshot(
     )
 
 
-def make_totals_upsert(snapshot_dir: str):
-    """The CDC merge closure, exposed so tests can re-deliver a batch
-    id and pin replay idempotence."""
+def make_additive_upsert(snapshot_dir: str, build_updates, merge):
+    """Shared foreachBatch skeleton for additive snapshot sinks:
+    replay guard (skip batch ids ≤ the committed marker) → build this
+    batch's update rows → merge with the previous snapshot version →
+    atomic versioned commit.  Both sinks (CDC totals, quality monitor)
+    parameterize ONLY the two DataFrame transforms, so replay/commit
+    fixes apply to every sink once."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         if batch_id <= _applied_batch(snapshot_dir):
             return  # re-delivered batch after a crash: already merged
         spark = batch_df.sparkSession
-        updates = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"), dsum(F.col("value"), "total_value")
-        )
+        updates = build_updates(batch_df)
         if _applied_batch(snapshot_dir) >= 0:
-            base = read_snapshot(spark, snapshot_dir)
-            # merge totals: new batch counts ADD to existing totals
-            merged = (
-                base.unionByName(updates)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    dsum(F.col("total_value"), "total_value"),
-                )
-            )
+            merged = merge(read_snapshot(spark, snapshot_dir), updates)
         else:
             merged = updates
         _swap_snapshot(merged, snapshot_dir, batch_id)
 
     return upsert
+
+
+def make_totals_upsert(snapshot_dir: str):
+    """The CDC merge closure, exposed so tests can re-deliver a batch
+    id and pin replay idempotence.
+
+    Numeric discipline: the snapshot stores the running total as an
+    exact DECIMAL STRING (`total_dec`), converted to double only by
+    the reader — persisting a double and re-casting per merge would
+    re-round every batch (the same trap the stateful operator's
+    string-carried state avoids), so multi-batch totals stay
+    bit-identical to the one-shot `dsum`."""
+    from edinet_etl_spark.numeric import dec
+
+    def build_updates(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("string").alias("total_dec"),
+        )
+
+    def merge(base: DataFrame, updates: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(updates)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                # exact decimal merge of the string partials
+                F.sum(F.col("total_dec").cast("decimal(38,8)"))
+                .cast("string")
+                .alias("total_dec"),
+            )
+        )
+
+    return make_additive_upsert(snapshot_dir, build_updates, merge)
+
+
+def read_totals_snapshot(spark, snapshot_dir: str) -> DataFrame:
+    """CDC snapshot reader: decimal-string total → double, the same
+    final conversion `dsum` performs."""
+    return read_snapshot(spark, snapshot_dir).select(
+        "user_id",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
 
 
 @query(
@@ -612,7 +665,7 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     q = stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
-    return read_snapshot(spark, snap)
+    return read_totals_snapshot(spark, snap)
 
 
 # ------------------------------------------------------------------
@@ -658,12 +711,7 @@ def make_quality_upsert(snapshot_dir: str):
     """The monitor merge closure, exposed so tests can re-deliver a
     batch id and pin replay idempotence."""
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        if batch_id <= _applied_batch(snapshot_dir):
-            return  # re-delivered batch after a crash: already counted
-        spark = batch_df.sparkSession
+    def build_updates(batch_df: DataFrame) -> DataFrame:
         # count(when) not sum(when): COUNT of zero rows is 0 while SUM
         # is NULL — an empty micro-batch must write zeros, not NULLs
         aggs = [
@@ -673,37 +721,24 @@ def make_quality_upsert(snapshot_dir: str):
         wide = batch_df.agg(*aggs)
         names = [n for n, _ in _QUALITY_RULES] + ["n_rows"]
         stack = ", ".join(f"'{n}', {n}" for n in names)
-        updates = wide.select(
+        return wide.select(
             F.expr(f"stack({len(names)}, {stack}) AS (check_name, n)")
         )
-        if _applied_batch(snapshot_dir) >= 0:
-            base = read_snapshot(spark, snapshot_dir)
-            merged = (
-                base.unionByName(updates)
-                .groupBy("check_name")
-                .agg(F.sum("n").cast("bigint").alias("n"))
-            )
-        else:
-            merged = updates
-        _swap_snapshot(merged, snapshot_dir, batch_id)
 
-    return upsert
+    def merge(base: DataFrame, updates: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(updates)
+            .groupBy("check_name")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+
+    return make_additive_upsert(snapshot_dir, build_updates, merge)
 
 
 _QMON_ORACLE = "\n    UNION ALL\n    ".join(
-    [
-        "SELECT '"
-        + _QUALITY_RULES[0][0]
-        + "' AS check_name, CAST(COUNT(*) FILTER (WHERE "
-        + _QUALITY_RULES[0][1]
-        + ") AS BIGINT) AS n FROM events"
-    ]
-    + [
-        f"SELECT '{name}', CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)"
-        " FROM events"
-        for name, sql in _QUALITY_RULES[1:]
-    ]
-    + ["SELECT 'n_rows', CAST(COUNT(*) AS BIGINT) FROM events"]
+    f"SELECT '{name}' AS check_name,"
+    f" CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT) AS n FROM events"
+    for name, sql in [*_QUALITY_RULES, ("n_rows", "TRUE")]
 )
 
 

@@ -249,6 +249,27 @@ def test_observed_write_metrics(spark, tmp_path):
     assert body.count("\n") == 4  # header + 3 rows
 
 
+def test_observed_metrics_multi_partition(spark, tmp_path):
+    """Regression: Observation.get captures the FIRST action on the
+    observed plan.  Before the fix, the empty-guard's isEmpty() probe
+    consumed the observation, reporting one take(1) row per partition
+    (8 for this frame) instead of the written 1000."""
+    from pyspark.sql import functions as F
+
+    from edinet_etl_spark.pipeline.load import load_to_csv_observed
+
+    df = (
+        spark.range(0, 1000, numPartitions=8)
+        .select(F.col("id").cast("long").alias("revenue"))
+    )
+    target, metrics = load_to_csv_observed(
+        df, str(tmp_path), "observed_mp", single_file=False
+    )
+    assert target is not None
+    assert metrics["n_rows"] == 1000
+    assert metrics["revenue_total"] == str(sum(range(1000)))
+
+
 def test_binary_lake_ingestion(spark, tmp_path):
     """S3's pre-fetched-directory mapping: ZIPs landed on storage by an
     upstream collector, read via the `binaryFile` source, explode
@@ -269,20 +290,28 @@ def test_binary_lake_ingestion(spark, tmp_path):
                 zf.writestr(name, data)
         return buf.getvalue()
 
-    (lake / "D001_E00001_5.zip").write_bytes(
+    # full 4-part names carry the EDINET form code (docTypeCode)
+    (lake / "D001_E00001_120_5.zip").write_bytes(
         zip_bytes({"a/main.csv": b"x" * 10, "a/side.csv": b"y" * 99})
     )
-    (lake / "D002_E00002_1.zip").write_bytes(
+    (lake / "D002_E00002_130_1.zip").write_bytes(
         zip_bytes({"b/report.xbrl": b"<xbrl/>"})
     )
+    # legacy 3-part name: file type only, docTypeCode honestly NULL
     (lake / "broken_E9_1.zip").write_bytes(b"not a zip")
 
     filings = read_filing_lake(spark, str(tmp_path / "lake"))
     rows = {r["docID"]: r for r in filings.collect()}
     assert set(rows) == {"D001", "D002", "broken"}
     assert rows["D001"]["file_type"] == "csv"
+    assert rows["D001"]["docTypeCode"] == "120"
     assert rows["D001"]["submitDateTime"] == "2024-06-01"
     assert rows["D002"]["file_type"] == "xbrl"
+    # the amendment-priority key survives lake ingestion (the A1
+    # '130'-beats-'120' rule depends on it)
+    assert rows["D002"]["docTypeCode"] == "130"
+    assert rows["broken"]["docTypeCode"] is None
+    assert rows["broken"]["file_type"] == "xbrl"
 
     members = explode_zip_members(filings).collect()
     got = {(m["docID"], m["member_name"]): m["member_size"] for m in members}

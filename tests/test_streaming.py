@@ -245,7 +245,7 @@ def test_foreachbatch_upsert_snapshot(spark, tmp_path):
     ev = jobs.read_events_stream(spark, SF_DIR)
     q = jobs.stream_upsert_to_snapshot(ev, snap, ckpt)
     q.awaitTermination()
-    got = jobs.read_snapshot(spark, snap)
+    got = jobs.read_totals_snapshot(spark, snap)
     batch = (
         load(spark, SF_DIR, "events")
         .groupBy("user_id")
