@@ -320,11 +320,15 @@ def scd2_merge(
 
     Plan: current ∥ updates equi-join on the key (one co-partitioned
     shuffle pair, or broadcast when the delta is small), a row-compare
-    to split changed/unchanged, then a 3-way unionByName: history
-    (untouched), closed-out old versions, new open versions.  At lake
-    scale this is the same shape as ``merge_upsert`` — one pass over
-    the dimension, delta-sized extra I/O — and the output is
+    to split changed/unchanged, then a unionByName of: history
+    (untouched), closed-out old versions, new open versions for
+    changed keys, and first-ever open versions for keys the dimension
+    has never seen (the standard SCD2 insert path).  At lake scale
+    this is the same shape as ``merge_upsert`` — one pass over the
+    dimension, delta-sized extra I/O — and the output is
     re-partitionable by key for the next merge."""
+    if not tracked:
+        raise ValueError("scd2_merge needs at least one tracked attribute")
     changed_cond = None
     for c in tracked:
         diff = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
@@ -341,13 +345,27 @@ def scd2_merge(
         .withColumn("valid_to", F.lit(effective_date).cast("date"))
         .withColumn("is_current", F.lit(False))
     )
-    fresh = (
+    def _open(rows: DataFrame) -> DataFrame:
+        return (
+            rows.withColumn("valid_from", F.lit(effective_date).cast("date"))
+            .withColumn("valid_to", F.lit(None).cast("date"))
+            .withColumn("is_current", F.lit(True))
+        )
+
+    fresh = _open(
         updates.join(changed_keys, F.col(key) == F.col("chg_key"), "left_semi")
-        .withColumn("valid_from", F.lit(effective_date).cast("date"))
-        .withColumn("valid_to", F.lit(None).cast("date"))
-        .withColumn("is_current", F.lit(True))
+    )
+    # keys with NO current version at all insert as first open versions
+    # (an earlier revision semi-joined fresh to changed_keys only, so a
+    # brand-new key silently vanished from the merged dimension)
+    brand_new = _open(
+        updates.join(
+            base.filter(F.col("is_current")).select(key), key, "left_anti"
+        )
     )
     untouched = base.join(changed_keys, F.col(key) == F.col("chg_key"), "left_anti")
-    return untouched.unionByName(closed).unionByName(
-        fresh.select(*untouched.columns)
+    return (
+        untouched.unionByName(closed)
+        .unionByName(fresh.select(*untouched.columns))
+        .unionByName(brand_new.select(*untouched.columns))
     )

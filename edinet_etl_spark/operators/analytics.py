@@ -88,10 +88,10 @@ def order_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend,
+           ) AS VARCHAR) AS DOUBLE) AS running_spend,
            CAST(COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -115,7 +115,14 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+        # decimal → STRING → double: the numeric.py portability hop
+        # (direct decimal→double can double-round differently across
+        # engines past ~15 significant digits)
+        F.sum(dec(F.col("o_totalprice")))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("running_spend"),
         F.count("*").over(w).cast("bigint").alias("running_orders"),
     )
 
@@ -124,10 +131,10 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "yearly_spend_range_frame",
     oracle="""
     SELECT o_custkey, order_year,
-           CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,4)))) OVER (
+           CAST(CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,8)))) OVER (
              PARTITION BY o_custkey ORDER BY order_year
              RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS spend_2yr
+           ) AS VARCHAR) AS DOUBLE) AS spend_2yr
     FROM (
       SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
       FROM orders
@@ -150,7 +157,7 @@ def yearly_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.select(
         "o_custkey",
         "order_year",
-        F.sum("_spend_dec").over(w).cast("double").alias("spend_2yr"),
+        F.sum("_spend_dec").over(w).cast("string").cast("double").alias("spend_2yr"),
     )
 
 
@@ -261,7 +268,7 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -318,8 +325,8 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantity_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,8)) END) AS VARCHAR) AS DOUBLE) AS qty_O,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,8)) END) AS VARCHAR) AS DOUBLE) AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -334,7 +341,7 @@ def quantity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(dec(F.col("l_quantity"))).cast("double"))
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("string").cast("double"))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
         .orderBy("l_returnflag")

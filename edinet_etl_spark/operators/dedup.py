@@ -65,10 +65,18 @@ def _shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     docs = docs.repartition(
         int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")), "doc_id"
     )
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (a 0-char
+    # doc would mint positions [1,0,-1,...] and bogus shingles the
+    # oracle's empty generate_series never sees); docs shorter than k
+    # must yield no rows on both engines
+    positions = F.when(
+        F.length("text") >= k,
+        F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return docs.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("pos"),
+        F.explode(positions).alias("pos"),
     ).select("doc_id", F.col("text").substr(F.col("pos"), F.lit(k)).alias("sh"))
 
 
@@ -772,11 +780,7 @@ _SQL_DELTA_START = (
          ),
          new_salted AS (
            SELECT doc_id, band_id, band_hash,
-                  (ROW_NUMBER() OVER (
-                     PARTITION BY band_id, band_hash ORDER BY doc_id) - 1)
-                    % CAST(CEIL(COUNT(*) OVER (
-                        PARTITION BY band_id, band_hash) / {_MAX_BUCKET}.0)
-                        AS BIGINT) AS salt
+                  {sql_ranked_salt(['band_id', 'band_hash'], 'doc_id', _MAX_BUCKET)} AS salt
            FROM bands WHERE doc_id >= {_SQL_DELTA_START}
          )
     SELECT DISTINCT new_doc_id, dup_of_doc_id FROM (

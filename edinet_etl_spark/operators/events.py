@@ -92,15 +92,18 @@ def sliding_30m_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
       SELECT user_id, ts, value,
+             -- (ts, event_id): the running sum must accumulate in the
+             -- order the LAG window flagged (CLAUDE.md: break window
+             -- ties explicitly) or tied rows can land in the wrong session
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )

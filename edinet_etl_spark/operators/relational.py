@@ -27,17 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import davg, dec, dsum, sql_davg, sql_dsum
+from edinet_etl_spark.exprs import SQL_REVENUE, revenue
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
 
-def revenue() -> F.Column:
-    """l_extendedprice * (1 - l_discount) — built lazily (Column objects
-    need an active SparkContext)."""
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
 @query(

@@ -252,7 +252,10 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket via a hash equi-join on the bucket signature — the O(bucket)
     replacement for the O(n) brute-force scan."""
     prep(spark)
-    buckets = lsh_hyperplane_buckets(spark, sf_dir)
+    # both self-join sides read the bucketing subplan (8 hyperplane
+    # dots per vector) and Spark has no common-subplan reuse —
+    # materialize it once, the established pattern for self-joins here
+    buckets = lsh_hyperplane_buckets(spark, sf_dir).localCheckpoint(eager=True)
     a = buckets.filter(F.col("vec_id") < 20).alias("a")
     b = buckets.alias("b")
     return a.join(

@@ -27,15 +27,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import dec, dsum, sql_dsum
+from edinet_etl_spark.exprs import SQL_REVENUE, revenue
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
 
-SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
-def _revenue() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_revenue = revenue  # shared definition (edinet_etl_spark/exprs.py)
 
 
 def _exact_sum_double(c: F.Column) -> F.Column:

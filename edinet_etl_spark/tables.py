@@ -161,8 +161,13 @@ def events_ts_is_nanos(sf_dir: str, spark: SparkSession | None = None) -> bool:
         try:
             dt = spark.read.parquet(path).schema["ts"].dataType
         finally:
+            # restore OR unset — leaving the probe's 'true' behind would
+            # make every later parquet read in the session surface
+            # TIMESTAMP(NANOS) columns as LongType
             if prev is not None:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            else:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         return isinstance(dt, T.LongType)
     if os.path.isdir(path):
         # multi-file layout (real lakes, the 10x probe's output): all
@@ -233,9 +238,21 @@ def _scan_parallelism(path: str, df: DataFrame) -> int:
 
 
 def validate(df: DataFrame, name: str) -> DataFrame:
-    """Fail fast if a table's on-disk schema drifted from the declared one."""
+    """Fail fast if a table's on-disk schema drifted from the declared
+    one — NAMES and TYPES both (name-only comparison would wave
+    through exactly the drift this guard exists for, e.g. an events
+    regeneration surfacing ts as raw INT64 nanos)."""
     expected = SCHEMAS[name]
     got = df.schema
     if [f.name for f in got.fields] != [f.name for f in expected.fields]:
-        raise ValueError(f"{name}: column drift: {got.fieldNames()} != {expected.fieldNames()}")
+        raise ValueError(
+            f"{name}: column drift: {got.fieldNames()} != {expected.fieldNames()}"
+        )
+    mismatched = [
+        (g.name, g.dataType.simpleString(), e.dataType.simpleString())
+        for g, e in zip(got.fields, expected.fields)
+        if g.dataType != e.dataType
+    ]
+    if mismatched:
+        raise ValueError(f"{name}: type drift: {mismatched}")
     return df

@@ -404,9 +404,11 @@ def test_repetition_frames_matches_set_model(spark, docs):
 @settings(**_SETTINGS)
 def test_scd2_merge_matches_dict_model(spark, current, batch):
     """layout.scd2_merge == the dict model for ANY (dimension, update
-    batch): only keys present in BOTH whose attribute actually differs
-    version; everything else passes through untouched (no-op guard;
-    updates for unknown keys are ignored — SCD2 is not an insert)."""
+    batch): keys present in both whose attribute actually differs
+    version; unchanged keys pass through untouched (no-op guard);
+    keys the dimension has never seen INSERT as first open versions —
+    the standard SCD2 merge contract (an earlier revision silently
+    dropped them; the model pins the fix)."""
     from edinet_etl_spark.layout import scd2_merge
 
     base = spark.createDataFrame(
@@ -432,6 +434,9 @@ def test_scd2_merge_matches_dict_model(spark, current, batch):
             model.append((k, batch[k], "2024-06-01", "None", True))
         else:
             model.append((k, v, "2024-01-01", "None", True))
+    for k, v in batch.items():
+        if k not in current:
+            model.append((k, v, "2024-06-01", "None", True))
     assert got == sorted(model)
 
 
