@@ -710,16 +710,24 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     build map-side combines via sorted top-k arrays."""
     prep(spark)
     li = parallel_scan(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
-    hashed = li.select(
-        "l_returnflag",
+    return kmv_estimate(li, "l_returnflag", "l_partkey")
+
+
+def kmv_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """KMV core over ANY (group, key) frame — the reusable sketch both
+    the lineitem query and the hypothesis model test drive (the < k
+    fallback branch only fires on small groups, which the fixtures
+    never contain)."""
+    hashed = df.select(
+        group_col,
         F.conv(
-            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
         )
         .cast("bigint")
         .alias("h"),
     ).distinct()
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    w_all = Window.partitionBy("l_returnflag")
+    w = Window.partitionBy(group_col).orderBy("h")
+    w_all = Window.partitionBy(group_col)
     kth = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
@@ -729,13 +737,13 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct set, so the estimate falls back to its size
         .filter(F.col("rn") == F.col("max_rn"))
         .select(
-            "l_returnflag",
+            group_col,
             F.col("h").alias("hk"),
             F.col("rn").alias("n_kept"),
         )
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).cast("bigint").alias("exact_distinct")
     )
     est = F.when(
         F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
@@ -743,9 +751,9 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_KMV_K - 1) * F.lit(4503599627370496.0)) / F.col("hk")
     )
     return (
-        exact.join(kth, "l_returnflag")
+        exact.join(kth, group_col)
         .select(
-            "l_returnflag",
+            group_col,
             "exact_distinct",
             est.alias("kmv_estimate"),
             (

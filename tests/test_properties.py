@@ -475,3 +475,37 @@ def test_triangle_card_matches_bruteforce_model(spark, raw_edges):
     assert row["n_nodes"] == len(nodes)
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] <= row["n_wedges"] <= wedges
+
+
+# ------------------------------------------------------------- KMV
+@given(
+    st.dictionaries(
+        st.sampled_from(["g1", "g2"]),
+        st.sets(st.integers(0, 10_000), min_size=1, max_size=150),
+        min_size=1,
+        max_size=2,
+    )
+)
+@settings(**_SETTINGS)
+def test_kmv_matches_python_model(spark, groups):
+    """kmv_estimate == an independent Python md5 model for ANY small
+    (group, key-set) input — including the < k fallback branch (kept
+    hash set IS the exact distinct set), which no fixture group is
+    small enough to exercise."""
+    import hashlib
+
+    from edinet_etl_spark.operators.sketches import _KMV_K, kmv_estimate
+
+    rows = [(g, k) for g, keys in groups.items() for k in keys]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = {r["grp"]: r for r in kmv_estimate(df, "grp", "key").collect()}
+    for g, keys in groups.items():
+        hashes = sorted(
+            int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) for k in keys
+        )
+        if len(hashes) < _KMV_K:
+            expect = float(len(hashes))
+        else:
+            expect = (_KMV_K - 1) * 4503599627370496.0 / hashes[_KMV_K - 1]
+        assert got[g]["exact_distinct"] == len(keys)
+        assert got[g]["kmv_estimate"] == expect, (g, got[g], expect)
