@@ -947,6 +947,12 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
     partition key (vec_id, sub_id) is M× finer than the corpus — at
     100 TB the encode is one map-side pass plus a single exchange."""
     emb = parallel_scan(spark, sf_dir, "embeddings")
+    return pq_codes_from(emb)
+
+
+def pq_codes_from(emb: DataFrame):
+    """PQ encode over ANY (vec_id, embedding) frame — the reusable
+    core, also driven by the hypothesis model test."""
     stride = _seed_stride(emb, _PQ_K)
     subs = emb.select(
         "vec_id", _pq_sub_id_explode().alias("sub_id"), "embedding"

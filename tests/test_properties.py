@@ -509,3 +509,63 @@ def test_kmv_matches_python_model(spark, groups):
             expect = (_KMV_K - 1) * 4503599627370496.0 / hashes[_KMV_K - 1]
         assert got[g]["exact_distinct"] == len(keys)
         assert got[g]["kmv_estimate"] == expect, (g, got[g], expect)
+
+
+# -------------------------------------------------------------- PQ
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=64, max_size=64
+        ),
+        min_size=5,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_pq_codes_match_python_model(spark, vectors):
+    """PQ assignment == a pure-Python model for ANY small corpus:
+    same seed-stride codebook, same fixed-association dist² folds
+    (left-fold dot products in IEEE doubles), same (dist², cid)
+    tie-break — codes and residuals compare bit-exactly."""
+    import struct
+
+    from edinet_etl_spark.operators.similarity import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        pq_codes_from,
+    )
+
+    # createDataFrame(FloatType) rounds to float32 — model on the
+    # SAME rounded values
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    vecs = [[f32(x) for x in v] for v in vectors]
+    n = len(vecs)
+    stride = -(-n // _PQ_K)
+    seeds = {i // stride: vecs[i] for i in range(0, n, stride)}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x * y)
+        return acc
+
+    def dist2(x, c):
+        return (dot(x, x) - (2.0 * dot(x, c))) + dot(c, c)
+
+    expect = {}
+    for vid, v in enumerate(vecs):
+        for s in range(_PQ_M):
+            sub = v[s * _PQ_DSUB : (s + 1) * _PQ_DSUB]
+            best = min(
+                ((dist2(sub, c[s * _PQ_DSUB : (s + 1) * _PQ_DSUB]), cid)
+                 for cid, c in seeds.items()),
+            )
+            expect[(vid, s)] = (best[1], best[0])
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    _, _, _, codes = pq_codes_from(df)
+    got = {(r["vec_id"], r["sub_id"]): (r["cid"], r["dist2"]) for r in codes.collect()}
+    assert got == expect
