@@ -883,3 +883,68 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("day_max"),
         )
     )
+
+
+# Incremental-maintenance split point: orders strictly before this date
+# are the "already-materialized" base; the rest is the arriving delta.
+_INC_SPLIT = "1997-01-01"
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           {sql_dsum('o_totalprice', 'total_revenue')},
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority, CAST(year(o_orderdate) AS BIGINT)
+    """,
+    covers=["A-extended", "M6-maintenance"],
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate incremental maintenance: the revenue
+    rollup is kept as MERGEABLE PARTIALS (exact-decimal sum + count per
+    group), so when a delta batch arrives only the delta is aggregated
+    and merged with the stored partials — history is never rescanned.
+    Here the orders table is split at {_INC_SPLIT} into base
+    ("already materialized") and delta ("arriving batch"); the query
+    runs the real maintenance path — partial(base) ∪ partial(delta) →
+    merge → finalize — while the ORACLE is the single-pass full
+    recompute.  They agree bit-for-bit because decimal addition is
+    exact and associative (`numeric.py`): the merge order cannot
+    perturb the result, which is precisely the contract that makes
+    incremental maintenance safe to deploy.
+
+    Scale: stored partials are one row per group (constant size);
+    each refresh costs one delta scan + one group-keyed merge shuffle
+    of partial rows.  The same (sum, count) pair also finalizes to
+    AVG — the standard mergeable-aggregate trick.  Compare
+    `streaming_cdc_snapshot` (row-level upsert maintenance);
+    this is the aggregate-level analogue."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    split = F.lit(_INC_SPLIT).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        ).agg(
+            F.sum(dec(F.col("o_totalprice"))).alias("s"),
+            F.count("*").alias("c"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "order_year")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .select(
+            "o_orderpriority",
+            "order_year",
+            F.col("s").cast("string").cast("double").alias("total_revenue"),
+            F.col("c").cast("bigint").alias("n_orders"),
+        )
+    )

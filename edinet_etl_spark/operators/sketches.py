@@ -761,3 +761,199 @@ def kmv_estimate(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# Fixed-width histogram quantile sketch: bin width in price units.
+_QBIN_W = 100.0
+
+
+@query(
+    "binned_quantile_sketch",
+    oracle=f"""
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / {_QBIN_W}) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, bin
+    ), cum AS (
+      SELECT l_returnflag, bin, n,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(ANY_VALUE(total) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           (MIN(CASE WHEN cum >= CEIL(total * 0.5) THEN bin END) + 1) * {_QBIN_W} AS p50_est,
+           (MIN(CASE WHEN cum >= CEIL(total * 0.9) THEN bin END) + 1) * {_QBIN_W} AS p90_est,
+           (MIN(CASE WHEN cum >= CEIL(total * 0.99) THEN bin END) + 1) * {_QBIN_W} AS p99_est
+    FROM cum GROUP BY l_returnflag
+    """,
+    covers=["A-extended", "M6-sketch"],
+)
+def binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles (p50/p90/p99 of
+    l_extendedprice per return flag), each estimate the upper edge of
+    the first bin whose cumulative count reaches ⌈q·n⌉ — error bounded
+    by the bin width (100 price units), deterministic in any
+    engine (floor of one correctly-rounded division; no interpolation,
+    no libm).
+
+    This is the scale path next to the exact `percentile_stats` sort:
+    the histogram is a CONSTANT-SIZE mergeable sketch — per-partition
+    (key, bin) partial counts combine map-side, the shuffle carries at
+    most |bins| counters per key per task (vs the exact form's full
+    column sort), per-day histograms roll up to per-month by adding
+    counters, and the final per-key window runs over a few hundred
+    bins.  Same structure as a t-digest/KLL deployment, with
+    deterministic bin boundaries instead of adaptive centroids so the
+    oracle replays bit-exact."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    hist = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / _QBIN_W).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_all)
+    )
+
+    def pick(q: float, alias: str) -> Column:
+        thr = F.ceil(F.col("total") * F.lit(q))
+        bin_q = F.min(F.when(F.col("cum") >= thr, F.col("bin")))
+        return ((bin_q + 1) * F.lit(_QBIN_W)).alias(alias)
+
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        pick(0.5, "p50_est"),
+        pick(0.9, "p90_est"),
+        pick(0.99, "p99_est"),
+    )
+
+
+@query(
+    "kmv_sketch_merge",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag, l_linestatus,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM lineitem
+    ), partial AS (
+      SELECT l_returnflag, l_linestatus, h FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY l_returnflag, l_linestatus ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {_KMV_K}
+    ), merged AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM (SELECT DISTINCT l_returnflag, h FROM partial)
+    ), merged_kth AS (
+      SELECT l_returnflag, h AS merged_hk, rn AS n_kept FROM (
+        SELECT *, MAX(rn) OVER (PARTITION BY l_returnflag) AS max_rn
+        FROM merged WHERE rn <= {_KMV_K}
+      ) WHERE rn = max_rn
+    ), direct AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM (SELECT DISTINCT l_returnflag, h FROM hashed)
+    ), direct_kth AS (
+      SELECT l_returnflag, h AS direct_hk FROM (
+        SELECT *, MAX(rn) OVER (PARTITION BY l_returnflag) AS max_rn
+        FROM direct WHERE rn <= {_KMV_K}
+      ) WHERE rn = max_rn
+    ), stats AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_substreams,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch_rows
+      FROM partial GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, s.n_substreams, s.n_sketch_rows,
+           CASE WHEN m.n_kept < {_KMV_K} THEN CAST(m.n_kept AS DOUBLE)
+                ELSE ({_KMV_K} - 1) * CAST(4503599627370496 AS DOUBLE) / m.merged_hk
+           END AS merged_estimate,
+           (m.merged_hk = d.direct_hk) AS merge_lossless
+    FROM stats s
+    JOIN merged_kth m USING (l_returnflag)
+    JOIN direct_kth d USING (l_returnflag)
+    """,
+    covers=["A-extended", "M6-sketch"],
+)
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE, proven lossless: build one k-minima sketch per
+    (returnflag, linestatus) substream, merge substream sketches per
+    flag (union the minima, dedup, re-take the k smallest), and verify
+    the merged k-th minimum equals the k-th minimum of a direct
+    whole-group sketch.  Equality is guaranteed by construction — any
+    global k-smallest hash is a fortiori among its own substream's k
+    smallest — and `merge_lossless` surfaces the proof as data.
+
+    This is THE property that makes KMV deployable at 100 TB: per-day /
+    per-partition sketches are ≤ k longs each, roll up to any coarser
+    grouping by union+re-rank WITHOUT rescanning history, and the
+    rolled-up estimate is bit-identical to the from-scratch one.  The
+    shuffle after sketching carries ≤ k·substreams rows per group —
+    constant, not data-sized."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w_sub = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("h")
+    partial = (
+        hashed.withColumn("rn", F.row_number().over(w_sub))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("l_returnflag", "l_linestatus", "h")
+    )
+    w_flag = Window.partitionBy("l_returnflag").orderBy("h")
+    w_flag_all = Window.partitionBy("l_returnflag")
+
+    def kth(df: DataFrame, hk_alias: str, keep_n: bool) -> DataFrame:
+        ranked = (
+            df.select("l_returnflag", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w_flag))
+            .filter(F.col("rn") <= _KMV_K)
+            .withColumn("max_rn", F.max("rn").over(w_flag_all))
+            .filter(F.col("rn") == F.col("max_rn"))
+        )
+        cols = ["l_returnflag", F.col("h").alias(hk_alias)] + (
+            [F.col("rn").alias("n_kept")] if keep_n else []
+        )
+        return ranked.select(*cols)
+
+    merged_kth = kth(partial, "merged_hk", keep_n=True)
+    direct_kth = kth(hashed, "direct_hk", keep_n=False)
+    stats = partial.groupBy("l_returnflag").agg(
+        F.countDistinct("l_linestatus").cast("bigint").alias("n_substreams"),
+        F.count("*").cast("bigint").alias("n_sketch_rows"),
+    )
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")).otherwise(
+        (F.lit(_KMV_K - 1) * F.lit(4503599627370496.0)) / F.col("merged_hk")
+    )
+    return (
+        stats.join(merged_kth, "l_returnflag")
+        .join(direct_kth, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_substreams",
+            "n_sketch_rows",
+            est.alias("merged_estimate"),
+            (F.col("merged_hk") == F.col("direct_hk")).alias("merge_lossless"),
+        )
+    )

@@ -287,6 +287,178 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-level boilerplate removal (CCNet/RefinedWeb-style): split each
+# document into fixed-width word segments, hash-count segment frequency
+# corpus-wide, and strip segments that recur across too many documents.
+_SEG_WORDS = 4  # segment width in words (≈ the paragraph-hash unit)
+_SEG_MAX_DOCS = 2  # a segment in > this many distinct docs is boilerplate
+
+
+@query(
+    "boilerplate_segment_removal",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id, t.i - 1 AS widx, (t.i - 1) // {_SEG_WORDS} AS seg_idx, ws[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) t(i)
+    ), segments AS (
+      SELECT doc_id, seg_idx, string_agg(w, ' ' ORDER BY widx) AS segment
+      FROM seg GROUP BY doc_id, seg_idx
+    ), freq AS (
+      SELECT segment, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM segments GROUP BY segment
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN f.n_docs_with > {_SEG_MAX_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN f.n_docs_with <= {_SEG_MAX_DOCS}
+                                    THEN s.segment END,
+                               ' ' ORDER BY s.seg_idx), '') AS clean_text
+    FROM segments s JOIN freq f USING (segment)
+    GROUP BY s.doc_id
+    """,
+    covers=["M6-text", "M6-dedup", "A-extended"],
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate stripping, the CCNet/RefinedWeb
+    paragraph-dedup shape: segment every document into fixed 4-word
+    chunks, count each distinct segment's document frequency across
+    the WHOLE corpus, and rebuild each document with over-shared
+    segments removed (keeping original order).  This is the cleaning
+    op that removes nav bars / license headers / cookie banners from
+    web-crawl pretraining data — the per-doc filters above can't see
+    cross-document repetition; this one is defined by it.
+
+    Plan (3 stages, 2 shuffles):
+      1. segmentation is ARRAY-LOCAL (sequence + slice + concat_ws
+         inside the row — no explode until the segment stream);
+      2. segment document-frequency is one partial-aggregated groupBy
+         on the segment string;
+      3. the boilerplate *list* (segments over the threshold) is the
+         small side — it joins back to the segment stream as a
+         broadcast/AQE left join (the corpus stream is never
+         re-shuffled on the segment key), then one groupBy(doc_id)
+         reassembles clean text via array_sort(collect_list(struct)).
+    At 100 TB the df aggregate shuffles ≤ distinct-segments-per-
+    partition (map-side combine); if the boilerplate list outgrows
+    broadcast, the join degrades to the already-partitioned shuffle
+    join — semantics unchanged.  Threshold >{_SEG_MAX_DOCS} docs keeps
+    the op non-vacuous on the fixtures (183 segments stripped at
+    sf0.01)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(_SEG_WORDS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * _SEG_WORDS + F.lit(1), F.lit(_SEG_WORDS))
+        ),
+    )
+    seg = docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "segment"))
+    boiler = (
+        seg.groupBy("segment")
+        .agg(F.count_distinct("doc_id").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") > _SEG_MAX_DOCS)
+        .withColumn("is_boiler", F.lit(True))
+        .select("segment", "is_boiler")
+    )
+    flagged = seg.join(boiler, "segment", "left")
+    drop = F.col("is_boiler").isNotNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(drop.cast("bigint")).cast("bigint").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~drop, F.struct(F.col("seg_idx"), F.col("segment")))
+                    )
+                ),
+                lambda s: s["segment"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "bigram_novelty_scores",
+    oracle="""
+    WITH big AS (
+      SELECT DISTINCT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws) - 1)) t(i)
+    ), df AS (
+      SELECT bigram, COUNT(*) AS doc_freq FROM big GROUP BY bigram
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_bigrams,
+           CAST(SUM(df.doc_freq) AS DOUBLE)
+             / (COUNT(*) * ANY_VALUE(n.n_docs)) AS mean_bigram_df_ratio
+    FROM big JOIN df USING (bigram) CROSS JOIN n
+    GROUP BY big.doc_id
+    """,
+    covers=["M6-text", "A-extended"],
+)
+def bigram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-level corpus familiarity — the model-free stand-in for an
+    n-gram LM perplexity filter: for each document's DISTINCT word
+    bigrams, how many are corpus-unique (novel phrasing or noise) and
+    the mean bigram document-frequency ratio (how "seen before" its
+    phrasing is).  Unigram rarity (`doc_rarity_scores`) can't separate
+    common-words-in-odd-order from genuinely common text; bigrams can —
+    the exact reason LM-based quality filters beat stopword ratios.
+
+    All scores are integer-count ratios (no libm).  Plan mirrors
+    `doc_rarity_scores`: bigram construction is array-local
+    (zip_with over two shifted slices — no explode before the
+    per-doc distinct), one bigram-keyed df aggregate, join back
+    (AQE broadcasts small vocabularies; term-salting applies at web
+    scale), one doc-keyed aggregate."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(words, 1, n - F.lit(1)),
+            F.slice(words, 2, n - F.lit(1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    big = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    df = big.groupBy("bigram").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        big.join(df, "bigram")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+            F.sum((F.col("doc_freq") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_unique_bigrams"),
+            F.sum("doc_freq").alias("sum_df"),
+            F.first("n_docs").alias("n_docs"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_unique_bigrams",
+            (
+                F.col("sum_df").cast("double")
+                / (F.col("n_distinct_bigrams") * F.col("n_docs"))
+            ).alias("mean_bigram_df_ratio"),
+        )
+    )
+
+
 @query(
     "doc_rarity_scores",
     oracle="""
