@@ -785,9 +785,12 @@ _QBIN_W = 100.0
     SELECT l_returnflag,
            CAST(ANY_VALUE(total) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_bins,
-           (MIN(CASE WHEN cum >= CEIL(total * 0.5) THEN bin END) + 1) * {_QBIN_W} AS p50_est,
-           (MIN(CASE WHEN cum >= CEIL(total * 0.9) THEN bin END) + 1) * {_QBIN_W} AS p90_est,
-           (MIN(CASE WHEN cum >= CEIL(total * 0.99) THEN bin END) + 1) * {_QBIN_W} AS p99_est
+           CAST((MIN(CASE WHEN cum >= CEIL(total * 0.5) THEN bin END) + 1)
+                AS DOUBLE) * {_QBIN_W} AS p50_est,
+           CAST((MIN(CASE WHEN cum >= CEIL(total * 0.9) THEN bin END) + 1)
+                AS DOUBLE) * {_QBIN_W} AS p90_est,
+           CAST((MIN(CASE WHEN cum >= CEIL(total * 0.99) THEN bin END) + 1)
+                AS DOUBLE) * {_QBIN_W} AS p99_est
     FROM cum GROUP BY l_returnflag
     """,
     covers=["A-extended", "M6-sketch"],
