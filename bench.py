@@ -68,6 +68,11 @@ HEADLINE = [
     "pq_adc_topk",
     "doc_rarity_scores",
     "pii_scrub_customers",
+    # round-3: corpus boilerplate cleaning + mergeable-sketch quantiles
+    # + materialized-aggregate maintenance
+    "boilerplate_segment_removal",
+    "binned_quantile_sketch",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -960,3 +960,126 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("merged_hk") == F.col("direct_hk")).alias("merge_lossless"),
         )
     )
+
+
+# k-core peel: degree threshold and FIXED round budget (6 rounds covers
+# convergence at every fixture scale; the `stable` column reports it).
+_KCORE_K = 80
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-round k-core oracle (same construction as the PageRank
+    fixed-iteration oracle): aliveN = nodes with ≥ k surviving
+    neighbours among alive(N-1)."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM edges UNION ALL SELECT v AS a, u AS b FROM edges
+    ), alive0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node FROM sym
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", alive{r} AS MATERIALIZED (
+      SELECT s.a AS node FROM sym s
+      JOIN alive{r - 1} x ON s.a = x.node
+      JOIN alive{r - 1} y ON s.b = y.node
+      GROUP BY s.a HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+    selects = []
+    for r in range(_KCORE_ROUNDS + 1):
+        stable = (
+            f"(SELECT COUNT(*) FROM alive{r}) = (SELECT COUNT(*) FROM alive{r - 1})"
+            if r
+            else "FALSE"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" CAST((SELECT COUNT(*) FROM alive{r}) AS BIGINT) AS n_alive,"
+            f" {stable} AS stable"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "kcore_copurchase_peel",
+    oracle=_kcore_oracle(),
+    covers=["A-extended", "J-extended", "M6-graph"],
+)
+def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    peeling: each round removes nodes with fewer than k surviving
+    neighbours; the fixpoint is the k-core — the standard dense-region
+    extractor (community seeding, bot/spam subgraph mining) next to
+    PageRank (influence) and triangles (clustering).  Output is the
+    peel trajectory (round, surviving-node count, stable flag) — the
+    number an operator actually monitors; at k=80 the fixtures peel
+    through 4–5 real rounds to a non-empty core.
+
+    Round count is FIXED (6, enough for convergence at every fixture
+    scale — the final `stable` row proves it in-band) so the oracle
+    unrolls to pure SQL, the same trick as `pagerank_event_graph`; a
+    deployment loops to fixpoint with a loop-control count per round —
+    the `neardup_components` idiom.  Scale: per round, the alive set
+    only shrinks and is broadcast into two equi-joins against the
+    (checkpointed, symmetric) edge list, then one partial-aggregated
+    degree count; when the alive list outgrows broadcast, AQE degrades
+    the join to the partitioned form — same semantics.  Monotonicity
+    guarantees a peeled node never returns, so no per-round edge
+    rewrite is needed."""
+    prep(spark)
+    from functools import reduce
+
+    li = parallel_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+
+    def round_count(r: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_alive")).select(
+            F.lit(r).cast("bigint").alias("round"), "n_alive"
+        )
+
+    counts = [round_count(0, alive)]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        x = alive.select(F.col("node").alias("xa"))
+        y = alive.select(F.col("node").alias("yb"))
+        alive = (
+            sym.join(x, F.col("a") == F.col("xa"))
+            .join(y, F.col("b") == F.col("yb"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(round_count(r, alive))
+    res = reduce(DataFrame.unionByName, counts)
+    # 7-row result: the un-partitioned lag window is bounded by the
+    # fixed round budget, never by data size
+    w = Window.orderBy("round")
+    return res.withColumn(
+        "stable",
+        F.coalesce(F.col("n_alive") == F.lag("n_alive").over(w), F.lit(False)),
+    )
