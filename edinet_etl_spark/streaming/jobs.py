@@ -759,3 +759,170 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_quality_monitor(ev, snap, ckpt)
     q.awaitTermination()
     return read_snapshot(spark, snap)
+
+
+# Horizon sentinels: two far-future (purchase, click) marker pairs with
+# reserved negative ids.  Event-time microseconds for 3000-01-01 and
+# 3000-02-01 — beyond any data, so after both horizon batches the
+# global watermark has swept every real event's join window closed.
+_HORIZON_US = (32503680000000000, 32506358400000000)
+
+
+def _feed_dir_with_horizon(sf_dir: str, nanos: bool) -> str:
+    """A PRIVATE stream-feed directory (never the shared `_feed_dir` —
+    horizon rows must not leak into other streaming queries' feeds):
+    the real event file(s) copied with ascending mtimes, then two
+    horizon files whose mtimes sort last, so the file source delivers
+    real data first and the horizon markers as trailing micro-batches.
+
+    Why horizons: outer-join results only emit when the GLOBAL
+    watermark passes a row's join window.  An availableNow replay of a
+    finite feed ends with the watermark still inside the final hour of
+    data, so the tail's unmatched rows would never emit — exactly the
+    end-of-stream problem production pipelines solve with EOS/idle-
+    source watermark markers.  Two files, not one: the watermark from
+    horizon batch N only takes effect in batch N+1 (the one-batch
+    delay pinned by `test_watermark_drops_late_events`), so the second
+    horizon batch is what flushes state swept by the first."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import SparkSession
+
+    app = SparkSession.active().sparkContext.applicationId
+    tag = hashlib.md5(f"horizon|{sf_dir}|{app}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"edinet_stream_horizon_{tag}")
+    if os.path.isdir(d) and sorted(os.listdir(d)):
+        return d  # session-scoped dir already staged (idempotent)
+    os.makedirs(d, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        data_files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if not f.startswith(("_", ".")) 
+        )
+    else:
+        data_files = [src]
+    now = time.time()
+    # real files first (ascending mtimes, all in the past)
+    for i, f in enumerate(data_files):
+        dst = os.path.join(d, f"data_{i:05d}.parquet")
+        shutil.copy(f, dst)
+        os.chmod(dst, 0o644)
+        os.utime(dst, (now - 600 + i, now - 600 + i))
+    ts_type = pa.timestamp("ns") if nanos else pa.timestamp("us")
+    for h, us in enumerate(_HORIZON_US):
+        ids = [-(2 * h + 1), -(2 * h + 2)]
+        t = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [us * 1000 if nanos else us] * 2, ts_type
+                ),
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["purchase", "click"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        path = os.path.join(d, f"zz_horizon_{h}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (now - 100 + h, now - 100 + h))
+    return d
+
+
+def read_events_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`read_events_stream`, but over the horizon-staged private feed.
+    Callers MUST exclude the marker rows (user_id < 0) from the final
+    BATCH result — never inside the streaming query: Catalyst pushes a
+    post-join filter down into the parquet scan, which would skip the
+    horizon rows entirely and leave the watermark stuck (measured: the
+    4 tail purchases never flushed)."""
+    from edinet_etl_spark.tables import events_ts_is_nanos
+
+    prep(spark)
+    nanos = events_ts_is_nanos(sf_dir, spark)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    else:
+        ts = F.col("ts")
+    raw = (
+        spark.readStream.schema(_raw_schema(nanos))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_feed_dir_with_horizon(sf_dir, nanos))
+    )
+    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+
+
+@query(
+    "streaming_attribution_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+    covers=["M5-stream", "J-extended"],
+)
+def streaming_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — attribution INCLUDING
+    the organic purchases: every purchase emits, null-extended when no
+    same-user click preceded it within 10 minutes.  The semantics the
+    inner join (`streaming_purchase_attribution`) cannot give: outer
+    rows are a STATEMENT ABOUT ABSENCE, so they may only emit once the
+    global watermark proves no matching click can still arrive — state
+    eviction and result emission are the same decision.
+
+    Batch parity on a finite replay needs the end-of-stream horizon
+    markers staged by `_feed_dir_with_horizon` (two trailing far-future
+    batches sweep the watermark past every real join window; the
+    marker rows are excluded AFTER the sink — see
+    `read_events_stream_with_horizon` on why in-query filtering breaks
+    the watermark via scan pushdown).  With them, the availableNow run
+    equals the batch LEFT JOIN exactly (1 981 rows = 9 matched +
+    1 972 null-extended at sf0.01).
+
+    At 100 TB/day: same bounded two-sided state as the inner join
+    (watermark delay + interval), plus the outer side's
+    "emit-on-eviction" rows; unmatched-purchase latency is the
+    watermark delay — the price of proving absence."""
+    ev = read_events_stream_with_horizon(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    return run_available_now(
+        joined, "stream_attribution_outer_result", "append"
+    ).filter(F.col("user_id") >= 0)
