@@ -91,3 +91,49 @@ def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE sched(o_orderkey, month, balance) AS (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS month,
+         CAST(o_totalprice AS DOUBLE) AS balance
+  FROM (SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50)
+  UNION ALL
+  SELECT o_orderkey, month + 1,
+         balance * 1.005 - balance * 0.25
+  FROM sched WHERE month < 6
+)
+SELECT o_orderkey, month, balance FROM sched
+"""
+
+
+@query(
+    "sql_recursive_paydown",
+    # identical string runs as the DuckDB oracle
+    oracle=_RECURSIVE_SQL,
+    covers=["A-extended", "SQ-recursive"],
+)
+def sql_recursive_paydown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a 6-step balance
+    schedule per order — monthly 0.5 % interest accrual minus a 25 %
+    proportional paydown — where each row is a NON-LINEAR function of
+    the previous one, the class of iteration window frames cannot
+    express (a window can accumulate, it cannot compound).  The
+    identical string is the DuckDB oracle, extending SQL-level engine
+    interchangeability to the recursive surface.
+
+    Engine notes, measured here: Spark 4 recursion supports UNION ALL
+    only (UNION-dedup closure semantics — BFS visited sets — raise
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so recursion must be
+    acyclic with an explicit depth guard; both engines evaluate the
+    arithmetic as IEEE doubles (two multiplies + one subtract per
+    step), bit-identical across 350 rows.  Scale: recursion depth is
+    the constant 7-row-per-key unroll; each step is one pass over the
+    previous step's (partitioned) output — the same bounded-iteration
+    law as `pagerank_event_graph`, via SQL instead of a driver loop.
+    The 50-order cap keeps the anchor deterministic (total ORDER BY
+    before LIMIT, per CLAUDE.md)."""
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL)
