@@ -260,3 +260,63 @@ def sql_udf_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY price_band(o_totalprice)
         """
     )
+
+
+class _WordColumns:
+    """Polymorphic UDTF kernel: output schema is DERIVED FROM THE CALL
+    SITE by ``analyze`` — ``word_columns(text, 3)`` yields (w0, w1,
+    w2), ``word_columns(text, 5)`` five columns — one registration
+    serving any width.  ``eval`` pads short texts with NULLs so the
+    row always matches the analyzed schema."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("word_columns: n must be a positive integer literal")
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"w{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):
+        ws = (text or "").split(" ")
+        yield tuple(ws[i] if i < len(ws) else None for i in range(n))
+
+
+@query(
+    "udtf_dynamic_word_columns",
+    oracle="""
+    SELECT doc_id, ws[1] AS w0, ws[2] AS w1, ws[3] AS w2
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id < 25
+    """,
+    covers=["X-udtf", "M6-text"],
+)
+def udtf_dynamic_word_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic Python UDTF: no static ``returnType`` — the
+    ``analyze`` static method computes the output schema from the
+    call's literal arguments at PLAN TIME (here: first-3-words
+    columns), the table-function analogue of a generic function.  The
+    static UDTF (`udtf_char_ngrams`) fixes its schema at registration;
+    this one is schema-per-call-site — the remaining §2.10 extension
+    point.
+
+    Scale posture is the same as every Python UDTF here: row
+    generation crosses the Python boundary (the deliberate slow path,
+    capped to doc_id<25); the analyze call itself runs ONCE on the
+    driver at planning.  The oracle derives the identical table with
+    declarative list indexing (out-of-range → NULL matches the
+    kernel's padding)."""
+    prep(spark)
+    spark.udtf.register("word_columns", F.udtf(_WordColumns))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1, t.w2
+        FROM documents d, LATERAL word_columns(d.text, 3) t
+        WHERE d.doc_id < 25
+        """
+    )
