@@ -120,9 +120,12 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per rule with its measured violation count — promote the batch
     only if every `passed` is true.
 
-    Plan: each FK rule is a LEFT ANTI join (dim side broadcast for
-    customer/part; the fact-fact orderkey check shuffles on the join
-    key and AQE right-sizes it), domain rules are pushed-down scans;
+    Plan: each FK rule is a LEFT ANTI join — no forced broadcast:
+    customer (150 k×SF) and part (200 k×SF) both GROW with scale, so
+    the strategy is AQE's call (broadcast at small SF, shuffle join
+    once the dim outgrows the threshold; the fact-fact orderkey check
+    always shuffles on the join key), domain rules are pushed-down
+    scans;
     the rule rows union at the end.  Violations COUNT, never collect —
     the gate reads 5 rows however big the batch is."""
     prep(spark)
@@ -142,7 +145,7 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule(
             "orders_custkey_fk",
             orders.join(
-                F.broadcast(customer),
+                customer,
                 orders["o_custkey"] == customer["c_custkey"],
                 "left_anti",
             ),
@@ -156,7 +159,7 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule(
             "lineitem_partkey_fk",
             lineitem.join(
-                F.broadcast(part),
+                part,
                 lineitem["l_partkey"] == part["p_partkey"],
                 "left_anti",
             ),

@@ -284,7 +284,10 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part grows with SF (200 k×SF — larger than customer): no
+        # forced broadcast, AQE picks the strategy; bad_sup is a thin
+        # supplier slice (supplier-class, hint allowed)
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -334,7 +337,8 @@ def bracketed_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no forced part broadcast (grows with SF); AQE decides
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(bracket)
         .agg(dsum(_revenue(), "revenue"), F.count("*").alias("n_items"))
     )
@@ -387,7 +391,8 @@ def heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     per_sup = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # the PROMO slice still grows with SF: no forced broadcast
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(dec(F.col("l_quantity"))).alias("qsum_dec"))
     )

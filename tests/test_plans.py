@@ -131,8 +131,10 @@ EXPECTATIONS = [
     # profile: ONE scan, all aggregates share it (Expand for the
     # multi-column distinct), stack unpivot — no per-column rescans
     ("table_profile_orders", 4, ["Expand"], ["PythonUDF", "CartesianProduct"]),
-    # integrity gate: FK rules as anti joins (dims broadcast; the
-    # fact-fact orderkey check may shuffle), 5-row union output
+    # integrity gate: FK rules as anti joins (no forced hints —
+    # customer/part grow with SF; the small-SF planner still picks
+    # broadcast, the fact-fact orderkey check may shuffle), 5-row
+    # union output
     ("data_quality_checks", 11, ["LeftAnti", "Union"],
      ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # PQ encode: 16-row codebook BROADCAST to the sub-vector stream;
