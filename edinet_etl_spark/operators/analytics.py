@@ -948,3 +948,85 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "customer_spend_trend",
+    oracle="""
+    WITH yearly AS (
+      SELECT c_nationkey,
+             CAST(EXTRACT(year FROM o_orderdate) - 1998 AS BIGINT) AS dx,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,3)) * 1000
+                           AS BIGINT)) AS BIGINT) AS y_m
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, dx
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(CAST(SUM(y_m) AS BIGINT) AS DOUBLE) / 1000.0 AS total_spend,
+           CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(dx * y_m) AS BIGINT)
+                - CAST(SUM(dx) AS BIGINT) * CAST(SUM(y_m) AS BIGINT) AS DOUBLE)
+           / CAST((CAST(COUNT(*) AS BIGINT) * CAST(SUM(dx * dx) AS BIGINT)
+                   - CAST(SUM(dx) AS BIGINT) * CAST(SUM(dx) AS BIGINT)) * 1000
+                  AS DOUBLE) AS slope_per_year
+    FROM yearly
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 2
+    ORDER BY c_nationkey
+    """,
+    covers=["A-extended", "J1", "F4"],
+)
+def customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation spend trend: the exact ordinary-least-squares slope of
+    yearly order revenue — the model-free forecasting feature next to
+    `forecast_revenue_change`'s single-year what-if (reference Q6
+    analogue, /root/reference/src/transform.py has no regression
+    surface at all).
+
+    Numeric path (the CLAUDE.md no-libm discipline, extended to
+    regression): money is moved onto an INTEGER milli-unit grid
+    (DECIMAL(18,3) cast — one digit finer than the data's 2-decimal
+    resolution, so no rounding-midpoint ties — then x1000 to BIGINT).
+    Years are centered at 1998 so every sum stays tiny; the OLS slope
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is then PURE int64 arithmetic with
+    exactly ONE rounding operation: the final double division (the
+    /1000 de-scaling is folded into the divisor, so it costs no second
+    rounding).  Magnitude ceiling: |num| < n * 3 * total_milli_spend —
+    overflows int64 only past ~sf1000, documented here.
+
+    Plan: fact-fact join on custkey (AQE picks broadcast at small SF,
+    sort-merge at scale — no forced hint per the growth-law audit),
+    ONE shuffle for the (nation, year) partial-agg rollup, then a
+    25-row second aggregate.  Shuffle bytes ~ group count, not rows."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    y_milli = (
+        F.col("o_totalprice").cast("decimal(18,3)") * F.lit(1000)
+    ).cast("bigint")
+    yearly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            (F.year("o_orderdate") - F.lit(1998)).cast("bigint").alias("dx"),
+        )
+        .agg(F.sum(y_milli).cast("bigint").alias("y_m"))
+    )
+    n = F.count("*").cast("bigint")
+    sdx = F.sum("dx").cast("bigint")
+    sdx2 = F.sum(F.col("dx") * F.col("dx")).cast("bigint")
+    sy = F.sum("y_m").cast("bigint")
+    sdxy = F.sum(F.col("dx") * F.col("y_m")).cast("bigint")
+    return (
+        yearly.groupBy("c_nationkey")
+        .agg(
+            n.alias("n_years"),
+            (sy.cast("double") / F.lit(1000.0)).alias("total_spend"),
+            (
+                (n * sdxy - sdx * sy).cast("double")
+                / ((n * sdx2 - sdx * sdx) * F.lit(1000)).cast("double")
+            ).alias("slope_per_year"),
+        )
+        .filter(F.col("n_years") >= 2)
+        .orderBy("c_nationkey")
+    )

@@ -474,3 +474,123 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@query(
+    "seasonal_hourly_anomalies",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr, value
+      FROM events
+    ), base AS (
+      SELECT event_type, hr,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,8))) AS s
+      FROM ev GROUP BY event_type, hr
+    )
+    SELECT e.event_type, e.hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,8)) * b.n
+                                       > 3 * b.s THEN 1 END), 0) AS BIGINT)
+             AS n_anomalies,
+           CAST(COALESCE(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,8)) * b.n
+                                       > 3 * b.s THEN 1 END), 0) AS DOUBLE)
+             / COUNT(*) AS anomaly_frac
+    FROM ev e JOIN base b ON e.event_type = b.event_type AND e.hr = b.hr
+    GROUP BY e.event_type, e.hr
+    ORDER BY e.event_type, e.hr
+    """,
+    covers=["M5-window", "A-extended", "LLM-quality"],
+)
+def seasonal_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: per (event_type,
+    hour-of-day) bucket, count events whose value exceeds 3x the
+    bucket's mean — the hour-of-day seasonality profile a monitoring
+    pipeline maintains (the reference has no event surface at all; its
+    nearest analogue is the per-day polling loop,
+    /root/reference/src/extract.py:107-127).
+
+    The threshold is the SCALE.md scale-invariant "x mean" form, and
+    the comparison is EXACT: value > 3*mean(value) is tested as
+    dec(value)*n > 3*sum_dec(value) — integer/decimal arithmetic only,
+    no division, no float compare, portable bit-for-bit.
+
+    Plan: one tiny aggregate (event_type x 24 rows, map-side partial
+    combine) broadcast back onto a second scan — the corpus-global-
+    stats pattern (SCALE.md): the fact stream is never shuffled for
+    the baseline; the final per-bucket rollup's shuffle payload is
+    bounded by group count per task, not input rows."""
+    prep(spark)
+    from edinet_etl_spark.numeric import dec
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr"), "value"
+    )
+    base = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"), F.sum(dec(F.col("value"))).alias("s")
+    )
+    joined = ev.join(F.broadcast(base), ["event_type", "hr"])
+    is_anom = (dec(F.col("value")) * F.col("n")) > (F.lit(3) * F.col("s"))
+    return (
+        joined.groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(F.sum(F.when(is_anom, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            (
+                F.coalesce(F.sum(F.when(is_anom, 1)), F.lit(0)).cast("double")
+                / F.count("*")
+            ).alias("anomaly_frac"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "event_sequence_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 10
+    """,
+    covers=["W-extended", "M5-session", "M6-text"],
+)
+def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 10 most frequent 3-step
+    event-type paths across per-user ordered streams — the n-gram
+    extension of the Markov matrix in `event_transition_counts`
+    (funnel discovery, next-action modeling).
+
+    Plan: ONE shuffle (window partition on user_id; LEAD runs inside
+    the per-partition sort), then a count aggregate whose map-side
+    combine bounds shuffle payload at |distinct trigrams| <= |types|^3
+    per task.  Window order (ts, event_id) is a total order per user,
+    so LEAD is deterministic; top-10 carries the full (n DESC, trigram)
+    tie-break per the LIMIT discipline."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(10)
+    )

@@ -716,3 +716,142 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH train AS (
+      SELECT * FROM documents WHERE source <> 'src0'
+    ), q AS (
+      SELECT *,
+             (length(string_split(text,' ')) >= 30
+              AND CAST(length(list_distinct(string_split(text,' '))) AS DOUBLE)
+                  / length(string_split(text,' ')) >= 0.45
+              AND CAST(length(replace(text,' ','')) AS DOUBLE)
+                  / length(string_split(text,' ')) >= 4.0) AS q_ok
+      FROM train
+    ), qk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                AS rn
+      FROM q WHERE q_ok
+    ), surv AS (
+      SELECT * FROM qk WHERE rn = 1
+    ), bench AS (
+      SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS shingle
+      FROM (SELECT string_split(text,' ') AS toks,
+                   unnest(generate_series(1, length(string_split(text,' '))-7))
+                     AS i
+            FROM documents WHERE source = 'src0')
+    ), contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+            FROM (SELECT doc_id, string_split(text,' ') AS toks,
+                         unnest(generate_series(1,
+                                 length(string_split(text,' '))-7)) AS i
+                  FROM surv)) s
+      JOIN bench b ON s.shingle = b.shingle
+    ), staged AS (
+      SELECT source, 'a_quality_drop' AS stage, n_chars FROM q WHERE NOT q_ok
+      UNION ALL
+      SELECT source, 'b_dup_drop', n_chars FROM qk WHERE rn > 1
+      UNION ALL
+      SELECT s.source,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'c_contaminated'
+                  ELSE 'd_kept' END,
+             s.n_chars
+      FROM surv s LEFT JOIN contam c ON s.doc_id = c.doc_id
+    )
+    SELECT source, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM staged
+    GROUP BY source, stage
+    ORDER BY source, stage
+    """,
+    covers=["LLM-quality", "LLM-decontaminate", "M6-dedup", "A1", "U1"],
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation data card: the composed production pipeline
+    quality filter -> exact dedup -> benchmark decontamination, with
+    per-(source, stage) doc/char drop accounting — the single artifact
+    a training-data run publishes (composes `quality_filter_funnel`,
+    `exact_dedup`, and `benchmark_contamination`, whose stage semantics
+    it reuses verbatim; the reference's whole pipeline is the
+    single-stage 130-over-120 selection,
+    /root/reference/src/transform.py:109-145).
+
+    Stage semantics: (a) C4 quality rules attribute each failing doc to
+    'a_quality_drop'; (b) among survivors, exact dedup keeps the lowest
+    doc_id per md5(text) ('b_dup_drop' for the rest); (c) survivors
+    sharing any 8-word shingle with the held-out 'src0' corpus are
+    'c_contaminated'; the remainder is 'd_kept'.  Stage labels carry
+    their pipeline position prefix so the card orders causally.
+
+    Plan/scale: the quality stage is pure codegen (zero shuffle); dedup
+    is ONE hash shuffle on md5(text) — rows carry text onward anyway
+    for shingling, so keying the window directly beats the ids-only
+    dedup + join-back (which would shuffle the full rows a second
+    time); the benchmark side is DISTINCT-collapsed then broadcast
+    (left-semi for the flag), so the training corpus is never shuffled
+    for decontamination; the final card aggregate's payload is
+    |sources x 4| rows.  Per-stage counts use map-side combine."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    q_ok = (
+        (n_words >= 30)
+        & (F.size(F.array_distinct(words)).cast("double") / n_words >= 0.45)
+        & (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                "double"
+            )
+            / n_words
+            >= 4.0
+        )
+    )
+    train = docs.filter(F.col("source") != "src0")
+    flagged = train.withColumn("q_ok", q_ok)
+    qdrop = flagged.filter(~F.col("q_ok")).select(
+        "source", F.lit("a_quality_drop").alias("stage"), "n_chars"
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    ranked = flagged.filter(F.col("q_ok")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    dupdrop = ranked.filter(F.col("rn") > 1).select(
+        "source", F.lit("b_dup_drop").alias("stage"), "n_chars"
+    )
+    surv = ranked.filter(F.col("rn") == 1)
+    bench_sh = (
+        _word_shingles(docs.filter(F.col("source") == "src0"))
+        .select("shingle")
+        .distinct()
+    )
+    contam_ids = (
+        _word_shingles(surv.select("doc_id", "source", "text"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    tail = surv.join(contam_ids, "doc_id", "left").select(
+        "source",
+        F.when(F.col("is_contam").isNotNull(), "c_contaminated")
+        .otherwise("d_kept")
+        .alias("stage"),
+        "n_chars",
+    )
+    return (
+        qdrop.unionAll(dupdrop)
+        .unionAll(tail)
+        .groupBy("source", "stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "stage")
+    )

@@ -103,8 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal (X1/X2 plumbing)
     "multimodal_decode", "pq_adc_topk",
     # llmdata tail added after round 1's sweep
-    "source_mix_report", "token_budget_pack",
-    "triangle_count_copurchase", "doc_chunk_windows",
+    "source_mix_report", "corpus_curation_pipeline",
+    "triangle_count_copurchase", "token_budget_pack",
     # temporal: as-of join + binned range join
     "asof_latest_order_per_event", "price_neighbor_pairs_binned",
     # text
@@ -117,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     # positions 51+: displaced within-family duplicates + the rest of
     # the sketch family — ride a wider driver window if one exists;
     # full local differential coverage regardless
-    "bloom_prejoin_reduction", "pagerank_event_graph",
+    "doc_chunk_windows", "bloom_prejoin_reduction", "pagerank_event_graph",
     "multimodal_frame_sample", "token_budget_pack_partitioned",
     "tfidf_top_terms", "fulfilled_only_customers_except",
     "suppliers_with_shipments",
