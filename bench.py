@@ -73,6 +73,9 @@ HEADLINE = [
     "boilerplate_segment_removal",
     "binned_quantile_sketch",
     "incremental_agg_maintenance",
+    # round-4: the composed curation flagship + rolling engagement
+    "corpus_curation_pipeline",
+    "rolling_7d_active_users",
 ]
 
 

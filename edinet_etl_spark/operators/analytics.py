@@ -1012,13 +1012,22 @@ def customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(y_milli).cast("bigint").alias("y_m"))
     )
+    return ols_slope_by_group(yearly, "c_nationkey").orderBy("c_nationkey")
+
+
+def ols_slope_by_group(yearly: DataFrame, key: str) -> DataFrame:
+    """Exact integer OLS over (key, dx, y_m) rows → (key, n_years,
+    total_spend, slope_per_year); y_m is on the milli-unit grid, dx is
+    the centered regressor.  Factored for the property test
+    (`tests/test_properties.py`: Fraction-model equivalence for ANY
+    integer point set)."""
     n = F.count("*").cast("bigint")
     sdx = F.sum("dx").cast("bigint")
     sdx2 = F.sum(F.col("dx") * F.col("dx")).cast("bigint")
     sy = F.sum("y_m").cast("bigint")
     sdxy = F.sum(F.col("dx") * F.col("y_m")).cast("bigint")
     return (
-        yearly.groupBy("c_nationkey")
+        yearly.groupBy(key)
         .agg(
             n.alias("n_years"),
             (sy.cast("double") / F.lit(1000.0)).alias("total_spend"),
@@ -1028,5 +1037,4 @@ def customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_per_year"),
         )
         .filter(F.col("n_years") >= 2)
-        .orderBy("c_nationkey")
     )

@@ -854,3 +854,119 @@ def delta_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_of_doc_id") < F.col("new_doc_id"))
     )
     return vs_corpus.unionByName(within_batch).distinct()
+
+
+_EST_MATCHES = " + ".join(
+    f"(CASE WHEN ma.h{s} = mb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
+)
+
+@query(
+    "minhash_jaccard_estimate_error",
+    oracle=f"""
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sh AS ({_sql_shingles_from("canon")}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN shd a ON a.doc_id = p.doc_a
+           JOIN shd b ON b.doc_id = p.doc_b AND b.sh = a.sh
+           GROUP BY p.doc_a, p.doc_b
+         ),
+         scored AS (
+           SELECT p.doc_a, p.doc_b,
+                  CAST({_EST_MATCHES} AS DOUBLE) / 8.0 AS est_jaccard,
+                  CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))
+                    AS exact_jaccard
+           FROM pairs p
+           JOIN mins ma ON ma.doc_id = p.doc_a
+           JOIN mins mb ON mb.doc_id = p.doc_b
+           JOIN sizes sa ON sa.doc_id = p.doc_a
+           JOIN sizes sb ON sb.doc_id = p.doc_b
+           LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         )
+    SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+           ABS(est_jaccard - exact_jaccard) AS abs_err
+    FROM scored
+    """,
+    covers=["M6-dedup", "M6-similarity", "J-extended"],
+)
+def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash accuracy closed loop (the `ivf_recall_at3` pattern
+    applied to dedup): for every LSH candidate pair, the signature-
+    agreement Jaccard ESTIMATE (matching lanes / 8) next to the EXACT
+    Jaccard over the same distinct 5-char shingle universe, plus the
+    absolute error — the measured answer to "how much do 8 hashes
+    lie?", which sets the verify threshold a production pipeline runs
+    with.  Hash-deterministic end to end, so even the estimate
+    compares bit-exact across engines.
+
+    Runs over CANONICAL docs (exact md5 collapse first — the
+    `canonical_minhash_candidates` composition): byte-identical copies
+    carry zero information about estimator accuracy but multiply
+    candidate pairs quadratically, and the verify join costs
+    O(pairs x shingles).  Measured on the 10x replicated probe: 16.6x
+    over raw docs; canonical-first restores the linear law.
+
+    Estimate division is /8.0 (a power of two: exact in binary);
+    exact Jaccard is one int/int correctly-rounded division; the error
+    is one IEEE subtraction of identical doubles — all portable.
+
+    Plan: signatures are computed ONCE (checkpointed — they feed the
+    band pipeline AND both pair-join sides; Spark has no common-
+    subplan reuse); candidates come from the salted bucket-group; the
+    intersection join is O(Σ_candidates |shingles|) — linear in
+    candidate count, the same cost law as `jaccard_verify_candidates`."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures(canon).localCheckpoint(eager=True)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    shd = _shingles(canon).select("doc_id", "sh").distinct().localCheckpoint(eager=True)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shd.alias("a"), shd.alias("b")
+    inter = (
+        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sh") == F.col("a.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ma, mb = sigs.alias("ma"), sigs.alias("mb")
+    n_match = sum(
+        F.when(F.col(f"ma.h{s}") == F.col(f"mb.h{s}"), 1).otherwise(0)
+        for s in range(N_HASHES)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    common = F.coalesce(F.col("n_common"), F.lit(0))
+    est = (n_match.cast("double") / F.lit(8.0)).alias("est_jaccard")
+    exact = (
+        common.cast("double")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - common)
+    ).alias("exact_jaccard")
+    return (
+        pairs.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
+        .join(mb, F.col("mb.doc_id") == F.col("doc_b"))
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", est, exact)
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )

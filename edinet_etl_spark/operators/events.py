@@ -594,3 +594,50 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(10)
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    )
+    SELECT dd.d AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+    FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
+    GROUP BY dd.d
+    ORDER BY day
+    """,
+    covers=["M5-window", "A-extended", "W-extended"],
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the WAU
+    engagement metric.  Sliding COUNT(DISTINCT) cannot be window-merged
+    (distinct does not sum across days), so the scale-correct plan is
+    the bounded CONTRIBUTION EXPLODE: collapse events to distinct
+    (user, day) pairs first (the only full-data shuffle), then fan each
+    pair out to the ≤7 window-end days it contributes to and count
+    distinct users per window day.  Fan-out is a constant 7× on the
+    already-collapsed daily actives (≪ raw events), never a range
+    self-join of the event stream.
+
+    The output keeps only window days that are themselves event days
+    (the as-of-each-active-day convention), via a broadcast semi-join
+    against the tiny distinct-day set."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    win = ud.select(
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    ).join(F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi")
+    return (
+        win.groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users_7d"))
+        .orderBy("day")
+    )

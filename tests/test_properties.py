@@ -569,3 +569,58 @@ def test_pq_codes_match_python_model(spark, vectors):
     _, _, _, codes = pq_codes_from(df)
     got = {(r["vec_id"], r["sub_id"]): (r["cid"], r["dist2"]) for r in codes.collect()}
     assert got == expect
+
+
+# ------------------------------------------------- OLS slope (integer path)
+# groups of (dx, y_m) points; dx unique per group (the caller aggregates
+# by dx upstream, so duplicate regressor values cannot reach the helper)
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-10**12, max_value=10**12),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda p: p[0],
+)
+
+
+@given(st.lists(_points, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_ols_slope_matches_fraction_model(spark, groups):
+    from fractions import Fraction
+
+    from edinet_etl_spark.operators.analytics import ols_slope_by_group
+
+    rows = [
+        (g, int(dx), int(y)) for g, pts in enumerate(groups) for dx, y in pts
+    ]
+    df = spark.createDataFrame(rows, "k long, dx long, y_m long")
+    got = {
+        r["k"]: (r["n_years"], r["total_spend"], r["slope_per_year"])
+        for r in ols_slope_by_group(df, "k").collect()
+    }
+    for g, pts in enumerate(groups):
+        if len(pts) < 2:
+            assert g not in got
+            continue
+        n = len(pts)
+        sdx = sum(dx for dx, _ in pts)
+        sdx2 = sum(dx * dx for dx, _ in pts)
+        sy = sum(y for _, y in pts)
+        sdxy = sum(dx * y for dx, y in pts)
+        num = n * sdxy - sdx * sy
+        den = (n * sdx2 - sdx * sdx) * 1000
+        # the helper's single rounding: float(num)/float(den); the
+        # Fraction model proves the integer numerator/denominator are
+        # exact, then reproduces the same one-step double division
+        assert den > 0  # distinct dx, n >= 2 => positive
+        exp_slope = float(num) / float(den)
+        exp_total = float(sy) / 1000.0
+        n_years, total, slope = got[g]
+        assert n_years == n
+        assert total == exp_total
+        assert slope == exp_slope
+        # and the double result is within 1 ulp of the true rational
+        true = Fraction(num, den)
+        assert abs(Fraction(slope) - true) <= abs(true) * Fraction(1, 2**50) or num == 0
