@@ -886,7 +886,7 @@ _EST_MATCHES = " + ".join(
          ),
          scored AS (
            SELECT p.doc_a, p.doc_b,
-                  CAST({_EST_MATCHES} AS DOUBLE) / 8.0 AS est_jaccard,
+                  CAST({_EST_MATCHES} AS DOUBLE) / {float(N_HASHES)} AS est_jaccard,
                   CAST(COALESCE(i.n_common, 0) AS DOUBLE)
                     / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))
                     AS exact_jaccard
@@ -906,7 +906,7 @@ _EST_MATCHES = " + ".join(
 def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash accuracy closed loop (the `ivf_recall_at3` pattern
     applied to dedup): for every LSH candidate pair, the signature-
-    agreement Jaccard ESTIMATE (matching lanes / 8) next to the EXACT
+    agreement Jaccard ESTIMATE (matching lanes / N_HASHES) next to the EXACT
     Jaccard over the same distinct 5-char shingle universe, plus the
     absolute error — the measured answer to "how much do 8 hashes
     lie?", which sets the verify threshold a production pipeline runs
@@ -956,7 +956,7 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     common = F.coalesce(F.col("n_common"), F.lit(0))
-    est = (n_match.cast("double") / F.lit(8.0)).alias("est_jaccard")
+    est = (n_match.cast("double") / F.lit(float(N_HASHES))).alias("est_jaccard")
     exact = (
         common.cast("double")
         / (F.col("sa.n_sh") + F.col("sb.n_sh") - common)

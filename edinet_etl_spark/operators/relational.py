@@ -243,8 +243,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, F.col("o_custkey") == customer.c_custkey)
+        # supplier grows with SF (~1 B rows at 100 TB): never hinted —
+        # AQE converts to broadcast at runtime when the side is small.
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == supplier.s_suppkey)
             & (F.col("c_nationkey") == supplier.s_nationkey),
         )

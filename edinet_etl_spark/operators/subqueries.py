@@ -249,7 +249,9 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-growing: never hinted — the left side is ≤ a
+        # few rows after the MAX filter, so AQE broadcasts *that* side.
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -398,7 +400,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") >= 2)
             & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-growing: never hinted (AQE decides at runtime).
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_items").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -441,7 +444,8 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_partkey == minp.m_partkey)
             & (li.l_extendedprice == minp.min_price),
         )
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier is SF-growing: never hinted (AQE decides at runtime).
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
         .distinct()
         .orderBy("p_partkey", "s_suppkey")
@@ -476,7 +480,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("n_name") == "NATION_3", _revenue()).otherwise(F.lit(0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier is SF-growing: never hinted (AQE decides at runtime).
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
         .agg(

@@ -90,7 +90,9 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        # sup is a 2-nation slice of supplier but still SF-linear: no
+        # forced hint — AQE broadcasts it at runtime while it's small.
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
@@ -141,7 +143,8 @@ def parttype_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFram
     profit = _revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier is unfiltered and SF-growing: never hinted (AQE).
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -286,9 +289,11 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # part grows with SF (200 k×SF — larger than customer): no
         # forced broadcast, AQE picks the strategy; bad_sup is a thin
-        # supplier slice (supplier-class, hint allowed)
+        # supplier slice but still SF-linear, so it follows the same
+        # "supplier-class never hinted" rule — AQE broadcasts it at
+        # runtime while it's small.
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -412,7 +417,9 @@ def heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        sup.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # heavy is a selective supplier slice but SF-linear: same
+        # "supplier-class never hinted" rule — AQE decides at runtime.
+        sup.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )

@@ -798,9 +798,17 @@ def _feed_dir_with_horizon(sf_dir: str, nanos: bool) -> str:
     app = SparkSession.active().sparkContext.applicationId
     tag = hashlib.md5(f"horizon|{sf_dir}|{app}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"edinet_stream_horizon_{tag}")
-    if os.path.isdir(d) and sorted(os.listdir(d)):
-        return d  # session-scoped dir already staged (idempotent)
-    os.makedirs(d, exist_ok=True)
+    if os.path.isdir(d):
+        return d  # session-scoped dir already fully staged (idempotent)
+    # Stage into a scratch sibling and atomically rename at the end: a
+    # crash mid-copy must not leave a partial feed that a same-session
+    # retry would treat as complete (the horizon files land last — a
+    # feed missing them silently stalls the watermark and tail state
+    # never flushes).
+    staging = f"{d}.staging-{os.getpid()}"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         data_files = sorted(
@@ -813,7 +821,7 @@ def _feed_dir_with_horizon(sf_dir: str, nanos: bool) -> str:
     now = time.time()
     # real files first (ascending mtimes, all in the past)
     for i, f in enumerate(data_files):
-        dst = os.path.join(d, f"data_{i:05d}.parquet")
+        dst = os.path.join(staging, f"data_{i:05d}.parquet")
         shutil.copy(f, dst)
         os.chmod(dst, 0o644)
         os.utime(dst, (now - 600 + i, now - 600 + i))
@@ -832,9 +840,15 @@ def _feed_dir_with_horizon(sf_dir: str, nanos: bool) -> str:
                 "props": pa.array(["{}", "{}"]),
             }
         )
-        path = os.path.join(d, f"zz_horizon_{h}.parquet")
+        path = os.path.join(staging, f"zz_horizon_{h}.parquet")
         pq.write_table(t, path)
         os.utime(path, (now - 100 + h, now - 100 + h))
+    try:
+        os.rename(staging, d)  # atomic: d appears fully staged or not at all
+    except OSError:
+        if not os.path.isdir(d):  # lost a benign race only if d now exists
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
     return d
 
 

@@ -164,6 +164,44 @@ def test_plan_shape(plan_spark, name, max_exchanges, contains, absent):
         assert frag not in plan, f"{name}: unexpected {frag} in plan\n{plan}"
 
 
+# SCALE.md blueprint: customer/supplier/part grow with SF (~1 B rows
+# at 100 TB) and must NEVER carry a forced broadcast hint — AQE
+# converts at runtime while a side is genuinely small.  With
+# autoBroadcastJoinThreshold=-1 and AQE off, the ONLY BroadcastExchange
+# nodes left in a static plan are forced hints, so pinning the exact
+# count per query proves the invariant: every hint is a fixed-size dim
+# (nation/region) or a one-row scalar aggregate, never an SF-growing
+# table.  (query, exact BroadcastExchange count, which hints remain)
+_HINT_ONLY_EXPECTATIONS = [
+    ("revenue_by_nation_year", 2, "nation + region"),
+    ("local_supplier_volume", 2, "nation + region (supplier unhinted)"),
+    ("bilateral_trade_volume", 2, "nation twice (sup/cust slices unhinted)"),
+    ("parttype_profit_by_nation_year", 1, "nation (supplier unhinted)"),
+    ("nation_market_share", 1, "nation (supplier unhinted)"),
+    ("top_supplier_by_revenue", 1, "one-row MAX scalar (supplier unhinted)"),
+    ("suppliers_kept_waiting", 0, "no hints at all"),
+    ("min_price_supplier_per_part", 0, "no hints at all"),
+    ("supplier_count_by_part", 0, "bad_sup slice unhinted"),
+    ("heavy_promo_suppliers", 1, "one-row threshold scalar (heavy unhinted)"),
+]
+
+
+@pytest.mark.parametrize("name,n_hints,which", _HINT_ONLY_EXPECTATIONS)
+def test_no_forced_hint_on_sf_growing_tables(plan_spark, name, n_hints, which):
+    old = plan_spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan_spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(plan_spark, name)
+    finally:
+        plan_spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    got = plan.count("BroadcastExchange")
+    assert got == n_hints, (
+        f"{name}: {got} BroadcastExchange nodes with auto-broadcast "
+        f"disabled (expected exactly {n_hints}: {which}) — a forced "
+        f"hint was added or removed\n{plan}"
+    )
+
+
 def test_aqe_runtime_replan_bilateral_trade(spark):
     """With AQE on (prep() default), the executed plan is adaptively
     finalized: runtime shuffle statistics drive partition coalescing
