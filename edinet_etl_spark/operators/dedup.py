@@ -580,10 +580,26 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
-@query(
-    "neardup_components",
-    oracle=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+# Shared oracle prefix for both neardup consumers: exact md5-collapse
+# to canonical docs, the LSH candidate pipeline over canonicals only,
+# min-label components over those pairs, then the join-back that gives
+# EVERY raw doc (exact copies included) its component.  Mirrors the
+# Spark composition in `neardup_components`.
+_SQL_CANON_COMPONENT_CTES = f"""
+    canonmap AS (
+           SELECT doc_id,
+                  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+                  COUNT(*)  OVER (PARTITION BY md5(text)) AS grp_n
+           FROM documents
+         ),
+         canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sh AS ({_sql_shingles_from("canon")}),
          mins AS ({_SQL_MINS}),
          bands AS ({_SQL_BANDS}),
          salted AS ({_SQL_SALTED}),
@@ -598,29 +614,63 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT e.u, l.comp
            FROM edges e JOIN lbl l ON e.v = l.node
            WHERE l.comp < e.u
-         )
-    SELECT node AS doc_id, MIN(comp) AS component
-    FROM lbl GROUP BY node
+         ),
+         canoncomp AS (
+           SELECT node, MIN(comp) AS component FROM lbl GROUP BY node
+         ),
+         comp AS (
+           SELECT m.doc_id, COALESCE(c.component, m.canon_id) AS component
+           FROM canonmap m
+           LEFT JOIN canoncomp c ON c.node = m.canon_id
+           WHERE c.node IS NOT NULL OR m.grp_n >= 2
+         )"""
+
+
+@query(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CANON_COMPONENT_CTES}
+    SELECT doc_id, component FROM comp
     """,
-    covers=["M6-dedup", "X-iterative"],
+    covers=["M6-dedup", "X-iterative", "A1"],
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate *clusters*: connected components over the LSH
-    candidate graph by iterative min-label propagation — the step that
-    turns pairwise candidates into dedup groups (keep one doc per
-    component).
+    """Near-duplicate *clusters* over the FULL corpus: connected
+    components of the relation (exact-duplicate ∪ LSH-candidate), the
+    step that turns pairwise candidates into dedup groups.
+
+    Composition (the `canonical_minhash_candidates` pipeline order):
+    exact md5-collapse FIRST, iterative min-label components over the
+    canonical candidate graph only, then one linear join-back so every
+    raw doc inherits its canonical's component (exact-dup groups with
+    no LSH collision form their own component).  Exact copies are the
+    #1 cause of giant LSH buckets AND of label-propagation load — on
+    the 10× replicated probe the raw-graph loop ran 3.5× while the
+    canonical composition stays ~flat: the collapse absorbs the
+    replication before the quadratic-prone stages, and the join-back
+    is one hash join, not an iteration.  Component labels equal the
+    MIN raw doc_id of the merged class (canonical = min of its exact
+    group; propagation takes the min over reachable canonicals), so
+    the output is deterministic.
 
     Spark side: loop label[u] ← min(label[u], min over neighbors'
     labels) until fixpoint.  Each iteration is one join + one groupBy;
     ``localCheckpoint`` truncates the exploding lineage (the standard
     Spark idiom for iterative algorithms).  Component diameters in a
     near-dup graph are tiny, so few iterations.  At larger scale the
-    same loop holds (it IS large-proximity connected components); the
-    alternating-star optimization or GraphFrames would cut rounds, not
-    change results.  Oracle: the identical fixpoint as a recursive CTE.
-    """
+    same loop holds; the alternating-star optimization or GraphFrames
+    would cut rounds, not change results.  Oracle: the identical
+    fixpoint as a recursive CTE."""
     prep(spark)
-    pairs = minhash_lsh_candidates(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    wmin = Window.partitionBy(F.md5("text"))
+    # one shuffle on the 16-byte text hash serves both window aggs
+    canonmap = docs.select(
+        "doc_id",
+        F.min("doc_id").over(wmin).alias("canon_id"),
+        F.count("*").over(wmin).alias("grp_n"),
+    )
+    pairs = canonical_minhash_candidates(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -680,32 +730,23 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    # join-back: every raw doc inherits its canonical's component;
+    # exact-dup groups (grp_n ≥ 2) without an LSH collision are their
+    # own component.  labels is tiny (canonicals with ≥1 collision), so
+    # AQE broadcasts it; the corpus-side map is never iterated over.
+    return (
+        canonmap.join(labels, canonmap.canon_id == labels.node, "left")
+        .filter(F.col("node").isNotNull() | (F.col("grp_n") >= 2))
+        .select(
+            "doc_id", F.coalesce("comp", "canon_id").alias("component")
+        )
+    )
 
 
 @query(
     "neardup_canonical_docs",
     oracle=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-         mins AS ({_SQL_MINS}),
-         bands AS ({_SQL_BANDS}),
-         salted AS ({_SQL_SALTED}),
-         pairs AS ({_SQL_PAIRS}),
-         edges AS (
-           SELECT doc_a AS u, doc_b AS v FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs
-         ),
-         lbl(node, comp) AS (
-           SELECT u, LEAST(u, MIN(v)) FROM edges GROUP BY u
-           UNION
-           SELECT e.u, l.comp
-           FROM edges e JOIN lbl l ON e.v = l.node
-           WHERE l.comp < e.u
-         ),
-         comp AS (
-           SELECT node AS doc_id, MIN(comp) AS component
-           FROM lbl GROUP BY node
-         )
+    WITH RECURSIVE {_SQL_CANON_COMPONENT_CTES}
     SELECT component, canonical_doc_id, canonical_n_chars, n_members
     FROM (
       SELECT component, doc_id AS canonical_doc_id,
@@ -727,13 +768,15 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus (cluster members − canonicals) is the deduplicated training
     set.
 
-    Plan: the component labels come from the iterative min-label loop
-    (`neardup_components`); electing canonicals is one window rank over
-    the component key after a doc_id equi-join with the docs table —
-    at 100 TB the join is hash-partitioned on doc_id (labels are a tiny
-    fraction of the corpus — only docs with ≥1 LSH collision) and the
-    election shuffle carries (component, doc_id, n_chars) triples, not
-    text.  Lengths are exact ints: the argmax has no float ties."""
+    Plan: the component labels come from the canonical-first composed
+    pipeline (`neardup_components`: exact collapse → LSH over
+    canonicals → min-label loop → join-back), so membership covers the
+    RAW corpus (exact copies included — n_members counts them);
+    electing canonicals is one window rank over the component key
+    after a doc_id equi-join with the docs table, and the election
+    shuffle carries (component, doc_id, n_chars) triples, not text.
+    Lengths are exact ints: the argmax has no float ties (byte-equal
+    copies tie on n_chars and resolve to the lowest doc_id)."""
     prep(spark)
     comp = neardup_components(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
