@@ -78,49 +78,69 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
+# Round-3 rotation: after r1+r2 the cumulative driver-tested union is
+# 99/183 (98 green; CORRECTNESS_r01/r02.json).  The head below is 50
+# NEVER-driver-tested names — whole still-unproven families first
+# (sketches/graph, the TPC-H subquery + rest shapes, temporal,
+# UDF/UDAF surface), then similarity's IVF/PQ/semdedup legs and three
+# unproven streaming jobs — pushing the cumulative union to ~149/183.
+# Positions 51–84 hold the remaining never-tested names (round-4
+# rotation candidates; they ride a wider window if one exists).
 _PRIORITY: tuple[str, ...] = (
-    # flagship + relational §2 surface
-    "revenue_by_nation_year", "pricing_summary", "top_unshipped_orders",
-    "order_priority_check", "local_supplier_volume", "forecast_revenue_change",
-    "filtered_customer_projection", "part_membership_filters",
-    "customers_without_orders", "pii_scrub_customers",
-    "region_nation_cross", "order_union_all", "table_counts",
-    "nullsafe_segment_match", "nation_balance_full_join",
-    # reference_ops: A1/A2, F1–F15, P7–P13, L, U
-    "best_order_per_customer", "largest_lineitem_per_order",
-    "year_offset_decode", "cast_failure_skip", "string_functions",
-    "date_functions", "date_range_generation", "deterministic_top_orders",
-    "distinct_nation_segments", "segment_intersect",
-    "data_quality_checks", "dynamic_value_filter",
-    "flag_dispatch", "returnflag_multiset_ops",
-    # F14 (round-1 red, oracle type fixed)
-    "props_json_decode",
-    # SQL API + correlated-subquery representative (Q21)
-    "sql_top_nation_per_region", "sql_lateral_top2_orders",
-    "suppliers_kept_waiting",
-    # UDF surface (Pandas UDF + UDTF)
-    "pandas_udf_clipped_balances", "udtf_char_ngrams",
-    # multimodal (X1/X2 plumbing)
-    "multimodal_decode", "pq_adc_topk",
-    # llmdata tail added after round 1's sweep
-    "source_mix_report", "corpus_curation_pipeline",
-    "triangle_count_copurchase", "token_budget_pack",
-    # temporal: as-of join + binned range join
-    "asof_latest_order_per_event", "price_neighbor_pairs_binned",
-    # text
-    "text_stats", "cms_heavy_hitters",
-    # similarity: brute-force baseline + LSH ANN scale path
-    "cosine_topk_bruteforce", "lsh_bucket_ann",
-    # streaming: windowed agg, custom stateful, stream-stream join
-    "streaming_tumbling_hourly", "streaming_user_totals",
-    "streaming_purchase_attribution",
-    # positions 51+: displaced within-family duplicates + the rest of
-    # the sketch family — ride a wider driver window if one exists;
-    # full local differential coverage regardless
-    "doc_chunk_windows", "bloom_prejoin_reduction", "pagerank_event_graph",
-    "multimodal_frame_sample", "token_budget_pack_partitioned",
-    "tfidf_top_terms", "fulfilled_only_customers_except",
-    "suppliers_with_shipments",
+    # sketches / graph (9)
+    "bloom_prejoin_reduction", "pagerank_event_graph", "cms_sketch_counts",
+    "bloom_filter_bitmap", "copurchase_lift_pairs", "kmv_distinct_estimate",
+    "binned_quantile_sketch", "kmv_sketch_merge", "kcore_copurchase_peel",
+    # TPC-H subquery shapes: Q2/Q8/Q11/Q13/Q14/Q15/Q17/Q18/Q22 (9)
+    "small_quantity_revenue", "large_volume_customers",
+    "customer_order_distribution", "promo_revenue_share",
+    "top_supplier_by_revenue", "inactive_rich_customers",
+    "important_part_value", "min_price_supplier_per_part",
+    "nation_market_share",
+    # TPC-H rest: Q5-variant/Q9/Q10/Q12/Q16/Q19/Q20 (7)
+    "bilateral_trade_volume", "parttype_profit_by_nation_year",
+    "returned_item_top_customers", "late_shipment_priorities",
+    "supplier_count_by_part", "bracketed_quantity_revenue",
+    "heavy_promo_suppliers",
+    # temporal: band/range joins, gap-fill, time-weighted, OHLC (6)
+    "part_price_band_join", "lineitem_ship_lag_range",
+    "gapfill_locf_hourly", "time_weighted_avg_value",
+    "hourly_ohlc_bars", "trailing_hour_user_avg",
+    # UDF surface: UDAF, grouped-map, SQL UDF, dynamic UDTF (4)
+    "udaf_median_acctbal_by_nation", "grouped_map_user_zscore",
+    "sql_udf_band_totals", "udtf_dynamic_word_columns",
+    # SQL API: recursive CTE
+    "sql_recursive_paydown",
+    # analytics: layout + regression trend
+    "zorder_locality_stats", "customer_spend_trend",
+    # events: seasonal decomposition
+    "seasonal_hourly_anomalies",
+    # similarity: IVF/PQ/semdedup/kmeans/JL legs (8)
+    "semdedup_prune", "ivf_ann_topk", "ivf_recall_at3", "pq_recall_at3",
+    "kmeans_train_step", "embedding_neardup_blocked",
+    "hard_negative_mining", "jl_projection_recall",
+    # streaming: CDC sink, left-outer stream-stream join, exact dedup (3)
+    "streaming_cdc_snapshot", "streaming_attribution_left_outer",
+    "streaming_dedup_events",
+    # ---- positions 51+: the other 34 never-tested names ----
+    "ivf_ann_nprobe2", "lsh_hyperplane_buckets",
+    "embedding_sq8_recon_error", "pq_codebook_recon_error",
+    "tfidf_top_terms", "language_id_heuristic", "token_count_estimate",
+    "document_fingerprints", "quality_scores",
+    "boilerplate_segment_removal", "bigram_novelty_scores",
+    "doc_rarity_scores",
+    "doc_chunk_windows", "token_budget_pack_partitioned",
+    "source_overlap_matrix", "bpe_top_merges",
+    "canonical_minhash_candidates", "lsh_band_bucket_stats",
+    "jaccard_verify_candidates", "minhash_jaccard_estimate_error",
+    "props_variant_stats", "event_sequence_trigrams",
+    "rolling_7d_active_users", "incremental_agg_maintenance",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_audio_energy",
+    "pii_redaction_report", "table_profile_orders",
+    "fulfilled_only_customers_except", "suppliers_with_shipments",
+    "streaming_user_sessions", "streaming_nation_hourly",
+    "streaming_quality_monitor",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
