@@ -19,6 +19,7 @@ import sys
 import time
 
 from edinet_etl_spark import registry
+from edinet_etl_spark.planhash import plan_hash
 from edinet_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,6 +103,7 @@ def main() -> None:
     # more — stabilizes the recorded figure without 2× cost on the
     # well-behaved majority.
     timings: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
     for name in HEADLINE:
         runs: list[float] = []
         while True:
@@ -116,6 +118,10 @@ def main() -> None:
             ):
                 break
         timings[name] = round(min(runs), 3)
+        # plan hash from the df just timed (driver-side only, ~ms):
+        # equal across rounds ⇒ a timing delta is environment drift;
+        # unequal ⇒ the plan changed and the delta is attributable.
+        plan_hashes[name] = plan_hash(df)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +132,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plan_hashes": plan_hashes,
             }
         )
     )

@@ -963,7 +963,9 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
     O(pairs x shingles).  Measured on the 10x replicated probe: 16.6x
     over raw docs; canonical-first restores the linear law.
 
-    Estimate division is /8.0 (a power of two: exact in binary);
+    Estimate division is /N_HASHES — 8, a power of two: exact in
+    binary — interpolated from the constant on BOTH engines so a
+    lane-count change cannot silently mis-scale one side;
     exact Jaccard is one int/int correctly-rounded division; the error
     is one IEEE subtraction of identical doubles — all portable.
 
