@@ -378,14 +378,40 @@ def _applied_batch(snapshot_dir: str) -> int:
     return -1
 
 
-def read_snapshot(spark, snapshot_dir: str):
-    """Resolve the CURRENT pointer and read that version's parquet —
-    the only sanctioned way to read these snapshots."""
+def _read_manifest(snapshot_dir: str) -> dict[str, int] | None:
+    """bucket → owning-version map of the CURRENT version, or None for
+    whole-rewrite (unpartitioned) snapshots.  The manifest is written
+    inside the version dir BEFORE the pointer moves, so it is atomic
+    with the commit."""
+    import json
     import os
 
-    return spark.read.parquet(
-        os.path.join(snapshot_dir, f"v{_applied_batch(snapshot_dir)}")
-    )
+    applied = _applied_batch(snapshot_dir)
+    p = os.path.join(snapshot_dir, f"v{applied}", "MANIFEST.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    return None
+
+
+def read_snapshot(spark, snapshot_dir: str):
+    """Resolve the CURRENT pointer and read that version's parquet —
+    the only sanctioned way to read these snapshots.  Partitioned
+    snapshots resolve the bucket manifest: each bucket is read from
+    the newest version that rewrote it (untouched buckets carry
+    forward by reference, never by copy)."""
+    import os
+
+    manifest = _read_manifest(snapshot_dir)
+    if manifest is None:
+        return spark.read.parquet(
+            os.path.join(snapshot_dir, f"v{_applied_batch(snapshot_dir)}")
+        )
+    paths = [
+        os.path.join(snapshot_dir, f"v{v}", f"bucket={b}")
+        for b, v in sorted(manifest.items(), key=lambda kv: int(kv[0]))
+    ]
+    return spark.read.parquet(*paths)
 
 
 def _swap_snapshot(merged, snapshot_dir: str, batch_id: int) -> None:
@@ -403,17 +429,36 @@ def _swap_snapshot(merged, snapshot_dir: str, batch_id: int) -> None:
     re-delivered — callers must skip batch ids ≤ `_applied_batch` or
     an additive merge double-counts."""
     import os
-    import shutil
 
     prev = _applied_batch(snapshot_dir)
     vdir = os.path.join(snapshot_dir, f"v{batch_id}")
     merged.write.mode("overwrite").parquet(vdir)
+    _commit_pointer(snapshot_dir, batch_id)
+    if prev >= 0:
+        _gc_versions(snapshot_dir, {batch_id})
+
+
+def _commit_pointer(snapshot_dir: str, batch_id: int) -> None:
+    """Atomically repoint CURRENT (write CURRENT.tmp, ``os.replace`` —
+    a FILE rename, POSIX-atomic)."""
+    import os
+
     tmp = os.path.join(snapshot_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{batch_id}")
     os.replace(tmp, os.path.join(snapshot_dir, "CURRENT"))
-    if prev >= 0:
-        shutil.rmtree(os.path.join(snapshot_dir, f"v{prev}"), ignore_errors=True)
+
+
+def _gc_versions(snapshot_dir: str, referenced: set[int]) -> None:
+    """Prune version dirs no manifest references — only AFTER the
+    pointer moved (a crash mid-prune leaves harmless garbage, never a
+    broken snapshot)."""
+    import os
+    import shutil
+
+    for d in os.listdir(snapshot_dir):
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in referenced:
+            shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
 
 
 def _snapshot_workdir(spark, sf_dir: str, prefix: str) -> tuple[str, str]:
@@ -482,6 +527,86 @@ def make_additive_upsert(snapshot_dir: str, build_updates, merge):
     return upsert
 
 
+# Fixed hash-bucket count of a partitioned snapshot.  At 100 TB this
+# is the knob that sets per-batch rewrite granularity: with B buckets
+# and a batch touching k distinct keys, the merge reads and rewrites
+# min(k, B)/B of the snapshot instead of all of it.  B is a layout
+# constant (like a table format's bucket spec) — changing it means a
+# one-off full rewrite, so pick it from target snapshot size / desired
+# file size (e.g. 10 TB snapshot / 256 MB files ≈ 40 k buckets).
+_N_SNAP_BUCKETS = 16
+
+
+def make_partitioned_additive_upsert(
+    snapshot_dir: str, build_updates, merge, key: str
+):
+    """`make_additive_upsert`, but per-batch cost proportional to the
+    TOUCHED key-buckets, not the whole snapshot — the fix for the
+    O(snapshot)-per-batch rewrite the 10× probe measured at ~8× for 10
+    micro-batches.
+
+    Layout: rows hash into ``_N_SNAP_BUCKETS`` fixed buckets
+    (``pmod(xxhash64(key), B)``).  Each version dir ``v{batch}`` holds
+    parquet ONLY for the buckets that batch rewrote, plus a
+    MANIFEST.json mapping every bucket to the version that owns its
+    current data.  Committing = write touched buckets → write manifest
+    (untouched buckets inherit the previous manifest's pointers) →
+    atomically repoint CURRENT → GC unreferenced versions.  Readers
+    resolve CURRENT → manifest → per-bucket paths, so an untouched
+    bucket is carried forward BY REFERENCE — zero read, zero write,
+    zero copy (pinned by ``test_partitioned_snapshot_touched_only``).
+
+    This is exactly the commit protocol a table format (Delta/Iceberg)
+    provides; spelled out here so the engine needs only parquet + a
+    POSIX rename.  Replay guard and additive-merge contract are
+    unchanged from `make_additive_upsert`."""
+    import json
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied_batch(snapshot_dir):
+            return  # re-delivered batch after a crash: already merged
+        spark = batch_df.sparkSession
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(_N_SNAP_BUCKETS))
+        # eager checkpoint: `updates` feeds the touched-bucket probe
+        # AND the merge — one computation, and the probe collect is a
+        # ≤B-int scalar aggregate (sanctioned loop-control idiom)
+        updates = (
+            build_updates(batch_df)
+            .withColumn("bucket", bucket)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            r["bucket"] for r in updates.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return  # empty batch: nothing to merge, nothing to commit
+        prev_manifest = _read_manifest(snapshot_dir) or {}
+        base_paths = [
+            os.path.join(snapshot_dir, f"v{v}", f"bucket={b}")
+            for b, v in prev_manifest.items()
+            if int(b) in set(touched)
+        ]
+        if base_paths:
+            base = spark.read.parquet(*base_paths)
+            merged = merge(base, updates.drop("bucket")).withColumn(
+                "bucket", bucket
+            )
+        else:
+            merged = updates
+        vdir = os.path.join(snapshot_dir, f"v{batch_id}")
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(vdir)
+        manifest = dict(prev_manifest)
+        for b in touched:
+            manifest[str(b)] = batch_id
+        with open(os.path.join(vdir, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        _commit_pointer(snapshot_dir, batch_id)
+        _gc_versions(snapshot_dir, set(manifest.values()))
+
+    return upsert
+
+
 def make_totals_upsert(snapshot_dir: str):
     """The CDC merge closure, exposed so tests can re-deliver a batch
     id and pin replay idempotence.
@@ -491,7 +616,11 @@ def make_totals_upsert(snapshot_dir: str):
     the reader — persisting a double and re-casting per merge would
     re-round every batch (the same trap the stateful operator's
     string-carried state avoids), so multi-batch totals stay
-    bit-identical to the one-shot `dsum`."""
+    bit-identical to the one-shot `dsum`.
+
+    Uses the PARTITIONED snapshot layout: per-batch work is
+    proportional to the key-buckets the batch touched, not the
+    snapshot size (see `make_partitioned_additive_upsert`)."""
     from edinet_etl_spark.numeric import dec
 
     def build_updates(batch_df: DataFrame) -> DataFrame:
@@ -513,7 +642,9 @@ def make_totals_upsert(snapshot_dir: str):
             )
         )
 
-    return make_additive_upsert(snapshot_dir, build_updates, merge)
+    return make_partitioned_additive_upsert(
+        snapshot_dir, build_updates, merge, key="user_id"
+    )
 
 
 def read_totals_snapshot(spark, snapshot_dir: str) -> DataFrame:

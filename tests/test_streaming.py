@@ -285,3 +285,71 @@ def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
     assert {
         r["user_id"]: r["n_events"] for r in jobs.read_snapshot(spark, snap_c).collect()
     } == base
+
+
+def test_partitioned_snapshot_touched_only(spark, tmp_path):
+    """The partitioned CDC snapshot rewrites ONLY the buckets a batch
+    touches: after a second batch confined to one user, every
+    untouched bucket's manifest entry must still point at v0 and its
+    v0 parquet files must be byte-for-byte untouched on disk (carried
+    forward by reference — the per-batch cost law is
+    O(touched buckets), not O(snapshot))."""
+    import json
+    import os
+
+    from edinet_etl_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    snap = str(tmp_path / "snap")
+    upsert = jobs.make_totals_upsert(snap)
+    upsert(ev, 0)
+
+    man0 = json.load(open(os.path.join(snap, "v0", "MANIFEST.json")))
+    assert set(man0.values()) == {0}
+    base = {
+        r["user_id"]: (r["n_events"], r["total_dec"])
+        for r in jobs.read_snapshot(spark, snap).collect()
+    }
+    # record v0's on-disk state per bucket (path, mtime, size)
+    def bucket_files(vdir):
+        out = {}
+        for b in os.listdir(vdir):
+            if b.startswith("bucket="):
+                d = os.path.join(vdir, b)
+                out[b] = sorted(
+                    (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        return out
+    v0_before = bucket_files(os.path.join(snap, "v0"))
+
+    # batch 1: a single user → exactly one touched bucket
+    one_user = ev.filter(F.col("user_id") == 7)
+    n_new = one_user.count()
+    assert n_new > 0
+    upsert(one_user, 1)
+
+    man1 = json.load(open(os.path.join(snap, "v1", "MANIFEST.json")))
+    touched = [b for b, v in man1.items() if v == 1]
+    assert len(touched) == 1
+    # every untouched bucket still points at v0, files bit-untouched
+    assert {b: v for b, v in man1.items() if v != 1} == {
+        b: v for b, v in man0.items() if b not in touched
+    }
+    v0_after = bucket_files(os.path.join(snap, "v0"))
+    for b, files in v0_before.items():
+        if f"bucket={touched[0]}" != b:
+            assert v0_after[b] == files
+    # and v1 wrote ONLY the touched bucket
+    assert list(bucket_files(os.path.join(snap, "v1"))) == [f"bucket={touched[0]}"]
+
+    # merged totals: touched user advanced, everyone else unchanged
+    got = {
+        r["user_id"]: (r["n_events"], r["total_dec"])
+        for r in jobs.read_snapshot(spark, snap).collect()
+    }
+    assert got[7][0] == base[7][0] + n_new
+    for u, v in base.items():
+        if u != 7:
+            assert got[u] == v
