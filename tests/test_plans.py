@@ -183,7 +183,32 @@ _HINT_ONLY_EXPECTATIONS = [
     ("min_price_supplier_per_part", 0, "no hints at all"),
     ("supplier_count_by_part", 0, "bad_sup slice unhinted"),
     ("heavy_promo_suppliers", 1, "one-row threshold scalar (heavy unhinted)"),
+    # remaining relational flagships: no hints anywhere (Q3's
+    # customer⋈orders⋈lineitem are all SF-growing; Q6 joins nothing)
+    ("top_unshipped_orders", 0, "no hints at all (customer unhinted)"),
+    ("forecast_revenue_change", 0, "no hints at all (no joins)"),
+    ("pricing_summary", 0, "no hints at all (no joins)"),
 ]
+
+
+def test_aqe_star_shape_flagship(spark):
+    """The flagship's star shape under AQE (prep() default): the fixed
+    dims (nation/region) run as broadcast joins in the FINAL adaptive
+    plan, and no SF-growing table was force-hinted to get there (the
+    static-side invariant is `test_no_forced_hint_on_sf_growing_tables`)
+    — a Catalyst upgrade that silently regressed the star to all-SMJ
+    would fail here."""
+    from edinet_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["revenue_by_nation_year"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # every dim join broadcast at this SF (customer/orders small enough
+    # that AQE converts them too); zero sort-merge joins in the star
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 @pytest.mark.parametrize("name,n_hints,which", _HINT_ONLY_EXPECTATIONS)
