@@ -855,3 +855,177 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "stage")
     )
+
+
+# Temperature-sampling exponent is FIXED at α = 1/2 so the per-source
+# weight is sqrt(n) — correctly-rounded in every engine (a general
+# n^α needs libm pow, banned in compared columns).  τ is the overall
+# keep fraction the mixture is normalized to.
+_TEMP_TAU = 0.5
+
+
+@query(
+    "source_temperature_sampling",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sum_w
+      FROM stats
+    ), probs AS (
+      SELECT source, n_docs,
+             LEAST(1.0, {_TEMP_TAU} * total_docs * sqrt(n_docs)
+                        / (sum_w * n_docs)) AS p_sample
+      FROM stats, tot
+    ), hashed AS (
+      SELECT source, n_chars,
+             ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT h.source, p.n_docs, p.p_sample,
+           CAST(COUNT(*) FILTER (WHERE h.u < p.p_sample) AS BIGINT) AS n_sampled,
+           CAST(CAST(SUM(CASE WHEN h.u < p.p_sample
+                              THEN CAST(n_chars AS DECIMAL(18,0)) END)
+                     AS VARCHAR) AS DOUBLE) AS sampled_chars
+    FROM hashed h JOIN probs p ON h.source = p.source
+    GROUP BY h.source, p.n_docs, p.p_sample
+    """,
+    covers=["LLM-sample", "A-extended", "J1"],
+)
+def source_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α = 0.5): each source's keep
+    probability is ∝ n_s^(α-1), flattening the source distribution the
+    way multilingual / multi-corpus training mixes do (GPT-3's
+    "sampling proportional to size^α" convention) — big sources are
+    down-sampled, small sources kept whole (p capped at 1), with the
+    overall keep fraction normalized to τ = 0.5.
+
+    Membership is a pure hash function of doc_id against the source's
+    probability (never an RNG): re-runs, retries, engine swaps, and
+    incremental refreshes give byte-identical cohorts.  Report: per
+    source, the planned probability and the realized sample size/chars.
+
+    Plan/scale: per-source counts are one map-side-combined aggregate;
+    the probability table is |sources| rows (a fixed vocabulary) —
+    broadcast back to the corpus scan, so the sampling pass is ONE scan
+    with zero extra shuffle of document rows.  The corpus-global
+    (total, Σ√n) pair is a one-row broadcast.  At 100 TB nothing here
+    grows but the linear scan."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = stats.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        dsum(F.sqrt(F.col("n_docs").cast("double")), "sum_w"),
+    )
+    probs = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_TAU)
+            * F.col("total_docs").cast("double")
+            * F.sqrt(F.col("n_docs").cast("double"))
+            / (F.col("sum_w") * F.col("n_docs").cast("double")),
+        ).alias("p_sample"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    kept = F.col("u") < F.col("p_sample")
+    return (
+        docs.select("source", "n_chars", u.alias("u"))
+        .join(F.broadcast(probs), "source")
+        .groupBy("source", "n_docs", "p_sample")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(kept, F.col("n_chars").cast("decimal(18,0)")))
+            .cast("string")
+            .cast("double")
+            .alias("sampled_chars"),
+        )
+    )
+
+
+_N_SHARDS = 64
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_N_SHARDS} AS shard,
+             md5('order:' || CAST(doc_id AS VARCHAR)) AS h_order,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_dsum('n_chars', 'total_chars', scale=0)},
+           substr(md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY h_order, doc_id)), 1, 16)
+             AS shard_fingerprint
+    FROM assigned GROUP BY shard
+    """,
+    covers=["LLM-shard", "A-extended"],
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-data shuffle WITHOUT a global sort: every doc
+    hash-assigns to one of 64 shards, and its position within
+    the shard is a SECOND independent hash — together a uniform random
+    permutation of the corpus, materialized as one hash-partition
+    shuffle + per-shard sort instead of a cluster-wide total order
+    (the orderBy a naive "shuffle the dataset" spells at 100 TB, with
+    its range-sampling pass and stragglers).  Reshuffling between
+    epochs is a seed change ('order:'→'order2:'), touching nothing but
+    the sort key.
+
+    Per shard the query emits count, exact char total, and a 16-hex
+    fingerprint of the doc order (md5 over the ordered id list) — the
+    artifact two independent runs compare to prove they'd feed the
+    trainer byte-identical shards.  The fingerprint aggregation orders
+    by (h_order, doc_id): ties on the 32-hex order hash are impossible
+    in practice but the total order makes determinism unconditional.
+
+    Plan: one shuffle on shard (64 groups); the in-group sort is
+    sort_array over the collected (h_order, doc_id) structs — at
+    production scale the same layout is `repartition(N, shard)` +
+    `sortWithinPartitions(h_order)` streamed straight to shard files,
+    no collect at all."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(_N_SHARDS),
+    )
+    h_order = F.md5(F.concat(F.lit("order:"), sid))
+    assigned = docs.select(
+        shard.alias("shard"),
+        h_order.alias("h_order"),
+        "doc_id",
+        "n_chars",
+    )
+    ordered_ids = F.transform(
+        F.sort_array(F.collect_list(F.struct("h_order", "doc_id"))),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dsum(F.col("n_chars"), "total_chars", scale=0),
+        F.substring(F.md5(F.array_join(ordered_ids, ",")), 1, 16).alias(
+            "shard_fingerprint"
+        ),
+    )

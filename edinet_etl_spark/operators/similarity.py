@@ -1464,3 +1464,149 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_neighbor_id") / F.lit(3.0)).alias("recall_at3"),
         )
     )
+
+
+_MRL_DIMS = 16  # prefix dims ranked (embedding is 64-d)
+_MRL_CAND = 10  # candidates fetched for exact rerank
+
+
+def _sql_mrl_dot(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a}[1:{_MRL_DIMS}] AS DOUBLE[]), "
+        f"CAST({b}[1:{_MRL_DIMS}] AS DOUBLE[]))"
+    )
+
+
+@query(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_mrl_dot('q.embedding', 'n.embedding')} /
+                          (sqrt({_sql_mrl_dot('q.embedding', 'q.embedding')})
+                           * sqrt({_sql_mrl_dot('n.embedding', 'n.embedding')}))
+                          DESC, n.vec_id) AS rn
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5) WHERE rn <= {_MRL_CAND}
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT t.query_id, t.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.query_id
+                 ORDER BY {_sql_dot('q.embedding', 'n.embedding')} /
+                          (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                           * sqrt({_sql_dot('n.embedding', 'n.embedding')})) DESC,
+                          t.neighbor_id) AS rn
+        FROM cand t
+        JOIN embeddings q ON q.vec_id = t.query_id
+        JOIN embeddings n ON n.vec_id = t.neighbor_id) WHERE rn <= 3
+    ), bf_pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'e.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cosine
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM bf_pairs) WHERE rn <= 3
+    )
+    SELECT bf.query_id,
+           COUNT(ann.neighbor_id) AS n_hits,
+           COUNT(ann.neighbor_id) / 3.0 AS recall_at3
+    FROM bf LEFT JOIN ann
+      ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    covers=["M6-similarity", "W-extended"],
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style ANN leg, closed-loop: rank candidates by the
+    cosine of the FIRST 16 of 64 dimensions (MRL-trained embeddings
+    front-load information, so the prefix is the cheap index
+    representation), rerank the top-10 candidates with full-dimension
+    cosine, report recall@3 vs brute force — the truncation member of
+    the ANN ladder beside sign-LSH (binary), IVF (partition), PQ
+    (codebook) and JL (projection).
+
+    Unlike JL, the "projection" is free: a prefix slice needs no
+    transform pass, no stored auxiliary table — at 100 TB the index
+    can scan 4× fewer bytes by just reading a shorter array slice
+    (with a columnar layout that splits the prefix into its own
+    column, strictly less I/O).  The candidate fetch-and-rerank shape
+    is identical to the JL leg: full vectors touched only through the
+    |queries|×10 candidate id join.
+
+    Determinism: prefix cosine is a fixed-fold dot over the sliced
+    array + correctly-rounded sqrt/division — bit-identical in both
+    engines.  These synthetic near-random embeddings do NOT front-load
+    information (no MRL training), so measured recall is the honest
+    adversarial floor, like the JL leg's."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", "embedding", F.slice(F.col("embedding"), 1, _MRL_DIMS).alias("pre")
+    ).localCheckpoint(eager=True)
+    q = pre.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("pre").alias("q_pre"),
+    )
+    n = pre.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("pre").alias("n_pre"),
+    )
+    pre_cos = dot_exact(F.col("q_pre"), F.col("n_pre")) / (
+        F.sqrt(dot_exact(F.col("q_pre"), F.col("q_pre")))
+        * F.sqrt(dot_exact(F.col("n_pre"), F.col("n_pre")))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("pre_cos"), "neighbor_id")
+    cand = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pre_cos.alias("pre_cos"))
+        .withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= _MRL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    full_cos = dot_exact(F.col("q_emb"), F.col("n_emb")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("n_emb"), F.col("n_emb")))
+    )
+    w_full = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    ann = (
+        cand.join(q.select("query_id", "q_emb"), "query_id")
+        .join(n.select("neighbor_id", "n_emb"), "neighbor_id")
+        .select("query_id", "neighbor_id", full_cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("query_id").alias("ann_qid"), F.col("neighbor_id").alias("ann_id"))
+    )
+    bf = (
+        n.select("neighbor_id", "n_emb")
+        .crossJoin(F.broadcast(q.select("query_id", "q_emb")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", full_cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        bf.join(
+            ann,
+            (F.col("query_id") == F.col("ann_qid"))
+            & (F.col("neighbor_id") == F.col("ann_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ann_id").alias("n_hits"),
+            (F.count("ann_id") / F.lit(3.0)).alias("recall_at3"),
+        )
+    )

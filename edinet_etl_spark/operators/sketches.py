@@ -1083,3 +1083,174 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stable",
         F.coalesce(F.col("n_alive") == F.lag("n_alive").over(w), F.lit(False)),
     )
+
+
+@query(
+    "kmv_jaccard_intersection",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag AS tag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), sk AS (
+      SELECT tag, h FROM (
+        SELECT tag, h,
+               ROW_NUMBER() OVER (PARTITION BY tag ORDER BY h) AS rn
+        FROM hashed) WHERE rn <= {_KMV_K}
+    ), kth AS (
+      SELECT tag,
+             CASE WHEN COUNT(*) < {_KMV_K}
+                  THEN CAST(4503599627370496 AS BIGINT)
+                  ELSE MAX(h) END AS theta_tag
+      FROM sk GROUP BY tag
+    ), theta AS (
+      SELECT MIN(theta_tag) AS theta FROM kth
+    ), s AS (
+      SELECT DISTINCT h FROM sk, theta WHERE h <= theta
+    ), flags AS (
+      SELECT s.h,
+             CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+      FROM s
+      LEFT JOIN (SELECT h FROM sk WHERE tag = 'A') a ON a.h = s.h
+      LEFT JOIN (SELECT h FROM sk WHERE tag = 'R') b ON b.h = s.h
+    ), est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_theta,
+             CAST(SUM(in_both) AS BIGINT) AS n_both,
+             MIN(theta) AS theta
+      FROM flags, theta GROUP BY theta
+    ), exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_partkey END)
+                  AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)
+                  AS BIGINT) AS n_b,
+             CAST(COUNT(DISTINCT CASE WHEN has_a = 1 AND has_b = 1 THEN l_partkey END)
+                  AS BIGINT) AS n_inter
+      FROM (
+        SELECT l_partkey, l_returnflag,
+               MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_partkey) AS has_a,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_partkey) AS has_b
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      )
+    )
+    SELECT e.n_a, e.n_b, e.n_inter,
+           CAST(e.n_inter AS DOUBLE) / (e.n_a + e.n_b - e.n_inter) AS jaccard_exact,
+           s.n_theta, s.n_both,
+           CAST(s.n_both AS DOUBLE) / s.n_theta AS jaccard_est,
+           (s.n_theta - 1) * CAST(4503599627370496 AS DOUBLE) / s.theta AS union_est,
+           CAST(s.n_both AS DOUBLE) / s.n_theta
+             * ((s.n_theta - 1) * CAST(4503599627370496 AS DOUBLE) / s.theta)
+             AS inter_est
+    FROM est s, exact e
+    """,
+    covers=["A-extended", "M6-sketch"],
+)
+def kmv_jaccard_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/θ-sketch SET ALGEBRA beyond union: estimate the Jaccard and
+    intersection size of two key sets (parts in return-flag substreams A vs R) from
+    their k-minima sketches alone — the sketch-level join-selectivity /
+    audience-overlap primitive (Theta-sketch `intersect`), next to
+    `kmv_sketch_merge`'s lossless union.
+
+    Estimator: θ = min of the two sketches' k-th minima (2^52, the
+    hash-space top, when a set is smaller than k); S = the sketches'
+    minima below θ — a uniform hash sample of A∪B; Jaccard ≈ |{h ∈ S
+    in BOTH sketches}| / |S|; |A∩B| ≈ Jaccard × union-estimate.  Every
+    step is hash-deterministic, so even the estimates compare
+    bit-exact across engines, and the exact distinct-set answer rides
+    alongside (n_a/n_b/n_inter) as the closed-loop accuracy report.
+
+    Scale: the exact path re-scans the fact table, the sketch path
+    never does — two ≤k-row sketches (built with one map-side distinct
+    + a k-row-per-group rank) answer overlap for ANY pair of
+    substreams, and stay mergeable across days/partitions.  All joins
+    after sketching touch ≤ 2k rows."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    modes = li.filter(F.col("l_returnflag").isin("A", "R"))
+    h = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashed = modes.select(F.col("l_returnflag").alias("tag"), h).distinct()
+    w_tag = Window.partitionBy("tag").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w_tag))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("tag", "h")
+    )
+    kth = sk.groupBy("tag").agg(
+        F.when(F.count("*") < _KMV_K, F.lit(4503599627370496).cast("bigint"))
+        .otherwise(F.max("h"))
+        .alias("theta_tag")
+    )
+    theta = kth.agg(F.min("theta_tag").alias("theta"))
+    s = (
+        sk.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("theta"))
+    )
+    a = sk.filter(F.col("tag") == "A").select("h", F.lit(1).alias("in_a"))
+    b = sk.filter(F.col("tag") == "R").select("h", F.lit(1).alias("in_b"))
+    flags = (
+        s.join(F.broadcast(a), "h", "left")
+        .join(F.broadcast(b), "h", "left")
+        .select(
+            "theta",
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0).alias("in_both"),
+        )
+    )
+    est = flags.groupBy("theta").agg(
+        F.count("*").cast("bigint").alias("n_theta"),
+        F.sum("in_both").cast("bigint").alias("n_both"),
+    )
+    marked = modes.select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "A", F.col("l_partkey")).alias("pk_a"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_partkey")).alias("pk_b"),
+    )
+    w_pk = Window.partitionBy("l_partkey")
+    both = modes.select(
+        "l_partkey",
+        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .over(w_pk)
+        .alias("has_a"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .over(w_pk)
+        .alias("has_b"),
+    )
+    exact = marked.agg(
+        F.countDistinct("pk_a").cast("bigint").alias("n_a"),
+        F.countDistinct("pk_b").cast("bigint").alias("n_b"),
+    ).crossJoin(
+        both.agg(
+            F.countDistinct(
+                F.when((F.col("has_a") == 1) & (F.col("has_b") == 1), F.col("l_partkey"))
+            )
+            .cast("bigint")
+            .alias("n_inter")
+        )
+    )
+    union_est = (
+        (F.col("n_theta") - 1) * F.lit(4503599627370496.0) / F.col("theta")
+    )
+    jac_est = F.col("n_both").cast("double") / F.col("n_theta")
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard_exact"),
+        "n_theta",
+        "n_both",
+        jac_est.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac_est * union_est).alias("inter_est"),
+    )
