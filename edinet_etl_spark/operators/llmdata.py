@@ -1029,3 +1029,153 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_fingerprint"
         ),
     )
+
+
+_BPE_ROUNDS = 4
+# Symbol-stream encoding: each word becomes '·s1··s2··…··sk·' (every
+# symbol wrapped in '·', '··' between symbols).  Merging pair (a,b) is
+# then ONE literal string replace of '·a··b·' with '·ab·' — and both
+# engines' replace() scans left-to-right non-overlapping, which is
+# exactly BPE's greedy leftmost merge order ('aaa' under (a,a) merges
+# positions 1-2, leaves position 3).  '·' is a reserved delimiter the
+# fixture's ASCII words can't contain (a production run would reserve
+# a non-text byte); words containing it are excluded defensively.
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled-round BPE oracle (the kcore/pagerank fixed-iteration
+    construction): each round re-counts weighted adjacent-symbol pairs
+    over the CURRENT segmentation, picks the (count DESC, a, b) argmax,
+    and rewrites the vocabulary by literal replace."""
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1 AND word NOT LIKE '%·%'
+      GROUP BY word
+    ), w0 AS (
+      SELECT n, '·' || substr(regexp_replace(word, '(.)', '\1··', 'g'),
+                              1, 3 * length(word) - 2) || '·' AS sym
+      FROM words
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""", p{r} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (
+        SELECT n, arr, unnest(generate_series(1, length(arr) - 1)) AS i
+        FROM (SELECT n, string_split(substr(sym, 2, length(sym) - 2), '··') AS arr
+              FROM {prev})
+        WHERE length(arr) >= 2
+      )
+      GROUP BY arr[i], arr[i + 1]
+    ), pick{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{r} AS (
+      SELECT n, replace(sym,
+                        (SELECT '·' || a || '··' || b || '·' FROM pick{r}),
+                        (SELECT '·' || a || b || '·' FROM pick{r})) AS sym
+      FROM {prev}
+    ), tot{r} AS (
+      SELECT CAST(SUM(n * length(string_split(substr(sym, 2, length(sym) - 2),
+                                              '··'))) AS BIGINT)
+               AS total_tokens_after
+      FROM w{r}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+               cnt AS pair_count,
+               (SELECT total_tokens_after FROM tot{r}) AS total_tokens_after
+        FROM pick{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query(
+    "bpe_train_steps",
+    oracle=_bpe_train_oracle(),
+    covers=["M6-curation", "X-iterative", "A-extended"],
+)
+def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iterative BPE tokenizer training (the other half of
+    `bpe_top_merges`, which ranks only the first round's candidates):
+    four full rounds of count-pairs → pick argmax → RE-SEGMENT the
+    vocabulary, so each round's counts reflect every earlier merge —
+    the fixed point a single-pass count can't see.  Output: per round,
+    the merged pair, its weighted count, and the corpus token total
+    after the merge (the compression curve a tokenizer card reports).
+
+    Scale: this is how production BPE trainers stay tractable — all
+    iteration happens on the DISTINCT-WORD vocabulary weighted by
+    count (Zipf: vocab ≪ corpus; the corpus is scanned once to build
+    word counts), so each round is one aggregate over vocab-sized data
+    plus one argmax.  The merge apply is a single literal replace on
+    the '·'-delimited symbol stream — left-to-right non-overlapping in
+    both engines, i.e. BPE's greedy order — pure codegen, no UDF.  The
+    per-round argmax collect is scalar loop control (the sanctioned
+    idiom); vocabulary lineage is checkpoint-truncated each round.
+
+    Oracle: the identical unrolled fixed iteration as chained CTEs."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (~F.col("word").contains("·")))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sym0 = F.concat(
+        F.lit("·"),
+        F.expr(
+            "substring(regexp_replace(word, '(.)', '$1··'), 1, 3 * length(word) - 2)"
+        ),
+        F.lit("·"),
+    )
+    vocab = words.select("n", sym0.alias("sym")).localCheckpoint(eager=True)
+    arr = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "··")
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.select("n", arr.alias("arr"))
+            .filter(F.size("arr") >= 2)
+            .select(
+                "n",
+                F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("i"),
+                "arr",
+            )
+            .select(
+                "n",
+                F.element_at("arr", F.col("i")).alias("a"),
+                F.element_at("arr", F.col("i") + 1).alias("b"),
+            )
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        vocab = vocab.select(
+            "n",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"·{top['a']}··{top['b']}·"),
+                F.lit(f"·{top['a']}{top['b']}·"),
+            ).alias("sym"),
+        ).localCheckpoint(eager=True)
+        total = (
+            vocab.select(F.sum(F.col("n") * F.size(arr)).cast("bigint").alias("t"))
+            .collect()[0]["t"]
+        )
+        rows.append((r, top["a"], top["b"], top["cnt"], total))
+    return spark.createDataFrame(
+        rows,
+        "round bigint, sym_a string, sym_b string, pair_count bigint, "
+        "total_tokens_after bigint",
+    )
