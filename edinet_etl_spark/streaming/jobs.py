@@ -1071,3 +1071,130 @@ def streaming_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
     return run_available_now(
         joined, "stream_attribution_outer_result", "append"
     ).filter(F.col("user_id") >= 0)
+
+
+def make_cms_upsert(snapshot_dir: str):
+    """foreachBatch count-min-sketch maintenance: each micro-batch
+    hashes its user_ids into the d×w counter matrix (same lanes/seeds
+    as the batch `operators.sketches` CMS) and cell-SUM-merges into
+    the snapshot.  CMS cells are additive counters, so the streamed
+    sketch equals the one-shot batch sketch bit-for-bit no matter how
+    the feed was chopped — the sketch-mergeability property exercised
+    through the streaming sink.  The snapshot is ≤ d·w rows (constant),
+    so the WHOLE-REWRITE merge is the right scheme here — the
+    partitioned layout exists for key-proportional snapshots
+    (`make_partitioned_additive_upsert`), not constant ones."""
+    from edinet_etl_spark.operators.sketches import _CMS_D, _CMS_W, _hash32
+
+    def build_updates(batch_df: DataFrame) -> DataFrame:
+        buckets = F.array(
+            *[
+                (_hash32(F.col("key"), f"s{i}") % _CMS_W)
+                for i in range(_CMS_D)
+            ]
+        )
+        return (
+            batch_df.select(F.col("user_id").cast("string").alias("key"))
+            .select(F.posexplode(buckets).alias("row_id", "bucket"))
+            .groupBy("row_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def merge(base: DataFrame, updates: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(updates)
+            .groupBy("row_id", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+
+    return make_additive_upsert(snapshot_dir, build_updates, merge)
+
+
+def _cms_stream_oracle() -> str:
+    from edinet_etl_spark.operators.sketches import _CMS_D, _CMS_W, _sql_hash32
+
+    cells = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_id, {_sql_hash32('key', f's{i}')} % {_CMS_W}"
+        f" AS bucket FROM keys"
+        for i in range(_CMS_D)
+    )
+    probes = "\n      UNION ALL\n".join(
+        f"      SELECT key, true_cnt, {i} AS row_id,"
+        f" {_sql_hash32('key', f's{i}')} % {_CMS_W} AS bucket FROM truth"
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    cells AS (
+      SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+{cells}
+      ) GROUP BY row_id, bucket
+    ),
+    truth AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keys GROUP BY key
+    ),
+    probes AS (
+{probes}
+    ),
+    est AS (
+      SELECT p.key, p.true_cnt, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+      FROM probes p JOIN cells c ON p.row_id = c.row_id AND p.bucket = c.bucket
+      GROUP BY p.key, p.true_cnt
+    )
+    SELECT key AS user_id, true_cnt, est_cnt FROM est
+    ORDER BY true_cnt DESC, key LIMIT 10
+    """
+
+
+@query(
+    "streaming_cms_heavy_hitters",
+    oracle=_cms_stream_oracle(),
+    covers=["M5-stream", "M6-sketch", "X-maintenance"],
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via a count-min sketch maintained in a
+    foreachBatch snapshot: the event stream folds into a d×w counter
+    matrix per micro-batch (cell-SUM merge, replay-guarded like the
+    CDC sink), and after the drain the top-10 users by EXACT count are
+    probed against the STREAMED sketch — est ≥ truth by construction,
+    and because CMS cells are additive and hash-deterministic, the
+    streamed sketch is bit-identical to a one-shot batch sketch, so
+    the whole pipeline hash-compares against a pure-batch oracle.
+
+    At 100 TB/day this is the live top-k dashboard pattern: state is
+    d·w counters (constant, broadcastable), each micro-batch adds its
+    partial matrix — no per-key streaming state at all, which is the
+    entire point of sketching the stream instead of counting it."""
+    prep(spark)
+    from edinet_etl_spark.operators.sketches import _CMS_D, _CMS_W, _hash32
+
+    snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_cmsstream")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(make_cms_upsert(snap))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from edinet_etl_spark.tables import load
+
+    cms = read_snapshot(spark, snap)
+    events = load(spark, sf_dir, "events")
+    truth = events.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    buckets = F.array(
+        *[(_hash32(F.col("key"), f"s{i}") % _CMS_W) for i in range(_CMS_D)]
+    )
+    probes = truth.select(
+        "key", "true_cnt", F.posexplode(buckets).alias("row_id", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .orderBy(F.desc("true_cnt"), "key")
+        .limit(10)
+        .select(F.col("key").alias("user_id"), "true_cnt", "est_cnt")
+    )
