@@ -77,6 +77,14 @@ HEADLINE = [
     # round-4: the composed curation flagship + rolling engagement
     "corpus_curation_pipeline",
     "rolling_7d_active_users",
+    # round-5: mixture sampling, shard shuffle, iterative BPE,
+    # sketch intersection, MRL truncation ANN, LSH S-curve eval
+    "source_temperature_sampling",
+    "training_shard_assignment",
+    "bpe_train_steps",
+    "kmv_jaccard_intersection",
+    "matryoshka_prefix_recall",
+    "lsh_recall_curve",
 ]
 
 
