@@ -17,7 +17,7 @@ Both are asserted by plan inspection in ``tests/test_layout.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.tables import load
@@ -369,3 +369,30 @@ def scd2_merge(
         .unionByName(fresh.select(*untouched.columns))
         .unionByName(brand_new.select(*untouched.columns))
     )
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, key: str, order_by: list[str]
+) -> DataFrame:
+    """CDC APPLY CHANGES INTO emulation (the Delta Live Tables /
+    Debezium-sink semantic): ``changes`` carries (key, op ∈ {I,U,D},
+    payload…, sequence cols); conflicts resolve LAST-WRITER-WINS by
+    ``order_by``; the final state is base rows with no change ∪ the
+    latest change row per key when that op isn't a delete — a key
+    whose last op is 'D' disappears, and an insert after a delete
+    resurrects it naturally (it's just the later row).
+
+    The upsert-only special case is `merge_upsert`; this adds ordered
+    conflict resolution and tombstones.  Plan: one window shuffle on
+    the changelog key (delta-sized, not snapshot-sized), one anti join
+    against the snapshot — the same cost law a table format's MERGE
+    pays, with the changelog side small by construction."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_by])
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *order_by)
+    )
+    survivors = latest.filter(F.col("op") != "D").drop("op")
+    untouched = base.join(latest.select(key), key, "left_anti")
+    return untouched.unionByName(survivors)

@@ -1038,3 +1038,61 @@ def ols_slope_by_group(yearly: DataFrame, key: str) -> DataFrame:
         )
         .filter(F.col("n_years") >= 2)
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id + 1400 AS key,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             value AS balance, ts, event_id
+      FROM events
+    ), latest AS (
+      SELECT key, op, balance FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT c_custkey AS key, c_acctbal AS balance FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.key = c_custkey)
+    UNION ALL
+    SELECT key, balance FROM latest WHERE op <> 'D'
+    """,
+    covers=["X-maintenance", "J4", "A1", "M5-stream"],
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC apply (`layout.apply_changes`): the events feed acts
+    as a Debezium-style changelog over the customer snapshot —
+    signup→INSERT, error→DELETE, anything else→UPDATE, key shifted by
+    +1400 so the batch exercises updates AND tombstones on existing
+    keys (1400–1499) AND inserts of never-seen keys (1500+).
+    Last-writer-wins by (ts, event_id); a key whose final op is a
+    delete vanishes from the snapshot.  This is the ordered,
+    tombstone-aware big sibling of `merge_upsert`, and the batch
+    counterpart of the streaming `streaming_cdc_snapshot` sink.
+
+    Plan: the changelog collapses to one row per key with ONE window
+    shuffle on the delta (never the snapshot); reconciliation is one
+    anti join + union — snapshot-side cost is a single hash join
+    regardless of history length.  Balances are copied, not
+    aggregated, so every value compares bit-exact."""
+    prep(spark)
+    from edinet_etl_spark.layout import apply_changes
+
+    customers = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("balance")
+    )
+    changes = load(spark, sf_dir, "events").select(
+        (F.col("user_id") + 1400).alias("key"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").alias("balance"),
+        "ts",
+        "event_id",
+    )
+    return apply_changes(customers, changes, "key", ["ts", "event_id"])

@@ -214,3 +214,31 @@ def test_dynamic_partition_overwrite_touches_only_its_day(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_apply_changes_semantics(spark):
+    """apply_changes: last-writer-wins ordering, tombstones remove,
+    insert-after-delete resurrects, untouched base rows survive."""
+    from edinet_etl_spark.layout import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key bigint, balance double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: U then D  -> gone
+            (1, "U", 11.0, 1), (1, "D", 0.0, 2),
+            # key 2: D then I  -> resurrected with the later value
+            (2, "D", 0.0, 1), (2, "I", 22.0, 2),
+            # key 4: pure insert of an unseen key
+            (4, "I", 44.0, 1),
+            # key 5: insert then delete -> never materializes
+            (5, "I", 55.0, 1), (5, "D", 0.0, 2),
+        ],
+        "key bigint, op string, balance double, seq bigint",
+    )
+    got = {
+        r["key"]: r["balance"]
+        for r in apply_changes(base, changes, "key", ["seq"]).collect()
+    }
+    assert got == {2: 22.0, 3: 30.0, 4: 44.0}
