@@ -1096,3 +1096,66 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     return apply_changes(customers, changes, "key", ["ts", "event_id"])
+
+
+@query(
+    "schema_evolution_read",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), u AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM u GROUP BY 1
+    """,
+    covers=["S-extended", "X-maintenance", "F13"],
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a plain parquet lake: a table written by an
+    OLD writer (no `o_orderpriority` column — even-keyed orders) and a
+    NEW writer (odd-keyed) is read back as ONE table with
+    ``mergeSchema=true`` — Spark unions the footer schemas and
+    null-fills the missing column for legacy files, which is exactly
+    how a 100 TB lake absorbs a column addition with zero rewrite of
+    history.  Legacy rows surface as 'LEGACY' via COALESCE (the
+    read-side default a table format would store as column metadata).
+
+    Plan/scale: schema merging is a FOOTER-level operation (one
+    metadata read per file, no data pass); the aggregate afterward is
+    an ordinary partial-agg shuffle.  The oracle models the same read
+    as a typed UNION with NULL for the missing column — the relational
+    definition of schema-evolved scan."""
+    prep(spark)
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    od = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"edinet_schevo_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    od.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(os.path.join(base, "b1"))
+    od.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(os.path.join(base, "b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b1"), os.path.join(base, "b2")
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
