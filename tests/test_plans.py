@@ -148,6 +148,28 @@ EXPECTATIONS = [
     # + code argmin + pair agg + top-k window — no shuffled joins)
     ("pq_adc_topk", 7, ["BroadcastHashJoin", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # round-3 additions
+    # temperature sampling: |sources| probability table broadcast back
+    # to the corpus scan; the one-row (total, Σ√n) attaches via BNL
+    ("source_temperature_sampling", 4, ["BroadcastHashJoin"],
+     ["PythonUDF", "SortMergeJoin", "CartesianProduct"]),
+    # shard shuffle: ONE hash-partition exchange (64 groups), no joins
+    ("training_shard_assignment", 1, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct"]),
+    # θ-sketch intersection: every join touches ≤k-row sketch sides
+    # (broadcast); exchanges are all sketch-sized
+    ("kmv_jaccard_intersection", 22, ["BroadcastHashJoin"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # MRL recall: candidate fetch joins + query broadcast; no quadratic
+    # probes beyond the declared 5-query brute-force ground-truth arm
+    ("matryoshka_prefix_recall", 5, ["BroadcastHashJoin"],
+     ["PythonUDF", "CartesianProduct"]),
+    # LSH S-curve: candidate pipeline + truth join all equi-keyed
+    ("lsh_recall_curve", 8, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # ordered CDC apply: delta-sized window + ONE snapshot anti join
+    ("cdc_apply_changes", 4, ["LeftAnti", "Window"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 
