@@ -85,6 +85,7 @@ HEADLINE = [
     "kmv_jaccard_intersection",
     "matryoshka_prefix_recall",
     "lsh_recall_curve",
+    "duplicate_span_scrub",
 ]
 
 

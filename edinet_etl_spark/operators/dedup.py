@@ -1170,3 +1170,182 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall",
         analytic.alias("analytic_p"),
     )
+
+
+_SPAN_W = 8  # duplicated-window width in tokens (the decontamination unit)
+
+
+@query(
+    "duplicate_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS s, i + {_SPAN_W - 1} AS e,
+             array_to_string(toks[i:i + {_SPAN_W - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, length(toks) - {_SPAN_W - 1})) AS i
+            FROM toks)
+    ), dup AS (
+      SELECT shingle FROM wins GROUP BY shingle HAVING COUNT(*) >= 2
+    ), spans AS (
+      SELECT w.doc_id, w.s, w.e FROM wins w
+      WHERE EXISTS (SELECT 1 FROM dup d WHERE d.shingle = w.shingle)
+    ), marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ), islands AS (
+      SELECT doc_id, island_id, MIN(s) AS s, MAX(e) AS e
+      FROM (SELECT doc_id, s, e,
+                   SUM(new_island) OVER (
+                     PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS island_id
+            FROM marked)
+      GROUP BY doc_id, island_id
+    ), covered AS (
+      SELECT doc_id, unnest(generate_series(s, e)) AS p FROM islands
+    ), kept AS (
+      SELECT t.doc_id,
+             md5(string_agg(t.tok, ' ' ORDER BY t.p)) AS clean_fp,
+             CAST(COUNT(*) AS BIGINT) AS clean_tokens
+      FROM (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(generate_series(1, length(toks))) AS p
+            FROM toks) t
+      LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+      WHERE c.p IS NULL
+      GROUP BY t.doc_id
+    ), stats AS (
+      SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(sp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+             CAST(COALESCE(isl.n_islands, 0) AS BIGINT) AS n_islands,
+             CAST(COALESCE(isl.tok_removed, 0) AS BIGINT) AS tokens_removed
+      FROM toks t
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup FROM spans GROUP BY doc_id) sp
+        ON sp.doc_id = t.doc_id
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_islands,
+                        SUM(e - s + 1) AS tok_removed
+                 FROM islands GROUP BY doc_id) isl
+        ON isl.doc_id = t.doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_dup_windows, s.n_islands,
+           s.tokens_removed,
+           COALESCE(k.clean_tokens, 0) AS clean_tokens,
+           k.clean_fp
+    FROM stats s LEFT JOIN kept k ON k.doc_id = s.doc_id
+    """,
+    covers=["M6-dedup", "W-extended", "X-iterative"],
+)
+def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING DEDUP with span removal (the Lee et al. 2022
+    "Deduplicating Training Data" operation, at window width 8): any
+    8-token window occurring ≥2 times in the corpus marks its span;
+    per doc, overlapping/adjacent spans merge into islands
+    (gaps-and-islands: a span opens a new island iff its start clears
+    the running max end of everything before it), islands are removed,
+    and the scrubbed document is fingerprinted — the repeated
+    boilerplate is cut from EVERY occurrence, which n-gram-level
+    decontamination (drop the whole doc) cannot express.
+
+    Per doc: token count, duplicated windows, merged islands, tokens
+    removed, surviving tokens, and the md5 of the scrubbed text.
+
+    Plan/scale: window hashing is the shingle fan-out (array-local,
+    sequence+slice); the duplicate set is ONE corpus-wide aggregate
+    with map-side combine; span marking is a semi-join back; island
+    merging is one window over (doc_id, start) — everything shuffles
+    on doc_id or the window string, never quadratic.  The positional
+    reconstruction joins positions to covered islands per doc — both
+    sides doc_id-clustered.  At 100 TB this is exactly the
+    deduplicate-text-datasets dataflow with Spark shuffles in place of
+    suffix-array shards."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n_tok = F.size("toks")
+    wins = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.when(
+                    n_tok >= _SPAN_W,
+                    F.sequence(F.lit(1), n_tok - F.lit(_SPAN_W - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            (F.col("s") + F.lit(_SPAN_W - 1)).alias("e"),
+            F.concat_ws(" ", F.slice("toks", F.col("s"), _SPAN_W)).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        wins.groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("shingle")
+    )
+    spans = wins.join(dup, "shingle", "left_semi").select("doc_id", "s", "e")
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    runmax = F.max("e").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(runmax, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_island").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("doc_id", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    covered = islands.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = (
+        pos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_fp"),
+            F.count("*").cast("bigint").alias("clean_tokens"),
+        )
+    )
+    sp_stats = spans.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_dup_windows"))
+    isl_stats = islands.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+    )
+    return (
+        toks.select("doc_id", n_tok.cast("bigint").alias("n_tokens"))
+        .join(sp_stats, "doc_id", "left")
+        .join(isl_stats, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("bigint").alias("tokens_removed"),
+            F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias("clean_tokens"),
+            "clean_fp",
+        )
+    )
