@@ -378,31 +378,40 @@ def _applied_batch(snapshot_dir: str) -> int:
     return -1
 
 
-def _read_manifest(snapshot_dir: str) -> dict[str, int] | None:
-    """bucket → owning-version map of the CURRENT version, or None for
-    whole-rewrite (unpartitioned) snapshots.  The manifest is written
-    inside the version dir BEFORE the pointer moves, so it is atomic
-    with the commit."""
+def _read_manifest(snapshot_dir: str, at: int | None = None) -> dict[str, int] | None:
+    """bucket → owning-version map of the CURRENT version (or of the
+    retained historical version ``at``), or None for whole-rewrite
+    (unpartitioned) snapshots.  The manifest is written inside the
+    version dir BEFORE the pointer moves, so it is atomic with the
+    commit."""
     import json
     import os
 
-    applied = _applied_batch(snapshot_dir)
+    applied = _applied_batch(snapshot_dir) if at is None else at
     p = os.path.join(snapshot_dir, f"v{applied}", "MANIFEST.json")
     if os.path.exists(p):
         with open(p) as f:
             return {k: int(v) for k, v in json.load(f).items()}
+    if at is not None:
+        raise FileNotFoundError(
+            f"snapshot version v{at} is not retained in {snapshot_dir} "
+            "(raise keep_versions on the writer to time-travel further back)"
+        )
     return None
 
 
-def read_snapshot(spark, snapshot_dir: str):
-    """Resolve the CURRENT pointer and read that version's parquet —
+def read_snapshot(spark, snapshot_dir: str, at: int | None = None):
+    """Resolve the CURRENT pointer (or, with ``at``, a RETAINED
+    historical version — TIME TRAVEL) and read that version's parquet —
     the only sanctioned way to read these snapshots.  Partitioned
-    snapshots resolve the bucket manifest: each bucket is read from
-    the newest version that rewrote it (untouched buckets carry
-    forward by reference, never by copy)."""
+    snapshots resolve the version's bucket manifest: each bucket is
+    read from the newest version ≤ the target that rewrote it
+    (untouched buckets carry forward by reference, never by copy), so
+    a historical read costs the same as a current one — the manifest
+    IS the time-travel index, exactly as in a table format."""
     import os
 
-    manifest = _read_manifest(snapshot_dir)
+    manifest = _read_manifest(snapshot_dir, at)
     if manifest is None:
         return spark.read.parquet(
             os.path.join(snapshot_dir, f"v{_applied_batch(snapshot_dir)}")
@@ -538,7 +547,7 @@ _N_SNAP_BUCKETS = 16
 
 
 def make_partitioned_additive_upsert(
-    snapshot_dir: str, build_updates, merge, key: str
+    snapshot_dir: str, build_updates, merge, key: str, keep_versions: int = 1
 ):
     """`make_additive_upsert`, but per-batch cost proportional to the
     TOUCHED key-buckets, not the whole snapshot — the fix for the
@@ -559,7 +568,13 @@ def make_partitioned_additive_upsert(
     This is exactly the commit protocol a table format (Delta/Iceberg)
     provides; spelled out here so the engine needs only parquet + a
     POSIX rename.  Replay guard and additive-merge contract are
-    unchanged from `make_additive_upsert`."""
+    unchanged from `make_additive_upsert`.
+
+    ``keep_versions`` > 1 retains the newest K manifests' closures —
+    TIME TRAVEL: ``read_snapshot(spark, dir, at=batch)`` reconstructs
+    any retained version at the same cost as a current read, because
+    the manifest already indexes every bucket to its owning version
+    (a historical bucket is just an older pointer, not a copy)."""
     import json
     import os
 
@@ -602,7 +617,30 @@ def make_partitioned_additive_upsert(
         with open(os.path.join(vdir, "MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
         _commit_pointer(snapshot_dir, batch_id)
-        _gc_versions(snapshot_dir, set(manifest.values()))
+        # retention: the newest keep_versions manifests form the
+        # time-travel window.  A version OUTSIDE the window loses its
+        # MANIFEST.json (its snapshot identity expires) but its bucket
+        # DIRS survive as long as any retained manifest still points at
+        # them — data is shared between versions by reference, so
+        # expiry and GC are separate decisions, exactly as in a table
+        # format's expire_snapshots.
+        all_manifest_versions = sorted(
+            (
+                int(d[1:])
+                for d in os.listdir(snapshot_dir)
+                if d.startswith("v")
+                and d[1:].isdigit()
+                and os.path.exists(os.path.join(snapshot_dir, d, "MANIFEST.json"))
+            ),
+            reverse=True,
+        )
+        window = all_manifest_versions[: max(1, keep_versions)]
+        referenced: set[int] = set(window)
+        for mv in window:
+            referenced |= set(_read_manifest(snapshot_dir, at=mv).values())
+        for mv in all_manifest_versions[max(1, keep_versions):]:
+            os.remove(os.path.join(snapshot_dir, f"v{mv}", "MANIFEST.json"))
+        _gc_versions(snapshot_dir, referenced)
 
     return upsert
 

@@ -353,3 +353,62 @@ def test_partitioned_snapshot_touched_only(spark, tmp_path):
     for u, v in base.items():
         if u != 7:
             assert got[u] == v
+
+
+def test_partitioned_snapshot_time_travel(spark, tmp_path):
+    """keep_versions retains a time-travel window: after three batches,
+    reading `at=` each historical version reconstructs that version's
+    exact state from retained bucket pointers; versions that fell out
+    of the window raise."""
+    import pytest as _pytest
+
+    from edinet_etl_spark.numeric import dec
+
+    def build_updates(batch_df):
+        return batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("string").alias("total_dec"),
+        )
+
+    def merge(base, updates):
+        return (
+            base.unionByName(updates)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum(F.col("total_dec").cast("decimal(38,8)"))
+                .cast("string")
+                .alias("total_dec"),
+            )
+        )
+
+    snap = str(tmp_path / "tt")
+    upsert = jobs.make_partitioned_additive_upsert(
+        snap, build_updates, merge, key="user_id", keep_versions=2
+    )
+    ev = load(spark, SF_DIR, "events")
+    b0 = ev.filter(F.col("user_id") < 50)
+    b1 = ev.filter(F.col("user_id") == 7)
+    b2 = ev.filter(F.col("user_id") == 9)
+
+    def state(df):
+        return {r["user_id"]: r["n_events"] for r in df.collect()}
+
+    upsert(b0, 0)
+    s0 = state(jobs.read_snapshot(spark, snap))
+    upsert(b1, 1)
+    s1 = state(jobs.read_snapshot(spark, snap))
+    upsert(b2, 2)
+
+    # window = 2: versions 1 and 2 retained, version 0 pruned
+    assert state(jobs.read_snapshot(spark, snap, at=1)) == s1
+    assert state(jobs.read_snapshot(spark, snap, at=2)) == state(
+        jobs.read_snapshot(spark, snap)
+    )
+    with _pytest.raises(FileNotFoundError):
+        jobs.read_snapshot(spark, snap, at=0)
+    # the historical read is real: version 1 differs from 2 on key 9
+    assert state(jobs.read_snapshot(spark, snap, at=1))[9] != state(
+        jobs.read_snapshot(spark, snap, at=2)
+    )[9]
+    assert s0[7] != s1[7]
