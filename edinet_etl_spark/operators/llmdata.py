@@ -1179,3 +1179,117 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round bigint, sym_a string, sym_b string, pair_count bigint, "
         "total_tokens_after bigint",
     )
+
+
+_MIX_SHARDS = 16
+
+
+@query(
+    "training_mix_manifest",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS sum_w
+      FROM stats
+    ), probs AS (
+      SELECT source,
+             LEAST(1.0, {_TEMP_TAU} * total_docs * sqrt(n_docs)
+                        / (sum_w * n_docs)) AS p_sample
+      FROM stats, tot
+    ), sampled AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d JOIN probs p ON d.source = p.source
+      WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < p.p_sample
+    ), assigned AS (
+      SELECT {_SQL_SPLIT} AS split,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_MIX_SHARDS} AS shard,
+             md5('order:' || CAST(doc_id AS VARCHAR)) AS h_order,
+             doc_id, n_chars
+      FROM sampled
+    )
+    SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_dsum('n_chars', 'total_chars', scale=0)},
+           substr(md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY h_order, doc_id)), 1, 16)
+             AS shard_fingerprint
+    FROM assigned GROUP BY split, shard
+    """,
+    covers=["LLM-sample", "LLM-split", "LLM-shard", "A-extended"],
+)
+def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-mix manifest — the artifact a data card
+    publishes and a trainer consumes: α=0.5 temperature sampling over
+    sources (`source_temperature_sampling`), stable hash train/valid/
+    test split (`train_test_split_counts`), hash shard assignment with
+    independent intra-shard order (`training_shard_assignment`), all
+    chained, emitting per (split, shard) the doc count, exact char
+    total, and the 16-hex order fingerprint.  Two runs of this query —
+    any engine, any cluster, any partitioning — produce byte-identical
+    manifests, which is the reproducibility contract that lets a 100 TB
+    refresh ship without re-reading what it shipped last time.
+
+    Plan: every stage is a pure hash function of doc_id, so the chain
+    is ONE corpus scan (probability table broadcast back) + ONE shuffle
+    on (split, shard) — composition adds selectivity, not passes."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = stats.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        dsum(F.sqrt(F.col("n_docs").cast("double")), "sum_w"),
+    )
+    probs = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_TAU)
+            * F.col("total_docs").cast("double")
+            * F.sqrt(F.col("n_docs").cast("double"))
+            / (F.col("sum_w") * F.col("n_docs").cast("double")),
+        ).alias("p_sample"),
+    )
+    sid = F.col("doc_id").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp:"), sid)), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        docs.join(F.broadcast(probs), "source")
+        .filter(u < F.col("p_sample"))
+        .select("doc_id", "n_chars")
+    )
+    digit = F.substring(F.md5(sid), 1, 1)
+    split = (
+        F.when(digit <= "b", "train").when(digit <= "d", "valid").otherwise("test")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(_MIX_SHARDS),
+    )
+    h_order = F.md5(F.concat(F.lit("order:"), sid))
+    assigned = sampled.select(
+        split.alias("split"),
+        shard.alias("shard"),
+        h_order.alias("h_order"),
+        "doc_id",
+        "n_chars",
+    )
+    ordered_ids = F.transform(
+        F.sort_array(F.collect_list(F.struct("h_order", "doc_id"))),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return assigned.groupBy("split", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dsum(F.col("n_chars"), "total_chars", scale=0),
+        F.substring(F.md5(F.array_join(ordered_ids, ",")), 1, 16).alias(
+            "shard_fingerprint"
+        ),
+    )
