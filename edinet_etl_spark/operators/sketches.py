@@ -1209,32 +1209,17 @@ def kmv_jaccard_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_theta"),
         F.sum("in_both").cast("bigint").alias("n_both"),
     )
-    marked = modes.select(
-        "l_partkey",
-        F.when(F.col("l_returnflag") == "A", F.col("l_partkey")).alias("pk_a"),
-        F.when(F.col("l_returnflag") == "R", F.col("l_partkey")).alias("pk_b"),
+    # exact closed-loop arm: ONE groupBy on the part key (map-side
+    # combine collapses each task to its distinct keys), then one tiny
+    # membership aggregate — no windows, no second fact scan
+    per_key = modes.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_b"),
     )
-    w_pk = Window.partitionBy("l_partkey")
-    both = modes.select(
-        "l_partkey",
-        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .over(w_pk)
-        .alias("has_a"),
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-        .over(w_pk)
-        .alias("has_b"),
-    )
-    exact = marked.agg(
-        F.countDistinct("pk_a").cast("bigint").alias("n_a"),
-        F.countDistinct("pk_b").cast("bigint").alias("n_b"),
-    ).crossJoin(
-        both.agg(
-            F.countDistinct(
-                F.when((F.col("has_a") == 1) & (F.col("has_b") == 1), F.col("l_partkey"))
-            )
-            .cast("bigint")
-            .alias("n_inter")
-        )
+    exact = per_key.agg(
+        F.sum("has_a").cast("bigint").alias("n_a"),
+        F.sum("has_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("has_a") * F.col("has_b")).cast("bigint").alias("n_inter"),
     )
     union_est = (
         (F.col("n_theta") - 1) * F.lit(4503599627370496.0) / F.col("theta")
