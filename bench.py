@@ -86,6 +86,8 @@ HEADLINE = [
     "matryoshka_prefix_recall",
     "lsh_recall_curve",
     "duplicate_span_scrub",
+    "training_mix_manifest",
+    "cdc_apply_changes",
 ]
 
 
