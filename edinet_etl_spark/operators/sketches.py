@@ -1239,3 +1239,87 @@ def kmv_jaccard_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_est.alias("union_est"),
         (jac_est * union_est).alias("inter_est"),
     )
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ), cells AS (
+      SELECT row_id, bucket, CAST(SUM(cnt) AS BIGINT) AS cell FROM (
+"""
+    + "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS row_id,"
+        f" {_sql_hash32('CAST(key AS VARCHAR)', f's{i}')} % {_CMS_W} AS bucket,"
+        f" cnt FROM keyed"
+        for i in range(_CMS_D)
+    )
+    + f"""
+      ) GROUP BY row_id, bucket
+    ), per_row AS (
+      SELECT row_id, CAST(SUM(cell * cell) AS BIGINT) AS est FROM cells
+      GROUP BY row_id
+    ), est AS (
+      SELECT CAST(MIN(est) AS BIGINT) AS cms_estimate FROM per_row
+    ), truth AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS true_join_size FROM keyed
+    )
+    SELECT t.true_join_size, e.cms_estimate,
+           CAST(e.cms_estimate AS DOUBLE) / t.true_join_size AS overestimate_ratio
+    FROM truth t, est e
+    """,
+    covers=["M6-sketch", "A-extended"],
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from sketches alone (the AGMS/CMS inner-
+    product estimator a cost-based optimizer runs before picking a
+    join strategy): |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), estimated
+    as min over sketch rows of the cell-wise inner product of the two
+    sides' count-min matrices — here on the lineitem part-key SELF
+    join, i.e. the exact quantity that predicts the pairwise blowups
+    this engine's dedup/graph stages salt against (the co-purchase
+    pair count IS this number).  Estimate ≥ truth by construction
+    (hash collisions only add); the realized overestimate ratio rides
+    alongside the exact answer as the closed loop.
+
+    Every quantity is INTEGER math over hash-deterministic cells, so
+    even the estimate compares bit-exact across engines.
+
+    Scale: the sketch path needs one per-key count (map-side combined)
+    + a d×w-cell matrix per side — sides never meet on raw keys, and
+    two 100 TB tables' join size prices out from two broadcastable
+    matrices; the matrices merge across shards by cell-SUM like every
+    CMS here."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    buckets = F.array(
+        *[
+            (_hash32(F.col("key").cast("string"), f"s{i}") % _CMS_W)
+            for i in range(_CMS_D)
+        ]
+    )
+    cells = (
+        keyed.select("cnt", F.posexplode(buckets).alias("row_id", "bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cell"))
+    )
+    est = (
+        cells.groupBy("row_id")
+        .agg(F.sum(F.col("cell") * F.col("cell")).cast("bigint").alias("est"))
+        .agg(F.min("est").cast("bigint").alias("cms_estimate"))
+    )
+    truth = keyed.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("true_join_size")
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_join_size",
+        "cms_estimate",
+        (
+            F.col("cms_estimate").cast("double") / F.col("true_join_size")
+        ).alias("overestimate_ratio"),
+    )
