@@ -523,3 +523,100 @@ def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_df_ratio"),
         )
     )
+
+
+_TF_DIMS = 32  # hashed term-frequency vector width
+
+
+def _sql_tf_hash(expr: str) -> str:
+    return f"('0x' || substr(md5('tf:' || {expr}), 1, 8))::BIGINT % {_TF_DIMS}"
+
+
+@query(
+    "hashed_tf_cosine_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), vecs AS (
+      SELECT doc_id,
+             [{', '.join(
+                 f'CAST(COUNT(*) FILTER (WHERE {_sql_tf_hash("word")} = {i}) AS BIGINT)'
+                 for i in range(_TF_DIMS))}] AS v
+      FROM words GROUP BY doc_id
+    ), pairs AS (
+      SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+             list_dot_product(CAST(q.v AS DOUBLE[]), CAST(n.v AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.v AS DOUBLE[]), CAST(q.v AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(n.v AS DOUBLE[]), CAST(n.v AS DOUBLE[]))))
+               AS cosine
+      FROM vecs q JOIN vecs n ON n.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "M6-text", "W-extended"],
+)
+def hashed_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text similarity WITHOUT an embedding model: each document folds
+    into a 32-dim hashed term-frequency vector (the HashingTF trick —
+    vocabulary-free, so the featurizer needs no fitted state and two
+    corpora featurize identically), then cosine top-3 for the query
+    docs — the graded-similarity step between `bag_of_words_dedup`
+    (binary same/different) and the embedding ANN ladder (needs a
+    model).
+
+    Determinism: counts are integers, the dot is an integer sum
+    evaluated in double (exact below 2^53), norms/division correctly
+    rounded — every cosine bit-identical across engines.
+
+    Plan/scale: featurization is ONE groupBy over the word explode
+    with 32 conditional counts (map-side combined — each task ships 32
+    ints per doc, not words); the vector table is corpus-sized but
+    8×narrower than the text; search broadcasts the query slice and
+    scans vectors once, and any of the ANN ladder's index stages
+    (LSH buckets, IVF cells) drops in unchanged on top of these
+    vectors when the corpus outgrows brute force."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tf:"), F.col("word"))), 1, 8), 16, 10
+        ).cast("bigint")
+        % _TF_DIMS
+    )
+    vecs = words.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("bigint")
+                for i in range(_TF_DIMS)
+            ]
+        ).alias("v")
+    )
+    from edinet_etl_spark.operators.similarity import dot_exact
+
+    q = vecs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = vecs.select(F.col("doc_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    qv = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    nv = F.transform(F.col("nv"), lambda x: x.cast("double"))
+    cosine = dot_exact(qv, nv) / (
+        F.sqrt(dot_exact(qv, qv)) * F.sqrt(dot_exact(nv, nv))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
