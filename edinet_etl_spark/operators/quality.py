@@ -177,3 +177,149 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@query(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT)
+             AS n_large,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS VARCHAR)
+                AS DOUBLE) AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+    covers=["A3", "A-extended", "X-observability"],
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation``/``df.observe`` API — Spark's production
+    monitoring hook: metrics are accumulated ON the running job (task-
+    side, merged by the driver), so a pipeline gets its row counts /
+    quality gauges for free with the action it already runs, instead
+    of paying a second scan.  Here a pass over orders is observed for
+    row count, a predicate count, an exact-decimal price total, and a
+    max; the observed values are returned AS the result —
+    and must equal the plain one-shot aggregate the oracle runs.
+
+    Numeric discipline survives the API: the observed sum is
+    decimal-accumulated (associative, partitioning-independent) and
+    converted via the string hop only after retrieval, so even the
+    metrics channel is bit-exact.  At 100 TB this is how the engine
+    self-reports per-job data-quality gauges to a metrics store with
+    ZERO extra passes."""
+    prep(spark)
+    from pyspark.sql import Observation
+
+    od = load(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = od.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0)
+        ).cast("bigint").alias("n_large"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+        .cast("string")
+        .alias("total_dec"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_large"],
+                float(m["total_dec"]),
+                m["max_price"],
+            )
+        ],
+        "n_rows bigint, n_large bigint, total_price double, max_price double",
+    )
+
+
+@query(
+    "csv_corrupt_records_audit",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice,
+             (o_orderkey % 10 = 3) AS is_corrupt
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE NOT is_corrupt) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE is_corrupt) AS BIGINT) AS n_corrupt,
+           CAST(CAST(SUM(CASE WHEN NOT is_corrupt
+                              THEN CAST(o_totalprice AS DECIMAL(18,8)) END)
+                     AS VARCHAR) AS DOUBLE) AS good_total
+    FROM src
+    """,
+    covers=["S-extended", "P10", "A3"],
+)
+def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input triage on a text lake: a CSV feed where ~10% of
+    rows are corrupted (non-numeric price field — orderkeys ≡ 3 mod
+    10) is read in PERMISSIVE mode with ``columnNameOfCorruptRecord``,
+    so bad rows land in the corrupt-record column instead of killing
+    the job or being silently dropped — the ingest-side counterpart of
+    the P10 ``try_cast`` row-skip, at the PARSER level.  The audit
+    reports total/good/corrupt counts and the exact good-row sum.
+
+    The corrupt feed is constructed deterministically from orders (the
+    oracle recomputes the same partition of rows relationally), so the
+    parser path itself — schema coercion failure ⇒ corrupt column ⇒
+    quarantine accounting — is what the hash-compare proves.
+
+    At 100 TB: PERMISSIVE + corrupt-column is the only mode that both
+    survives bad bytes AND preserves them for replay (FAILFAST kills
+    the job; DROPMALFORMED silently loses data — the worst option for
+    a training corpus); the quarantined rows write to a dead-letter
+    path for reprocessing."""
+    prep(spark)
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    od = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"edinet_corrupt_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    # price field becomes non-numeric garbage for orderkeys ≡ 3 (mod 10)
+    feed = od.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.concat(F.lit("BAD_"), F.col("o_totalprice"))
+        )
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("p"),
+    )
+    feed.write.mode("overwrite").csv(base)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("o_totalprice").cast("decimal(18,8)")))
+        .cast("string")
+        .cast("double")
+        .alias("good_total"),
+    )
