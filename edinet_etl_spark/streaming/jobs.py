@@ -387,6 +387,14 @@ def _read_manifest(snapshot_dir: str, at: int | None = None) -> dict[str, int] |
     import json
     import os
 
+    if at is not None and at > _applied_batch(snapshot_dir):
+        # a v-dir beyond CURRENT can exist after a crash between the
+        # version write and the pointer commit — it is NOT a committed
+        # snapshot and must not be readable as one
+        raise FileNotFoundError(
+            f"snapshot version v{at} is beyond the committed pointer "
+            f"(v{_applied_batch(snapshot_dir)}) in {snapshot_dir}"
+        )
     applied = _applied_batch(snapshot_dir) if at is None else at
     p = os.path.join(snapshot_dir, f"v{applied}", "MANIFEST.json")
     if os.path.exists(p):

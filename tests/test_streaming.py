@@ -407,6 +407,10 @@ def test_partitioned_snapshot_time_travel(spark, tmp_path):
     )
     with _pytest.raises(FileNotFoundError):
         jobs.read_snapshot(spark, snap, at=0)
+    # beyond the committed pointer (the crash window between version
+    # write and pointer commit) must also refuse
+    with _pytest.raises(FileNotFoundError):
+        jobs.read_snapshot(spark, snap, at=99)
     # the historical read is real: version 1 differs from 2 on key 9
     assert state(jobs.read_snapshot(spark, snap, at=1))[9] != state(
         jobs.read_snapshot(spark, snap, at=2)
