@@ -416,3 +416,11 @@ def test_partitioned_snapshot_time_travel(spark, tmp_path):
         jobs.read_snapshot(spark, snap, at=2)
     )[9]
     assert s0[7] != s1[7]
+
+    # change data feed between retained versions: exactly the touched
+    # key surfaces, as an update with correct before/after counts
+    cdf = jobs.snapshot_changelog(spark, snap, "user_id", 1, 2).collect()
+    assert len(cdf) == 1
+    row = cdf[0]
+    assert row["user_id"] == 9 and row["change"] == "update"
+    assert row["after"]["n_events"] > row["before"]["n_events"]
