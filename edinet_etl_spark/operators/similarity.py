@@ -1610,3 +1610,118 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("ann_id") / F.lit(3.0)).alias("recall_at3"),
         )
     )
+
+
+@query(
+    "ivf_partitioned_index_topk",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS semb
+      FROM embeddings WHERE vec_id % {_SQL_SEED_STRIDE} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.sid,
+             {_sql_dot('e.embedding', 's.semb')} AS sdot
+      FROM embeddings e, seeds s
+    ), assign AS (
+      SELECT vec_id, embedding, sid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sdot DESC, sid) AS rn
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, embedding, sid FROM assign WHERE rn = 1
+    ), probe AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.sid AS cell_id,
+             {_sql_dot('q.embedding', 'c.embedding')} /
+               (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                * sqrt({_sql_dot('c.embedding', 'c.embedding')})) AS cosine
+      FROM cells q JOIN cells c ON q.sid = c.sid AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cell_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM probe
+    ) WHERE rn <= 3
+    """,
+    covers=["M6-similarity", "S-extended", "J-extended"],
+)
+def ivf_partitioned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index PERSISTED as a cell-partitioned parquet layout,
+    then queried with STORAGE-LEVEL partition pruning: the index build
+    (same deterministic cell assignment as `ivf_ann_topk`) writes
+    vectors ``partitionBy(sid)``; at query time the probed cell ids
+    become a literal partition filter, so the scan lists and reads
+    ONLY the probed cells' directories — the other ~K-1/K of the index
+    never costs I/O, which is what makes a disk-resident vector index
+    usable when the corpus dwarfs memory.  Results are identical to
+    the in-memory `ivf_ann_topk` (same oracle).
+
+    The probed-cell collect is |queries| ids (scalar loop control);
+    pruning is asserted by `test_ivf_partitioned_index_prunes` (files
+    actually read < files in the index) and pinned in the plan suite
+    (PartitionFilters on the index scan).  At 100 TB the same layout
+    is the bucketed/partitioned ANN shard map: route each query to its
+    cells' files, fan out, rerank — no full-index pass anywhere."""
+    prep(spark)
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "sid")
+    )
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"edinet_ivfidx_{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cells.write.partitionBy("sid").parquet(idx_dir)
+    # probed cells: the query vectors' own cell ids — |queries| scalars
+    probed = sorted(
+        r["sid"]
+        for r in cells.filter(F.col("vec_id") < 5).select("sid").distinct().collect()
+    )
+    index = spark.read.parquet(idx_dir).filter(
+        F.col("sid").cast("bigint").isin(probed)
+    )
+    q = (
+        index.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("sid").cast("bigint").alias("q_sid"),
+        )
+    )
+    cosine = dot_exact(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")))
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        index.join(F.broadcast(q), F.col("sid").cast("bigint") == F.col("q_sid"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q_sid").alias("cell_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cell_id", "cosine")
+    )

@@ -242,3 +242,39 @@ def test_apply_changes_semantics(spark):
         for r in apply_changes(base, changes, "key", ["seq"]).collect()
     }
     assert got == {2: 22.0, 3: 30.0, 4: 44.0}
+
+
+def test_ivf_partitioned_index_prunes(spark):
+    """The persisted IVF index actually prunes at the STORAGE level: a
+    cell-filtered read lists strictly fewer parquet files than the
+    full index, and exactly the probed cell's directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    from edinet_etl_spark import registry
+
+    registry.load_all()
+    # build the index (query fn writes the session-scoped dir)
+    registry.QUERIES["ivf_partitioned_index_topk"](spark, SF_DIR).collect()
+    tag = hashlib.md5(
+        (SF_DIR + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"edinet_ivfidx_{tag}")
+    full = spark.read.parquet(idx_dir)
+    cells = sorted(r["sid"] for r in full.select("sid").distinct().collect())
+    assert len(cells) > 1
+    one = full.filter(F.col("sid") == cells[0])
+    # inputFiles() reports the RELATION's files pre-pruning; the files
+    # a run actually touches are input_file_name() at execution time
+    def touched(df):
+        return {
+            r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+    all_files = touched(full)
+    one_files = touched(one)
+    assert len(one_files) < len(all_files)
+    assert all(f"sid={cells[0]}" in f for f in one_files)
+    # and the static plan carries the partition filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sid" in plan.split("PartitionFilters: [", 1)[1][:80]
