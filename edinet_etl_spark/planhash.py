@@ -23,6 +23,10 @@ import re
 from pyspark.sql import DataFrame
 
 _SCRUB: list[tuple[re.Pattern[str], str]] = [
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (lambda x_1 in a fresh session, lambda x_28 after other
+    # queries ran) — normalize the counter, keep the variable letter
+    (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1_N"),
     # expression ids: l_orderkey#123L → l_orderkey#N
     (re.compile(r"#\d+"), "#N"),
     # codegen stage ids: *(4) → *(N)

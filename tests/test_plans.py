@@ -265,3 +265,15 @@ def test_aqe_runtime_replan_bilateral_trade(spark):
     assert "AQEShuffleRead" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 1  # exactly the fact-fact join
+
+
+def test_plan_hash_normalizes_session_counters():
+    """normalize_plan must scrub every session-global counter: expr
+    ids, codegen stage ids, and higher-order-function lambda variable
+    numbers (lambda x_1 vs lambda x_28 — found drifting bench hashes
+    mid-session)."""
+    from edinet_etl_spark.planhash import normalize_plan
+
+    a = "Project [aggregate(transform(split(text#12,  , -1), lambdafunction(length(lambda x_1#3), lambda x_1#3, false)), 0, lambdafunction((lambda x_2#4L + lambda y_3#5L), lambda x_2#4L, lambda y_3#5L, false))] *(2)"
+    b = "Project [aggregate(transform(split(text#99,  , -1), lambdafunction(length(lambda x_28#7), lambda x_28#7, false)), 0, lambdafunction((lambda x_29#8L + lambda y_30#9L), lambda x_29#8L, lambda y_30#9L, false))] *(7)"
+    assert normalize_plan(a) == normalize_plan(b)
