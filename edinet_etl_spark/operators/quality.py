@@ -323,3 +323,220 @@ def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("good_total"),
     )
+
+
+@query(
+    "corpus_drift_report",
+    oracle="""
+    WITH v1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         v2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         t1 AS (SELECT DISTINCT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM v1)),
+         t2 AS (SELECT DISTINCT word FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM v2)),
+         c1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM v1)
+                GROUP BY word),
+         c2 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word FROM v2)
+                GROUP BY word),
+         n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+         n2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+         l1 AS (
+           SELECT CAST(CAST(SUM(CAST(ABS(
+                    CAST(COALESCE(c1.c, 0) AS DOUBLE) / n1.n
+                    - CAST(COALESCE(c2.c, 0) AS DOUBLE) / n2.n
+                  ) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS v
+           FROM c1 FULL OUTER JOIN c2 ON c1.word = c2.word, n1, n2
+         )
+    SELECT 'n_docs' AS metric,
+           CAST((SELECT COUNT(*) FROM v1) AS DOUBLE) AS v1_value,
+           CAST((SELECT COUNT(*) FROM v2) AS DOUBLE) AS v2_value
+    UNION ALL
+    SELECT 'total_chars',
+           CAST(CAST((SELECT SUM(CAST(n_chars AS DECIMAL(18,0))) FROM v1) AS VARCHAR) AS DOUBLE),
+           CAST(CAST((SELECT SUM(CAST(n_chars AS DECIMAL(18,0))) FROM v2) AS VARCHAR) AS DOUBLE)
+    UNION ALL
+    SELECT 'vocab_size',
+           CAST((SELECT COUNT(*) FROM t1) AS DOUBLE),
+           CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+    UNION ALL
+    SELECT 'vocab_jaccard',
+           CAST((SELECT COUNT(*) FROM t1 JOIN t2 USING (word)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM (SELECT word FROM t1 UNION SELECT word FROM t2)),
+           CAST((SELECT COUNT(*) FROM t1 JOIN t2 USING (word)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM (SELECT word FROM t1 UNION SELECT word FROM t2))
+    UNION ALL
+    SELECT 'term_share_l1', (SELECT v FROM l1), (SELECT v FROM l1)
+    """,
+    covers=["LLM-quality", "A-extended", "X-observability"],
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data DRIFT monitoring between two corpus versions (the
+    refresh-gate report a 100 TB pipeline publishes before swapping a
+    snapshot): doc/char volume, vocabulary size, vocabulary Jaccard,
+    and the L1 distance between the two versions' term-frequency share
+    distributions — the log-free drift statistic (total-variation ×2)
+    that flags a source mix shift, a scraper change, or an encoding
+    bug without any model.  Versions here are the deterministic
+    even/odd doc_id halves so the oracle replays the split exactly.
+
+    Numeric discipline: shares are single correctly-rounded divisions,
+    per-term |Δshare| is exact IEEE on identical inputs, and the sum
+    crosses the wire through the decimal dsum grid — bit-identical on
+    any partitioning.  Plan: one word explode per side feeding
+    map-side-combined term counts; the L1 join is term-keyed
+    (vocabulary-sized, not corpus-sized); every volume metric is a
+    one-row aggregate."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def words(df):
+        return df.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+    c1 = words(v1).groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = words(v2).groupBy("word").agg(F.count("*").cast("bigint").alias("c2"))
+    n1 = c1.agg(F.sum("c1").cast("bigint").alias("n1"))
+    n2 = c2.agg(F.sum("c2").cast("bigint").alias("n2"))
+    joined = (
+        c1.join(c2, "word", "full_outer")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    share_delta = F.abs(
+        F.coalesce(F.col("c1"), F.lit(0)).cast("double") / F.col("n1")
+        - F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("n2")
+    )
+    l1 = joined.agg(
+        F.sum(share_delta.cast("decimal(18,8)")).cast("string").cast("double").alias("v")
+    )
+    inter = c1.join(c2, "word", "inner").count()
+    union = c1.select("word").unionByName(c2.select("word")).distinct().count()
+    jac = float(inter) / union
+    stats1 = v1.agg(
+        F.count("*").alias("nd"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("string").alias("tc"),
+    ).collect()[0]
+    stats2 = v2.agg(
+        F.count("*").alias("nd"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("string").alias("tc"),
+    ).collect()[0]
+    vs1 = c1.count()
+    vs2 = c2.count()
+    l1v = l1.collect()[0]["v"]
+    rows = [
+        ("n_docs", float(stats1["nd"]), float(stats2["nd"])),
+        ("total_chars", float(stats1["tc"]), float(stats2["tc"])),
+        ("vocab_size", float(vs1), float(vs2)),
+        ("vocab_jaccard", jac, jac),
+        ("term_share_l1", l1v, l1v),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, v1_value double, v2_value double"
+    )
+
+
+@query(
+    "value_distribution_ks",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), per_val AS (
+      SELECT value,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c2
+      FROM ev GROUP BY value
+    ), n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM per_val
+    ), cum AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS k1,
+             SUM(c2) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS k2
+      FROM per_val
+    ), diffs AS (
+      SELECT value,
+             ABS(CAST(k1 AS DOUBLE) / n.n1 - CAST(k2 AS DOUBLE) / n.n2) AS d
+      FROM cum, n
+    ), best AS (
+      SELECT value AS ks_at_value, d AS ks_stat FROM diffs
+      ORDER BY d DESC, value LIMIT 1
+    )
+    SELECT n.n1, n.n2, b.ks_stat, b.ks_at_value,
+           1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (n.n1 * n.n2))
+             AS ks_critical_05,
+           b.ks_stat > 1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (n.n1 * n.n2))
+             AS drifted
+    FROM n, best b
+    """,
+    covers=["A-extended", "W-extended", "X-observability"],
+)
+def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between event-value
+    distributions (click vs purchase): the EXACT sup-norm gap between
+    the two empirical CDFs, the location where it occurs, the α=0.05
+    critical value, and the drift verdict — the nonparametric
+    distribution-shift gate a feature pipeline runs between snapshots
+    (no binning error, no distributional assumption, no logs).
+
+    Exactness: cumulative counts are integers; each CDF value is one
+    correctly-rounded division; the gap is IEEE subtraction of
+    identical doubles — the statistic compares bit-exact, and the
+    argmax is totally ordered (gap DESC, value ASC).
+
+    Plan honesty: the exact KS needs a TOTAL ORDER over distinct
+    values — a single-partition window, the documented eval-scale
+    baseline (distinct values ≪ rows after the groupBy collapse).  At
+    100 TB the production form runs the same sup-gap over the
+    mergeable binned histogram (`binned_quantile_sketch`'s bins),
+    trading ≤ bin-width error for constant-size state."""
+    prep(spark)
+    ev = parallel_scan(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n = per_val.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "value",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    diffs = cum.crossJoin(F.broadcast(n)).select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k2").cast("double") / F.col("n2")
+        ).alias("d"),
+    )
+    best = diffs.orderBy(F.desc("d"), "value").limit(1)
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("d").alias("ks_stat"),
+        F.col("value").alias("ks_at_value"),
+        crit.alias("ks_critical_05"),
+        (F.col("d") > crit).alias("drifted"),
+    )
