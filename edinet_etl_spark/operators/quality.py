@@ -540,3 +540,69 @@ def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("ks_critical_05"),
         (F.col("d") > crit).alias("drifted"),
     )
+
+
+@query(
+    "dynamic_partition_pruned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date
+      FROM events
+      WHERE user_id = 7 AND event_type = 'purchase'
+    )
+    SELECT e.event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+    JOIN dim ON e.event_date = dim.event_date
+    GROUP BY e.event_date
+    """,
+    covers=["S-extended", "J1", "X-observability"],
+)
+def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the lake-scale join mechanism where
+    the partition filter isn't known until runtime: the events fact is
+    laid out date-partitioned on disk, the dim side is a small derived
+    set of dates (here: days user 7 purchased), and Spark injects the
+    dim's date values as a runtime subquery filter INTO the fact scan,
+    so only the matching date directories are listed and read — at
+    100 TB this is the difference between scanning ~10 partitions and
+    scanning three years of history, with no literal filter anywhere
+    in the query text.
+
+    The DPP subquery is asserted in `test_dpp_plan_and_files` (plan
+    contains `dynamicpruning`; files actually read < partitions on
+    disk).  The oracle replays the same join relationally — DPP is
+    pure execution strategy, so results match bit-exact."""
+    prep(spark)
+    import hashlib
+    import os
+    import tempfile
+
+    from edinet_etl_spark.layout import write_date_partitioned_events
+
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"edinet_dpplake_{tag}")
+    if not os.path.isdir(lake):
+        write_date_partitioned_events(spark, sf_dir, lake)
+    fact = spark.read.parquet(lake)
+    dim = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("user_id") == 7) & (F.col("event_type") == "purchase"))
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

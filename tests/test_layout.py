@@ -278,3 +278,43 @@ def test_ivf_partitioned_index_prunes(spark):
     # and the static plan carries the partition filter
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "sid" in plan.split("PartitionFilters: [", 1)[1][:80]
+
+
+def test_dpp_plan_and_files(spark):
+    """dynamic_partition_pruned_join really prunes: the fact scan
+    carries a dynamicpruning subquery filter, and execution touches
+    only the dim-matched date directories — fewer files than the lake
+    holds."""
+    import hashlib
+    import os
+    import tempfile
+
+    from edinet_etl_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dynamic_partition_pruned_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    matched_days = {str(r["event_date"]) for r in df.collect()}
+    tag = hashlib.md5(
+        (SF_DIR + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"edinet_dpplake_{tag}")
+    all_days = {d.split("=")[1] for d in os.listdir(lake) if d.startswith("event_date=")}
+    assert len(matched_days) < len(all_days)
+    # input_file_name() rejects multi-source plans: tag the fact side
+    # BEFORE the join (same lake, same DPP-joined shape)
+    fact = spark.read.parquet(lake).select(
+        "event_date", F.input_file_name().alias("f")
+    )
+    dim = (
+        load(spark, SF_DIR, "events")
+        .filter((F.col("user_id") == 7) & (F.col("event_type") == "purchase"))
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    touched = {
+        r["f"] for r in fact.join(F.broadcast(dim), "event_date").select("f").distinct().collect()
+    }
+    touched_days = {f.split("event_date=")[1].split("/")[0] for f in touched}
+    assert touched_days == matched_days
