@@ -1323,3 +1323,95 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_estimate").cast("double") / F.col("true_join_size")
         ).alias("overestimate_ratio"),
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled-frontier BFS oracle (the PageRank/k-core fixed-round
+    construction): reach0 = {source}; frontierN = neighbors(frontier
+    N-1) − reachN-1."""
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM edges UNION ALL SELECT v AS a, u AS b FROM edges
+    ), src AS (SELECT MIN(a) AS s FROM sym),
+    reach0 AS (SELECT s AS node FROM src),
+    front0 AS (SELECT s AS node FROM src)"""
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f""", front{h} AS MATERIALIZED (
+      SELECT DISTINCT s.b AS node
+      FROM sym s JOIN front{h - 1} f ON s.a = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM reach{h - 1} r WHERE r.node = s.b)
+    ), reach{h} AS MATERIALIZED (
+      SELECT node FROM reach{h - 1} UNION ALL SELECT node FROM front{h}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS hop, CAST((SELECT COUNT(*) FROM front{h}) AS BIGINT) AS n_new,"
+        f" CAST((SELECT COUNT(*) FROM reach{h}) AS BIGINT) AS n_reached"
+        for h in range(_BFS_HOPS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query(
+    "copurchase_bfs_hops",
+    oracle=_bfs_oracle(),
+    covers=["M6-graph", "X-iterative", "A-extended"],
+)
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph TRAVERSAL (the class the PR/triangle/k-core/CC layer
+    didn't yet cover): 3-hop breadth-first expansion from the
+    smallest-id part in the co-purchase graph, reporting per hop the
+    newly-reached and cumulative node counts — the reachability /
+    neighborhood-size primitive behind "products within k hops",
+    contamination spread, and graph-feature generation.
+
+    Plan: each hop is ONE frontier⋈edges equi-join + an anti join
+    against the reached set, both hash-partitioned on the node key —
+    the frontier never materializes more than its own neighborhood,
+    and the reached set is checkpointed per hop to truncate lineage
+    (the `neardup_components` idiom).  Hop count is FIXED so the
+    oracle unrolls; an until-empty loop is the same code with the
+    scalar-aggregate stop test."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("u").alias("ga"), F.col("v").alias("gb"))
+        .unionByName(edges.select(F.col("v").alias("ga"), F.col("u").alias("gb")))
+        .localCheckpoint(eager=True)
+    )
+    src = sym.agg(F.min("ga").alias("node"))
+    frontier = src.localCheckpoint(eager=True)
+    reached = frontier
+    rows = [(0, 1, 1)]
+    for h in range(1, _BFS_HOPS + 1):
+        nxt = (
+            sym.join(frontier, sym.ga == frontier.node)
+            .select(F.col("gb").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        rows.append((h, nxt.count(), reached.count()))
+        frontier = nxt
+    return spark.createDataFrame(rows, "hop bigint, n_new bigint, n_reached bigint")
