@@ -606,3 +606,114 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "value_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               AS hv
+      FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(CAST(SUM(CAST(hv AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean_hv
+      FROM hourly GROUP BY event_type
+    ), dev AS (
+      SELECT h.event_type, h.h, s.mean_hv,
+             CAST(CAST(SUM(CAST(h.hv AS DECIMAL(18,8))) OVER (
+               PARTITION BY h.event_type ORDER BY h.h
+               ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS run_sum,
+             ROW_NUMBER() OVER (
+               PARTITION BY h.event_type ORDER BY h.h) AS t
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    ), scored AS (
+      SELECT event_type, h,
+             ABS(run_sum - t * mean_hv) AS abs_cusum
+      FROM dev
+    )
+    SELECT s.event_type, s.n_hours, b.abs_cusum AS max_cusum,
+           b.h AS changepoint_hour
+    FROM stats s JOIN (
+      SELECT event_type, h, abs_cusum FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY abs_cusum DESC, h) AS rn
+        FROM scored) WHERE rn = 1
+    ) b ON b.event_type = s.event_type
+    """,
+    covers=["A-extended", "W-extended", "X-observability"],
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event-type series: cumulative
+    sum of deviations from the series mean over hourly totals; the
+    hour where |CUSUM| peaks is the maximum-likelihood single change
+    point (where the level shifted), and the peak magnitude is the
+    shift evidence — the classic model-free monitoring statistic next
+    to the seasonal-baseline anomalies and the KS drift gate.
+
+    Exactness: CUSUM_t is computed as run_sum_t − t·mean (never by
+    summing per-row deviations — an arbitrary double cast to decimal
+    can round a tie midpoint differently per engine): the running
+    hourly sum is decimal-exact, t·mean is one correctly-rounded
+    product, and the subtraction/|·| act on identically-computed
+    doubles — bit-identical across engines and partitionings.
+
+    Plan: one (type, hour) aggregate, a broadcast of per-type means,
+    one per-type ordered window (series length = hours — thousands,
+    not rows), one argmax."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = parallel_scan(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,8)"))
+        .cast("string")
+        .cast("double")
+        .alias("hv")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        (
+            F.sum(F.col("hv").cast("decimal(18,8)")).cast("string").cast("double")
+            / F.count("*")
+        ).alias("mean_hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    dev = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        "mean_hv",
+        F.sum(F.col("hv").cast("decimal(18,8)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("run_sum"),
+        F.row_number().over(w_t).alias("t"),
+    )
+    scored = dev.select(
+        "event_type",
+        "h",
+        "n_hours",
+        F.abs(F.col("run_sum") - F.col("t") * F.col("mean_hv")).alias("abs_cusum"),
+    )
+    w_max = Window.partitionBy("event_type").orderBy(F.desc("abs_cusum"), "h")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_max))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("abs_cusum").alias("max_cusum"),
+            F.col("h").alias("changepoint_hour"),
+        )
+    )
