@@ -88,6 +88,15 @@ HEADLINE = [
     "duplicate_span_scrub",
     "training_mix_manifest",
     "cdc_apply_changes",
+    # round-6: text-native similarity, sketch join-size, monitoring
+    # statistics, storage pruning, record linkage
+    "hashed_tf_cosine_topk",
+    "cms_join_size_estimate",
+    "value_distribution_ks",
+    "value_cusum_changepoint",
+    "dynamic_partition_pruned_join",
+    "ivf_partitioned_index_topk",
+    "fuzzy_name_linkage",
 ]
 
 

@@ -1293,3 +1293,77 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_fingerprint"
         ),
     )
+
+
+_LEN_BIN = 200  # n_chars bin width for the length-rebalance sampler
+
+
+@query(
+    "length_rebalance_sample",
+    oracle=f"""
+    WITH binned AS (
+      SELECT doc_id, n_chars,
+             n_chars // {_LEN_BIN} AS len_bin,
+             ('0x' || substr(md5('lenbal:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    ), bins AS (
+      SELECT len_bin, CAST(COUNT(*) AS BIGINT) AS n_docs FROM binned
+      GROUP BY len_bin
+    ), floor_bin AS (
+      SELECT MIN(n_docs) AS c_min FROM bins
+    )
+    SELECT b.len_bin, bn.n_docs,
+           CAST(f.c_min AS DOUBLE) / bn.n_docs AS p_keep,
+           CAST(COUNT(*) FILTER (
+             WHERE b.u < CAST(f.c_min AS DOUBLE) / bn.n_docs) AS BIGINT)
+             AS n_kept
+    FROM binned b
+    JOIN bins bn ON bn.len_bin = b.len_bin, floor_bin f
+    GROUP BY b.len_bin, bn.n_docs, f.c_min
+    """,
+    covers=["LLM-sample", "A-extended"],
+)
+def length_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching rejection sampling: flatten the corpus's
+    document-length histogram by downsampling every length bin to the
+    rarest bin's mass — keep probability c_min/c_bin, an EXACT integer
+    ratio, membership a pure hash of doc_id.  The de-biasing step a
+    curation run applies when a scraper change skews lengths (the same
+    machinery rebalances any categorical: source, language, domain).
+
+    Report: per bin, the population, the planned probability, and the
+    realized keep count — expected counts equal across bins; realized
+    counts carry binomial noise the report makes visible.
+
+    Plan: bin counts are one map-side-combined aggregate; the
+    probability table is |bins| rows broadcast back; selection is the
+    one corpus scan.  Nothing grows at 100 TB but the scan."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lenbal:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    binned = docs.select(
+        F.expr(f"n_chars div {_LEN_BIN}").alias("len_bin"),
+        u.alias("u"),
+    )
+    bins = binned.groupBy("len_bin").agg(F.count("*").cast("bigint").alias("n_docs"))
+    floor_bin = bins.agg(F.min("n_docs").alias("c_min"))
+    p = F.col("c_min").cast("double") / F.col("n_docs")
+    return (
+        binned.join(F.broadcast(bins), "len_bin")
+        .crossJoin(F.broadcast(floor_bin))
+        .groupBy("len_bin", "n_docs", "c_min")
+        .agg(
+            F.sum(F.when(F.col("u") < p, 1).otherwise(0)).cast("bigint").alias("n_kept")
+        )
+        .select("len_bin", "n_docs", p.alias("p_keep"), "n_kept")
+    )
