@@ -141,6 +141,20 @@ _PRIORITY: tuple[str, ...] = (
     "fulfilled_only_customers_except", "suppliers_with_shipments",
     "streaming_user_sessions", "streaming_nation_hourly",
     "streaming_quality_monitor",
+    # ---- positions 85+: round-3 additions (rotation queue after the
+    # never-tested tail above; all driver-mirror-verified locally) ----
+    "source_temperature_sampling", "training_shard_assignment",
+    "bpe_train_steps", "kmv_jaccard_intersection",
+    "matryoshka_prefix_recall", "lsh_recall_curve",
+    "duplicate_span_scrub", "training_mix_manifest",
+    "cdc_apply_changes", "schema_evolution_read",
+    "streaming_cms_heavy_hitters", "cms_join_size_estimate",
+    "hashed_tf_cosine_topk", "observed_scan_metrics",
+    "csv_corrupt_records_audit", "ivf_partitioned_index_topk",
+    "corpus_drift_report", "value_distribution_ks",
+    "dynamic_partition_pruned_join", "copurchase_bfs_hops",
+    "fuzzy_name_linkage", "value_cusum_changepoint",
+    "length_rebalance_sample",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
