@@ -419,8 +419,29 @@ def test_partitioned_snapshot_time_travel(spark, tmp_path):
 
     # change data feed between retained versions: exactly the touched
     # key surfaces, as an update with correct before/after counts
-    cdf = jobs.snapshot_changelog(spark, snap, "user_id", 1, 2).collect()
+    cdf_df = jobs.snapshot_changelog(spark, snap, "user_id", 1, 2)
+    cdf = cdf_df.collect()
     assert len(cdf) == 1
     row = cdf[0]
     assert row["user_id"] == 9 and row["change"] == "update"
     assert row["after"]["n_events"] > row["before"]["n_events"]
+
+    # bucket-aware CDF pruning: the diff's scan must touch ONLY the
+    # buckets whose owning version differs between the two manifests
+    # (batch 2 touched exactly user 9's bucket), never the whole
+    # snapshot — inputFiles() is the planned scan set
+    m1 = jobs._read_manifest(snap, at=1)
+    m2 = jobs._read_manifest(snap, at=2)
+    changed = {b for b in m1.keys() | m2.keys() if m1.get(b) != m2.get(b)}
+    assert len(changed) == 1
+    read_buckets = {
+        seg.split("=", 1)[1]
+        for f in cdf_df.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("bucket=")
+    }
+    assert read_buckets == changed
+    # identical versions ⇒ identical manifests ⇒ empty diff with NO
+    # data I/O at all
+    same = jobs.snapshot_changelog(spark, snap, "user_id", 2, 2)
+    assert same.count() == 0 and same.inputFiles() == []
