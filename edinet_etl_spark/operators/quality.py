@@ -717,3 +717,122 @@ def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("changepoint_hour"),
         )
     )
+
+
+_KS_BIN_W = 2.0  # fixed bin width over the ~[0, 500] value domain
+_KS_BINS = 256  # constant state: bins clamp into [0, _KS_BINS-1]
+
+
+@query(
+    "value_distribution_ks_binned",
+    oracle=f"""
+    WITH ev AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / {_KS_BIN_W}) AS BIGINT), 0),
+                   {_KS_BINS - 1}) AS bin,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c2
+      FROM ev GROUP BY bin
+    ), n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(MAX(GREATEST(c1, c2)) AS BIGINT) AS max_bin_count
+      FROM per_bin
+    ), cum AS (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS k1,
+             SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS k2
+      FROM per_bin
+    ), diffs AS (
+      SELECT bin,
+             ABS(CAST(k1 AS DOUBLE) / n.n1 - CAST(k2 AS DOUBLE) / n.n2) AS d
+      FROM cum, n
+    ), best AS (
+      SELECT bin AS ks_at_bin, d AS ks_stat_binned FROM diffs
+      ORDER BY d DESC, bin LIMIT 1
+    )
+    SELECT n.n1, n.n2, CAST(b.ks_at_bin AS BIGINT) AS ks_at_bin,
+           b.ks_stat_binned,
+           CAST(n.max_bin_count AS DOUBLE) / n.n1 AS bin_error_bound_1,
+           b.ks_stat_binned
+             > 1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (n.n1 * n.n2))
+             AS drifted
+    FROM n, best b
+    """,
+    covers=["A-extended", "M6-sketch", "X-observability"],
+)
+def value_distribution_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `value_distribution_ks`: the same two-sample
+    sup-CDF-gap drift gate evaluated at FIXED bin edges instead of
+    every distinct value.  Per-partition state is one 256-cell (_KS_BINS)
+    count pair (map-side combined, mergeable by cell addition — the
+    same histogram-sketch contract as `binned_quantile_sketch`), and
+    the cumulative window runs over ≤256 rows regardless of
+    input size — vs the exact form's total order over ALL distinct
+    values.  The price is bounded and REPORTED: the binned statistic
+    underestimates the true KS by at most the largest single-bin mass
+    (`bin_error_bound_1`), so `drifted=true` is always trustworthy and
+    a near-threshold miss tells you to rerun exact on the sample.
+
+    Determinism: bin = clamp(floor(value / width)) — one correctly-
+    rounded division, exact floor/clamp; every downstream ratio is one
+    int/int division, so the statistic hash-compares bit-exact."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = parallel_scan(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bin_c = F.least(
+        F.greatest(
+            F.floor(F.col("value") / _KS_BIN_W).cast("bigint"), F.lit(0)
+        ),
+        F.lit(_KS_BINS - 1),
+    )
+    per_bin = ev.select(bin_c.alias("bin"), "event_type").groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n = per_bin.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.max(F.greatest("c1", "c2")).cast("bigint").alias("max_bin_count"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "bin", F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    best = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "bin",
+            "n1",
+            "n2",
+            "max_bin_count",
+            F.abs(
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k2").cast("double") / F.col("n2")
+            ).alias("d"),
+        )
+        .orderBy(F.desc("d"), "bin")
+        .limit(1)
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("bin").alias("ks_at_bin"),
+        F.col("d").alias("ks_stat_binned"),
+        (F.col("max_bin_count").cast("double") / F.col("n1")).alias(
+            "bin_error_bound_1"
+        ),
+        (F.col("d") > crit).alias("drifted"),
+    )

@@ -620,3 +620,110 @@ def hashed_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def _ngram_array(words: Column, n: int) -> Column:
+    """Word n-grams built ARRAY-LOCALLY (one transform over index
+    positions — no token explode, no join): [] for docs shorter than n
+    (sequence() would go DESCENDING for start > stop, so guard)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB mirror of `_ngram_array` post-explode: (doc_id, g) rows."""
+    g = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+      SELECT doc_id, {g} AS g
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+            FROM words)
+    """
+
+
+@query(
+    "gopher_repetition_flags",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS ({_sql_ngrams(2)}),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bstat AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bg,
+             CAST(SUM(c) AS BIGINT) AS n_bg
+      FROM bgc GROUP BY doc_id
+    ), g5 AS ({_sql_ngrams(5)}),
+    g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+    s5 AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_5,
+             CAST(COUNT(*) AS BIGINT) AS d_5
+      FROM g5c GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.max_bg AS max_bigram_count,
+           CAST(b.max_bg AS DOUBLE) / b.n_bg AS top_bigram_share,
+           CAST(s5.n_5 - s5.d_5 AS DOUBLE) / s5.n_5 AS dup_5gram_share,
+           (CAST(b.max_bg AS DOUBLE) / b.n_bg > 0.10
+            OR CAST(s5.n_5 - s5.d_5 AS DOUBLE) / s5.n_5 > 0.30)
+             AS is_repetitive
+    FROM bstat b JOIN s5 ON b.doc_id = s5.doc_id
+    """,
+    covers=["M6-text", "A-extended"],
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION filters (the rule family of Rae et al.
+    2021 §A1.1, public paper): per document, the share of word-bigrams
+    claimed by the single MOST FREQUENT bigram (the mode — which the
+    array-local dup fractions of `repetition_scores` cannot express)
+    and the duplicate share among word-5-grams, each with a
+    rule-threshold verdict — the "remove boilerplate-loops and
+    stutter" pretraining gate as a yes/no flag per doc.
+
+    Exactness: both shares are one int/int division (correctly
+    rounded); the flag compares identical doubles against literal
+    thresholds, so the verdict is engine-independent.
+
+    Plan: n-grams are built ARRAY-LOCALLY per row (a transform over
+    index positions — no token-level explode until the counting
+    groupBy), then one (doc_id, gram) aggregate feeds one doc_id
+    aggregate per n.  Both shuffles carry map-side partial counts;
+    state per doc is a handful of integers.  At 100 TB this is
+    embarrassingly parallel in doc_id — the gram aggregates partition
+    by (doc_id, gram), so a single pathological document spreads its
+    grams across partitions instead of hot-spotting one."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    words = F.split(F.col("text"), " ")
+
+    def stats(n: int, names: tuple[str, str, str]) -> DataFrame:
+        mx, tot, dis = names
+        return (
+            docs.select(
+                "doc_id", F.explode(_ngram_array(words, n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").cast("bigint").alias(mx),
+                F.sum("c").cast("bigint").alias(tot),
+                F.count("*").cast("bigint").alias(dis),
+            )
+        )
+
+    b = stats(2, ("max_bg", "n_bg", "d_bg"))
+    s5 = stats(5, ("max_5", "n_5", "d_5"))
+    top_share = F.col("max_bg").cast("double") / F.col("n_bg")
+    dup_share = (F.col("n_5") - F.col("d_5")).cast("double") / F.col("n_5")
+    return b.join(s5, "doc_id").select(
+        "doc_id",
+        F.col("max_bg").alias("max_bigram_count"),
+        top_share.alias("top_bigram_share"),
+        dup_share.alias("dup_5gram_share"),
+        ((top_share > 0.10) | (dup_share > 0.30)).alias("is_repetitive"),
+    )

@@ -154,7 +154,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_drift_report", "value_distribution_ks",
     "dynamic_partition_pruned_join", "copurchase_bfs_hops",
     "fuzzy_name_linkage", "value_cusum_changepoint",
-    "length_rebalance_sample",
+    "length_rebalance_sample", "gopher_repetition_flags",
+    "value_distribution_ks_binned",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -170,6 +170,15 @@ EXPECTATIONS = [
     # ordered CDC apply: delta-sized window + ONE snapshot anti join
     ("cdc_apply_changes", 4, ["LeftAnti", "Window"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # Gopher repetition: array-local n-grams, doc_id repartition + two
+    # (doc_id, gram) count exchanges; doc-level aggs/join reuse them
+    ("gopher_repetition_flags", 4, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # binned KS: the heavy exchange is the ≤256-bin count agg; the
+    # window/argmax tail runs over constant-size bin rows (the 1-row
+    # totals attach via broadcast NLJ — benign)
+    ("value_distribution_ks_binned", 8, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 
