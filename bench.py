@@ -97,6 +97,10 @@ HEADLINE = [
     "dynamic_partition_pruned_join",
     "ivf_partitioned_index_topk",
     "fuzzy_name_linkage",
+    # round-7: grouped Gopher repetition gate + the constant-state
+    # binned KS (scale companion to the exact form above)
+    "gopher_repetition_flags",
+    "value_distribution_ks_binned",
 ]
 
 

