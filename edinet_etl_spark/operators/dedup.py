@@ -1349,3 +1349,136 @@ def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_fp",
         )
     )
+
+
+# Prefix-filter threshold: Jaccard >= _PF_NUM/_PF_DEN (0.6).  All
+# admission tests run as integer cross-multiplications so both engines
+# agree bit-exactly; the only float in the output is one division.
+_PF_NUM = 3
+_PF_DEN = 5
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH shd AS (
+      SELECT DISTINCT doc_id, sh FROM ({_SQL_SHINGLES})
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM shd GROUP BY doc_id
+    ),
+    df AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM shd GROUP BY sh
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.sh, z.m,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh)
+               AS rn
+      FROM shd s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, sh FROM ranked
+      WHERE rn <= m - CAST(FLOOR(({_PF_NUM} * m + {_PF_DEN - 1}) / {_PF_DEN})
+                           AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common AS inter_size,
+           za.m + zb.m - i.n_common AS union_size,
+           CAST(i.n_common AS DOUBLE) / (za.m + zb.m - i.n_common)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE {_PF_DEN} * i.n_common >= {_PF_NUM} * (za.m + zb.m - i.n_common)
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold set-similarity self-join (PPJoin-style prefix
+    filtering): every document pair whose DISTINCT-5-char-shingle
+    Jaccard is >= 0.6, with NO false negatives — the guarantee the
+    approximate LSH path (`minhash_lsh_candidates`) cannot give.
+
+    Prefix-filter theorem: order the element universe by ascending
+    document frequency (rarest first, ties by value).  If
+    J(A,B) >= t, the first |A| - ceil(t|A|) + 1 elements of A and the
+    first |B| - ceil(t|B|) + 1 of B must share at least one element —
+    so an equi-join on PREFIX elements only is a complete candidate
+    generator.  Rare-first ordering is also the scale lever: join
+    buckets are keyed by the RAREST shingles of each doc (bounded
+    fan-out), while boilerplate shingles (" the ", high df) sort to
+    the suffix and never enter the join at all — the frequency skew
+    that breaks a naive shingle self-join is exactly what prefix
+    filtering excludes.  Verification is one candidate×shingle
+    equi-join, linear in candidates — never all-pairs.
+
+    All admission arithmetic is integer (ceil via (3m+4) div 5; the
+    threshold test cross-multiplied), so candidates and survivors are
+    engine-exact; the output jaccard is a single correctly-rounded
+    division.  At 100 TB: df is one map-side-combined agg; the
+    per-doc rank window shuffles on doc_id; candidate + verify joins
+    are shingle/pair-keyed hash joins.  The reference's only dedup is
+    exact row-level `drop_duplicates` (/root/reference/src/transform.py:109-145);
+    this is the scalable superset a lake-scale curation pipeline needs."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shd = _shingles(docs).select("doc_id", "sh").distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
+    df = shd.groupBy("sh").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        shd.join(df, "sh")
+        .join(sizes, "doc_id")
+        .select("doc_id", "sh", "m", F.row_number().over(w).alias("rn"))
+    )
+    p = (
+        F.col("m")
+        - F.floor((_PF_NUM * F.col("m") + (_PF_DEN - 1)) / F.lit(_PF_DEN)).cast(
+            "bigint"
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= p).select("doc_id", "sh")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        pa.join(pb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shd.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shd.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    un = F.col("ma") + F.col("mb") - F.col("n_common")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(_PF_DEN * F.col("n_common") >= _PF_NUM * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").alias("inter_size"),
+            un.alias("union_size"),
+            (F.col("n_common").cast("double") / un).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -155,7 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "dynamic_partition_pruned_join", "copurchase_bfs_hops",
     "fuzzy_name_linkage", "value_cusum_changepoint",
     "length_rebalance_sample", "gopher_repetition_flags",
-    "value_distribution_ks_binned",
+    "value_distribution_ks_binned", "prefix_filter_jaccard_join",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -179,6 +179,11 @@ EXPECTATIONS = [
     # totals attach via broadcast NLJ — benign)
     ("value_distribution_ks_binned", 8, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # exact-threshold set-similarity join: every join equi-keyed on
+    # shingle/doc/pair — a quadratic-probe regression would defeat the
+    # entire prefix-filter design
+    ("prefix_filter_jaccard_join", 13, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
