@@ -1159,3 +1159,103 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH pp AS (
+      SELECT o_totalprice AS price, MAX(o_orderdate) AS dmax
+      FROM orders GROUP BY o_totalprice
+    ),
+    r AS (
+      SELECT price, dmax,
+             MAX(dmax) OVER (ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS run
+      FROM pp
+    ),
+    sky AS (SELECT price, dmax FROM r WHERE run IS NULL OR dmax > run)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    JOIN sky g ON o.o_totalprice = g.price AND o.o_orderdate = g.dmax
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    covers=["W-extended", "A2"],
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: every order no other
+    order beats on BOTH price and recency — maximize (o_totalprice,
+    o_orderdate); a dominates b iff a >= b in both dims and > in one.
+    Ties on both dims are mutually non-dominated and all kept (the
+    standard skyline definition).
+
+    For a 2-D skyline the sort-based algorithm is exact: collapse to
+    per-price max-date, then a price-descending running max of date —
+    a price group is on the frontier iff its max date strictly exceeds
+    every strictly-higher-price group's date.  The global pass is a
+    single-task window, so it CANNOT run over the raw fact table at
+    lake scale.  Scale shape = the canonical two-level distributed
+    skyline: a deterministic bucket key (xxhash64(o_orderkey) mod 32)
+    partitions the table, each bucket computes its LOCAL skyline with
+    per-bucket windows (full parallelism, one shuffle), and only the
+    ~O(log n)-sized union of local skylines reaches the global
+    single-task pass.  Local pruning is lossless: a locally-dominated
+    row is globally dominated by the same (transitive) dominator, and
+    per-price date maxima over the candidate union equal those over
+    the full table for every surviving group.  At 100 TB the global
+    stage sees a few thousand rows regardless of input size."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    bucketed = orders.withColumn(
+        "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(32))
+    )
+    # local per-bucket skyline: per-(bucket, price) date max, then the
+    # strict-higher-price running max inside the bucket
+    lpp = bucketed.groupBy("b", "o_totalprice").agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    wl = (
+        Window.partitionBy("b")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lsky = (
+        lpp.withColumn("run", F.max("dmax").over(wl))
+        .filter(F.col("run").isNull() | (F.col("dmax") > F.col("run")))
+        .select(
+            F.col("b").alias("sky_b"),
+            F.col("o_totalprice").alias("sky_price"),
+            F.col("dmax").alias("sky_date"),
+        )
+    )
+    cand = bucketed.join(
+        lsky,
+        (F.col("b") == F.col("sky_b"))
+        & (F.col("o_totalprice") == F.col("sky_price"))
+        & (F.col("o_orderdate") == F.col("sky_date")),
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+    # global pass over the tiny candidate union — identical logic
+    gpp = cand.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("dmax"))
+    wg = Window.orderBy(F.col("o_totalprice").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gsky = (
+        gpp.withColumn("run", F.max("dmax").over(wg))
+        .filter(F.col("run").isNull() | (F.col("dmax") > F.col("run")))
+        .select(
+            F.col("o_totalprice").alias("gsky_price"),
+            F.col("dmax").alias("gsky_date"),
+        )
+    )
+    return (
+        cand.join(
+            gsky,
+            (F.col("o_totalprice") == F.col("gsky_price"))
+            & (F.col("o_orderdate") == F.col("gsky_date")),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_linkage", "value_cusum_changepoint",
     "length_rebalance_sample", "gopher_repetition_flags",
     "value_distribution_ks_binned", "prefix_filter_jaccard_join",
+    "pareto_frontier_orders",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -184,6 +184,11 @@ EXPECTATIONS = [
     # entire prefix-filter design
     ("prefix_filter_jaccard_join", 13, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # two-level distributed skyline: per-bucket windows prune locally,
+    # the global single-task window sees only the candidate union
+    # (static SMJs on the join-backs become broadcast under AQE)
+    ("pareto_frontier_orders", 9, ["Window"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
