@@ -764,3 +764,134 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_share > 0.10) | (dup_share > 0.30)).alias("is_repetitive"),
         )
     )
+
+
+# BM25 constants; the idf is the RATIONAL variant (N-df+0.5)/(df+0.5)
+# — monotone in df like the classic log idf but libm-free, so scores
+# compare bit-exactly across engines (CLAUDE.md: no ln/exp in compared
+# columns; +,*,/ are correctly rounded and deterministic).
+_BM25_TERMS = ("hash", "merge", "vector")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_K1P1 = "CAST(2.2 AS DOUBLE)"
+_BM25_1MB = "CAST(0.25 AS DOUBLE)"  # 1 - b, b = 0.75
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE w IN {_BM25_TERMS!r}
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id, t.w,
+             ((CAST(c.n - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * ((CAST(t.tf AS DOUBLE) * {_BM25_K1P1})
+                / (CAST(t.tf AS DOUBLE)
+                   + {_BM25_K1} * ({_BM25_1MB}
+                      + {_BM25_B} * (CAST(l.dl AS DOUBLE) / c.avgdl))))
+               AS s
+      FROM tf t JOIN df d ON d.w = t.w JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN consts c
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             (COALESCE(MAX(CASE WHEN w = '{_BM25_TERMS[0]}' THEN s END),
+                       CAST(0 AS DOUBLE))
+              + COALESCE(MAX(CASE WHEN w = '{_BM25_TERMS[1]}' THEN s END),
+                         CAST(0 AS DOUBLE)))
+              + COALESCE(MAX(CASE WHEN w = '{_BM25_TERMS[2]}' THEN s END),
+                         CAST(0 AS DOUBLE)) AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_matched
+    FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    covers=["M6-text", "A2", "L2"],
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents for the fixed query
+    {hash, merge, vector} — k1 = 1.2, b = 0.75, rational idf
+    (N − df + ½)/(df + ½) (libm-free; same df-monotonicity as the log
+    form, so rankings agree where it matters and scores stay
+    engine-bit-exact — every arithmetic step is a correctly-rounded
+    double op mirrored structurally in both engines).
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE any shuffle (predicate on the generator output — corpus
+    tokens that aren't query terms never leave the scan stage), so
+    the per-(doc, term) tf aggregate is |matches|-sized, not
+    corpus-token-sized.  df is a |terms|-row aggregate of that; it
+    and the one-row (N, avgdl) scalar attach by broadcast.  Per-doc
+    document length is computed array-locally (no second explode).
+    Top-10 is TakeOrdered — no global sort materialization.  At
+    100 TB: one doc-keyed shuffle of query-term hits, everything else
+    broadcast — the textbook sparse-retrieval scatter-gather."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    consts = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    tfd = F.col("tf").cast("double")
+    idf = ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    den = tfd + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", "w", (idf * ((tfd * F.lit(2.2)) / den)).alias("s"))
+    )
+    bm25 = (
+        (
+            F.coalesce(
+                F.max(F.when(F.col("w") == terms[0], F.col("s"))), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.max(F.when(F.col("w") == terms[1], F.col("s"))), F.lit(0.0)
+            )
+        )
+        + F.coalesce(
+            F.max(F.when(F.col("w") == terms[2], F.col("s"))), F.lit(0.0)
+        )
+    ).alias("bm25")
+    return (
+        scored.groupBy("doc_id")
+        .agg(bm25, F.count("*").cast("bigint").alias("n_terms_matched"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -156,7 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_linkage", "value_cusum_changepoint",
     "length_rebalance_sample", "gopher_repetition_flags",
     "value_distribution_ks_binned", "prefix_filter_jaccard_join",
-    "pareto_frontier_orders",
+    "pareto_frontier_orders", "bm25_retrieval_topk",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

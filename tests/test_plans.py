@@ -189,6 +189,10 @@ EXPECTATIONS = [
     # (static SMJs on the join-backs become broadcast under AQE)
     ("pareto_frontier_orders", 9, ["Window"],
      ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # BM25: query-term filter under the explode, df + (N, avgdl)
+    # broadcast, TakeOrdered top-k — never a global sort or SMJ
+    ("bm25_retrieval_topk", 5, ["BroadcastHashJoin", "TakeOrderedAndProject"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 
