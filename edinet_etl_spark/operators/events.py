@@ -641,3 +641,123 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "value_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             (MIN(value) + MAX(value)) / CAST(2 AS DOUBLE) AS med_value,
+             CAST(MAX(cnt) AS BIGINT) AS n
+      FROM ranked
+      WHERE rn = CAST(FLOOR((cnt + 1) / CAST(2 AS DOUBLE)) AS BIGINT)
+         OR rn = CAST(FLOOR((cnt + 2) / CAST(2 AS DOUBLE)) AS BIGINT)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, ABS(e.value - m.med_value) AS d
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             (MIN(d) + MAX(d)) / CAST(2 AS DOUBLE) AS mad_value
+      FROM dranked
+      WHERE rn = CAST(FLOOR((cnt + 1) / CAST(2 AS DOUBLE)) AS BIGINT)
+         OR rn = CAST(FLOOR((cnt + 2) / CAST(2 AS DOUBLE)) AS BIGINT)
+      GROUP BY event_type
+    )
+    SELECT d.event_type, m.n, m.med_value, a.mad_value,
+           CAST(SUM(CASE WHEN d.d > CAST(3 AS DOUBLE) * a.mad_value
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type, m.n, m.med_value, a.mad_value
+    ORDER BY d.event_type
+    """,
+    covers=["W-extended", "A3", "M6-curation"],
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate: EXACT median + MAD (median
+    absolute deviation) of `value` per event_type, and the count of
+    events beyond the 3-MAD fence — the heavy-tail-safe alternative to
+    the mean/σ z-score (`grouped_map_user_zscore`), which a single
+    corrupt feed value can blind.
+
+    Medians are exact by construction on both engines: rank by
+    (value, event_id), take the one/two middle positions, midpoint =
+    (min+max)/2 — a single correctly-rounded add + halving, never a
+    float accumulation.  The MAD reruns the identical selection on
+    |value − median|.
+
+    Scale: two event_type-keyed window passes + two small joins; the
+    per-type median/MAD table is |event_types| rows and broadcasts
+    back onto the fact scan.  The windows partition on event_type, so
+    per-type row volume is the skew bound — at lake scale the exact
+    selection inside one type runs the binned two-pass instead
+    (`binned_quantile_sketch` is this repo's constant-state form:
+    256-bin counts locate the median bin, a second filtered pass
+    selects exactly within it); this query is the exact-semantics
+    form the sketch is validated against."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    two = F.lit(2).cast("double")
+
+    def grouped_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("cnt"),
+        )
+        lo = F.floor((F.col("cnt") + 1) / two).cast("bigint")
+        hi = F.floor((F.col("cnt") + 2) / two).cast("bigint")
+        return (
+            r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+            .groupBy("event_type")
+            .agg(
+                ((F.min(col) + F.max(col)) / two).alias(out),
+                F.max("cnt").cast("bigint").alias("n"),
+            )
+        )
+
+    med = grouped_median(ev, "value", "med_value")
+    dev = ev.join(F.broadcast(med.select("event_type", "med_value")), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med_value")).alias("d"),
+    )
+    mad = grouped_median(dev, "d", "mad_value").select("event_type", "mad_value")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_value", "mad_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3).cast("double") * F.col("mad_value"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select("event_type", "n", "med_value", "mad_value", "n_outliers")
+        .orderBy("event_type")
+    )

@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "length_rebalance_sample", "gopher_repetition_flags",
     "value_distribution_ks_binned", "prefix_filter_jaccard_join",
     "pareto_frontier_orders", "bm25_retrieval_topk",
+    "value_mad_outliers",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -193,6 +193,11 @@ EXPECTATIONS = [
     # broadcast, TakeOrdered top-k — never a global sort or SMJ
     ("bm25_retrieval_topk", 5, ["BroadcastHashJoin", "TakeOrderedAndProject"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # robust median/MAD: two event_type window passes, per-type
+    # median/MAD tables broadcast back — no shuffled joins
+    ("value_mad_outliers", 6, ["Window", "BroadcastHashJoin"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin",
+      "BroadcastNestedLoopJoin"]),
 ]
 
 
