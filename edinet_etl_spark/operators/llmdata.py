@@ -1367,3 +1367,136 @@ def length_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("len_bin", "n_docs", p.alias("p_keep"), "n_kept")
     )
+
+
+_PS_K = 50  # sample size; tau is the (k+1)-th largest priority
+_PS_POW52 = 4503599627370496.0  # 2^52: u = (h+1)/2^52 for a 13-hex-digit h
+
+
+@query(
+    "priority_weighted_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS w,
+             (CAST(GREATEST(n_chars, 1) AS DOUBLE) * {_PS_POW52!r})
+               / (CAST(('0x' || substr(md5('psamp:' || CAST(doc_id AS STRING)), 1, 13))::BIGINT
+                       AS DOUBLE) + 1.0) AS q
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, w, q,
+             ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn
+      FROM base ORDER BY q DESC, doc_id LIMIT {_PS_K + 1}
+    ),
+    tau AS (
+      SELECT MAX(CASE WHEN rn = {_PS_K + 1} THEN q END) AS tau FROM top
+    ),
+    samp AS (
+      SELECT t.doc_id, t.rn,
+             GREATEST(CAST(t.w AS DOUBLE), tau.tau) AS est_w
+      FROM top t CROSS JOIN tau WHERE t.rn <= {_PS_K}
+    ),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS true_total FROM base
+    )
+    SELECT CAST({_PS_K} AS BIGINT) AS k, tau.tau AS tau,
+           CAST(CAST(SUM(CAST(samp.est_w AS DECIMAL(38,8))) AS STRING) AS DOUBLE)
+             AS est_total_chars,
+           tot.true_total AS true_total_chars,
+           substr(md5(string_agg(CAST(samp.doc_id AS STRING), ','
+                                 ORDER BY samp.rn)), 1, 16) AS sample_fingerprint
+    FROM samp CROSS JOIN tau CROSS JOIN tot
+    GROUP BY tau.tau, tot.true_total
+    """,
+    covers=["LLM-sample", "A-extended", "L1/L2"],
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM '07): a fixed-size
+    weight-proportional sample WITHOUT replacement whose per-item
+    estimator max(w_i, tau) sums to an unbiased estimate of the true
+    weighted total.  Here: sample k=50 docs by n_chars weight and
+    report the estimated vs true corpus character count plus the
+    order-fingerprint of the chosen ids.
+
+    Determinism contract: u_i = (h_i+1)/2^52 from a 13-hex-digit md5
+    slice, priority q_i = w_i/u_i evaluated as one correctly-rounded
+    multiply then one divide (identical bit pattern in any IEEE
+    engine); ties broken by doc_id.  The estimator sum crosses rows,
+    so it runs in DECIMAL(38,8) (exact, associative) and surfaces via
+    the string hop — the same discipline as numeric.dsum, widened
+    because tau can reach w*2^52.
+
+    Scale: the whole query is ONE corpus scan into a top-(k+1)
+    selection — Spark executes orderBy().limit() as
+    TakeOrderedAndProject (per-partition bounded heaps, then a
+    k+1-row merge), never a global sort; everything after operates on
+    k+1 rows.  At 100 TB this is the exact shape of a weighted
+    data-mix probe: no RNG state, no second pass, re-runs byte-equal.
+    """
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("psamp:"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    q = (F.col("w").cast("double") * F.lit(_PS_POW52)) / (
+        h.cast("double") + F.lit(1.0)
+    )
+    base = docs.select("doc_id", w).select("doc_id", "w", q.alias("q"))
+    top = base.orderBy(F.desc("q"), "doc_id").limit(_PS_K + 1)
+    ranked = top.select(
+        "doc_id",
+        "w",
+        "q",
+        F.row_number().over(Window.orderBy(F.desc("q"), "doc_id")).alias("rn"),
+    )
+    tau = ranked.agg(
+        F.max(F.when(F.col("rn") == _PS_K + 1, F.col("q"))).alias("tau")
+    )
+    samp = (
+        ranked.filter(F.col("rn") <= _PS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "rn",
+            "tau",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),
+        )
+    )
+    tot = base.agg(F.sum("w").cast("bigint").alias("true_total"))
+    return (
+        samp.crossJoin(F.broadcast(tot))
+        .groupBy("tau", "true_total")
+        .agg(
+            F.sum(F.col("est_w").cast("decimal(38,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("est_total_chars"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("rn", "doc_id"))
+                            ),
+                            lambda s: s["doc_id"].cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+                1,
+                16,
+            ).alias("sample_fingerprint"),
+        )
+        .select(
+            F.lit(_PS_K).cast("bigint").alias("k"),
+            "tau",
+            "est_total_chars",
+            F.col("true_total").alias("true_total_chars"),
+            "sample_fingerprint",
+        )
+    )
