@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from edinet_etl_spark.numeric import dsum, sql_dsum
+from edinet_etl_spark.numeric import davg, dsum, sql_dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -760,4 +760,125 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med_value", "mad_value", "n_outliers")
         .orderBy("event_type")
+    )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "value_acf_lags",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               / COUNT(value) AS x
+      FROM events GROUP BY event_type, h
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               / COUNT(x) AS mean_x,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    centered AS (
+      SELECT hourly.event_type, m.n_hours, hourly.x - m.mean_x AS c,
+             LAG(hourly.x - m.mean_x, 1) OVER w AS c1,
+             LAG(hourly.x - m.mean_x, 2) OVER w AS c2,
+             LAG(hourly.x - m.mean_x, 3) OVER w AS c3
+      FROM hourly JOIN m ON m.event_type = hourly.event_type
+      WINDOW w AS (PARTITION BY hourly.event_type ORDER BY hourly.h)
+    ),
+    acc AS (
+      SELECT event_type, MAX(n_hours) AS n_hours,
+             CAST(CAST(SUM(CAST(c * c AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS den,
+             {", ".join(
+                 f"CAST(CAST(SUM(CAST(c * c{L} AS DECIMAL(18,8))) AS STRING) AS DOUBLE)"
+                 f" AS num{L}, CAST(COUNT(c{L}) AS BIGINT) AS n{L}"
+                 for L in _ACF_LAGS)}
+      FROM centered GROUP BY event_type
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs, n_hours, acf
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {L} AS lag, n{L} AS n_pairs, n_hours,"
+          f" num{L} / den AS acf FROM acc"
+          for L in _ACF_LAGS)}
+    ) ORDER BY event_type, lag
+    """,
+    covers=["M5-window", "W-extended", "A-extended"],
+)
+def value_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's hourly mean-value
+    series at lags 1-3 — the periodicity probe that tells a monitoring
+    pipeline whether `seasonal_hourly_anomalies`'s daily profile model
+    is even applicable (high lag-24 vs lag-1 structure), and the
+    classic pre-whitening check before CUSUM alarms
+    (`value_cusum_changepoint`) are trusted.
+
+    acf_L = sum_t c_t*c_(t-L) / sum_t c_t^2 over the hour-ordered
+    series, c = x - mean(x).  Every cross-row accumulation (hourly
+    means, series mean, lag products, variance) runs through the
+    exact-decimal dsum discipline; the only float ops are
+    correctly-rounded single subtract/multiply/divide, so both engines
+    agree bit-for-bit — no libm anywhere.
+
+    Scale: the raw scan collapses to |event_types|*|hours| rows in one
+    map-side-combined aggregate; the lag window partitions by
+    event_type over that tiny series (days*24 rows per type at any
+    corpus size — bounded by the time range, not the data volume);
+    the final ACF table is |event_types|*3 rows."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(davg(F.col("value"), "x"))
+    m = hourly.groupBy("event_type").agg(
+        davg(F.col("x"), "mean_x"),
+        F.count("*").cast("bigint").alias("n_hours"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    c = (F.col("x") - F.col("mean_x")).alias("c")
+    centered = (
+        hourly.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "h",
+            c,
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "c",
+            *[F.lag("c", L).over(w).alias(f"c{L}") for L in _ACF_LAGS],
+        )
+    )
+    acc = centered.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        dsum(F.col("c") * F.col("c"), "den"),
+        *[
+            a
+            for L in _ACF_LAGS
+            for a in (
+                dsum(F.col("c") * F.col(f"c{L}"), f"num{L}"),
+                F.count(f"c{L}").cast("bigint").alias(f"n{L}"),
+            )
+        ],
+    )
+    stacked = acc.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "stack({n}, {args}) AS (lag, n_pairs, acf)".format(
+                n=len(_ACF_LAGS),
+                args=", ".join(
+                    f"CAST({L} AS BIGINT), n{L}, num{L} / den" for L in _ACF_LAGS
+                ),
+            )
+        ),
+    )
+    return stacked.select("event_type", "lag", "n_pairs", "n_hours", "acf").orderBy(
+        "event_type", "lag"
     )
