@@ -836,3 +836,75 @@ def value_distribution_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("d") > crit).alias("drifted"),
     )
+
+
+# Candidate functional dependencies audited by fd_violation_audit:
+# (table, determinant, dependent).  Mix chosen to exercise both
+# outcomes on the fixtures: c_name is a key (FD holds); the others are
+# plausible-but-false dependencies with real g3 error mass.
+_FD_CANDIDATES = [
+    ("customer", "c_name", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("events", "user_id", "event_type"),
+]
+
+
+@query(
+    "fd_violation_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS rel, '{a} -> {b}' AS fd,
+               CAST(SUM(total) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(total - maxc) AS BIGINT) AS g3_violations,
+               CAST(CASE WHEN SUM(total - maxc) = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS holds
+        FROM (
+          SELECT {a}, SUM(cnt) AS total, MAX(cnt) AS maxc
+          FROM (SELECT {a}, {b}, COUNT(*) AS cnt FROM {t} GROUP BY {a}, {b})
+          GROUP BY {a}
+        )"""
+        for t, a, b in _FD_CANDIDATES
+    )
+    + " ORDER BY rel, fd",
+    covers=["Q-profile", "A-extended", "U1"],
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-functional-dependency audit (the TANE/FDEP g3 error
+    measure, Huhtala et al., Comput. J. 1999): for each candidate FD
+    A -> B, g3 = the minimum number of rows to delete before the
+    dependency holds = sum over A-groups of (group size − the
+    plurality B-value's count).  This is the profiling primitive that
+    tells a schema-inference / data-contract layer which "obvious"
+    keys actually hold on the real data before they're enforced.
+
+    Scale: each FD costs two map-side-combined hash aggregates —
+    (A,B)-counts, then an A-rollup — and emits ONE summary row; no
+    joins, no windows, no row explosion.  Distinct-group cardinality
+    (not table size) bounds the shuffle, so the audit rides the same
+    100 TB scan budget as any count: adding candidate FDs on the same
+    table shares the scan under Spark's cache or a multi-agg rewrite
+    when it matters."""
+    prep(spark)
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        pairs = (
+            load(spark, sf_dir, t)
+            .groupBy(a, b)
+            .agg(F.count("*").alias("cnt"))
+        )
+        grp = pairs.groupBy(a).agg(
+            F.sum("cnt").alias("total"), F.max("cnt").alias("maxc")
+        )
+        viol = F.sum(F.col("total") - F.col("maxc"))
+        one = grp.agg(
+            F.lit(t).alias("rel"),
+            F.lit(f"{a} -> {b}").alias("fd"),
+            F.sum("total").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            viol.cast("bigint").alias("g3_violations"),
+            F.when(viol == 0, 1).otherwise(0).cast("bigint").alias("holds"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("rel", "fd")
