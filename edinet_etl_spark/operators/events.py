@@ -882,3 +882,82 @@ def value_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("event_type", "lag", "n_pairs", "n_hours", "acf").orderBy(
         "event_type", "lag"
     )
+
+
+@query(
+    "linear_touch_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT p.event_id AS purchase_id, p.value AS pvalue,
+             c.event_id AS click_id, hour(c.ts) AS touch_hour,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT CAST(touch_hour AS BIGINT) AS touch_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(pvalue / CAST(n_touches AS DOUBLE)
+                              AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+             AS attributed_value
+    FROM touched
+    GROUP BY touch_hour ORDER BY touch_hour
+    """,
+    covers=["M5-window", "J-range", "A-extended"],
+)
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click a user made in the
+    24 h before a purchase shares that purchase's value equally
+    (credit = value / n_touches), rolled up by the hour-of-day of the
+    TOUCH — the marketing-analytics complement to the as-of
+    last-touch shape (`asof_latest_order_per_event` keeps only the
+    latest event; this keeps them all and splits credit).
+
+    The per-purchase touch count is a window over the joined pairs,
+    the division is a single correctly-rounded double op, and the
+    credit roll-up runs through the exact-decimal sum, so the result
+    is bit-stable under any partitioning.
+
+    Scale: clicks join purchases on user_id (hash join, co-partitioned
+    by the natural key) with the 24 h band as a post-filter — pair
+    volume is bounded by per-user activity density (purchases/user ×
+    clicks/user/day), never corpus², and a hot user salts like any
+    skewed join key.  At lake scale the equi-key gains a day-bucket
+    component ((user, day) ∈ {d, d-1}) so each click co-locates with
+    only the purchases it can touch — the banded-range-join idiom of
+    `price_neighbor_pairs_binned`."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pvalue"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+        F.hour("cts").alias("touch_hour"),
+    )
+    touched = p.join(c, "user_id").filter(
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("cts") < F.col("pts"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touched.select(
+        "purchase_id",
+        "touch_hour",
+        (F.col("pvalue") / F.count("*").over(w).cast("double")).alias("credit"),
+    )
+    return (
+        credited.groupBy(F.col("touch_hour").cast("bigint").alias("touch_hour"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.count_distinct("purchase_id").cast("bigint").alias("n_purchases"),
+            dsum(F.col("credit"), "attributed_value"),
+        )
+        .orderBy("touch_hour")
+    )
