@@ -158,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "value_distribution_ks_binned", "prefix_filter_jaccard_join",
     "pareto_frontier_orders", "bm25_retrieval_topk",
     "value_mad_outliers",
+    "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
+    "sorted_neighborhood_pairs", "linear_touch_attribution",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
