@@ -784,3 +784,111 @@ def test_theta_intersection_model_properties(spark, set_a, set_b):
         assert n_both == len(set_a & set_b)
     # flags never exceed |S| and subset-monotonicity holds
     assert 0 <= n_both <= len(s)
+
+
+# ------------------------------------------- priority sampling model
+def test_priority_sample_matches_python_model(spark):
+    """priority_weighted_sample == an independent Python replica of
+    the Duffield-Lund-Thorup scheme on the sf0.001 fixture: identical
+    top-(k+1) selection by q = w·2^52/(h+1), identical tau, and the
+    estimator total accumulated in decimal exactly as the engine does."""
+    import decimal
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from edinet_etl_spark.operators.llmdata import (
+        _PS_K,
+        _PS_POW52,
+        priority_weighted_sample,
+    )
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pylist()
+    items = []
+    for r in tbl:
+        w = max(int(r["n_chars"]), 1)
+        h = int(
+            hashlib.md5(f"psamp:{r['doc_id']}".encode()).hexdigest()[:13], 16
+        )
+        q = (float(w) * _PS_POW52) / (float(h) + 1.0)
+        items.append((-q, int(r["doc_id"]), w))
+    items.sort()
+    top = items[: _PS_K + 1]
+    tau = -top[_PS_K][0]
+    sample = top[:_PS_K]
+    est = decimal.Decimal(0)
+    for negq, _did, w in sample:
+        ew = max(float(w), tau)
+        est += decimal.Decimal(repr(ew)).quantize(
+            decimal.Decimal("1e-8"), rounding=decimal.ROUND_HALF_UP
+        )
+    fp = hashlib.md5(
+        ",".join(str(did) for _nq, did, _w in sample).encode()
+    ).hexdigest()[:16]
+    row = priority_weighted_sample(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["k"] == _PS_K
+    assert row["tau"] == tau
+    assert row["est_total_chars"] == float(str(est))
+    assert row["true_total_chars"] == sum(w for _nq, _did, w in items)
+    assert row["sample_fingerprint"] == fp
+
+
+# --------------------------------------------------- ACF scan model
+def test_value_acf_matches_python_model(spark):
+    """value_acf_lags == an independent Python replica on the sf0.001
+    fixture: hourly decimal-exact means, series mean, lag-L co-moments
+    and variance accumulated with the same decimal discipline."""
+    import decimal
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from edinet_etl_spark.operators.events import _ACF_LAGS, value_acf_lags
+
+    def dquant(v: float) -> decimal.Decimal:
+        return decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("1e-8"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    raw = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "ts", "value"],
+    ).to_pylist()
+    hourly = defaultdict(lambda: (decimal.Decimal(0), 0))
+    for r in raw:
+        # ts is tz-naive nanos in the fixture; truncate to the hour
+        hr = r["ts"].replace(minute=0, second=0, microsecond=0)
+        s, n = hourly[(r["event_type"], hr)]
+        hourly[(r["event_type"], hr)] = (s + dquant(r["value"]), n + 1)
+    series = defaultdict(list)
+    for (et, hr), (s, n) in sorted(hourly.items(), key=lambda kv: kv[0]):
+        series[et].append(float(str(s)) / n)
+    expect = {}
+    for et, xs in series.items():
+        ssum = decimal.Decimal(0)
+        for x in xs:
+            ssum += dquant(x)
+        m = float(str(ssum)) / len(xs)
+        c = [x - m for x in xs]
+        den = decimal.Decimal(0)
+        for v in c:
+            den += dquant(v * v)
+        den_f = float(str(den))
+        for L in _ACF_LAGS:
+            num = decimal.Decimal(0)
+            for t in range(L, len(c)):
+                num += dquant(c[t] * c[t - L])
+            expect[(et, L)] = (
+                len(c) - L if len(c) > L else 0,
+                len(xs),
+                float(str(num)) / den_f,
+            )
+    got = value_acf_lags(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n_pairs, n_hours, acf = expect[(r["event_type"], r["lag"])]
+        assert r["n_pairs"] == n_pairs
+        assert r["n_hours"] == n_hours
+        assert r["acf"] == acf, (r, acf)
