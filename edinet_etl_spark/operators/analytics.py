@@ -1259,3 +1259,80 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MAX(totw) AS BIGINT) AS total_qty,
+           MIN(CASE WHEN 2 * cumw >= totw THEN price END)
+             AS weighted_median_price
+    FROM w
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    covers=["W-extended", "A-extended"],
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: per return flag, the smallest extended
+    price whose cumulative quantity reaches half the group's total
+    quantity — "the price at which half the UNITS (not half the line
+    items) trade".  The per-unit robust center `value_mad_outliers`'s
+    unweighted median can't express.
+
+    All admission math is exact int64 (quantities are integral;
+    2·cumw ≥ totw cross-multiplies away the half), the cumulative
+    window orders by (price, orderkey, linenumber) so ties are pinned,
+    and the answer is an existing data value — no interpolation, no
+    float accumulation anywhere.
+
+    Scale: one window shuffle on the group key + one map-side-combined
+    aggregate; per-group volume bounds the window (same skew law as
+    every grouped exact selection here — the binned two-pass
+    `binned_quantile_sketch` is the documented constant-state fallback
+    when one group outgrows a partition)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    flagged = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(wcum).alias("cumw"),
+        F.sum("qty").over(wtot).alias("totw"),
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.max("totw").cast("bigint").alias("total_qty"),
+            F.min(
+                F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("price"))
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
