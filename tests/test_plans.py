@@ -198,6 +198,30 @@ EXPECTATIONS = [
     ("value_mad_outliers", 6, ["Window", "BroadcastHashJoin"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin",
       "BroadcastNestedLoopJoin"]),
+    # priority sampling: top-(k+1) must stay TakeOrderedAndProject
+    # (per-partition heaps), never a global Sort
+    ("priority_weighted_sample", 6, ["TakeOrderedAndProject"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # ACF: hourly collapse + per-type lag window + broadcast mean —
+    # the raw scan aggregates once, no shuffled joins
+    ("value_acf_lags", 5, ["Window", "BroadcastHashJoin"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin",
+      "BroadcastNestedLoopJoin"]),
+    # FD audit: pure aggregates, one union — no joins at all; per FD:
+    # (A,B) shuffle + A rollup + one-row collapse = 3 Exchanges × 4 FDs
+    ("fd_violation_audit", 12, ["HashAggregate", "Union"],
+     ["PythonUDF", "Join", "CartesianProduct"]),
+    # SNM blocking: block-partitioned window (never the global-sort
+    # single-partition window), union of lead arms
+    ("sorted_neighborhood_pairs", 4, ["Window", "Union"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin", "Join"]),
+    # attribution: user-keyed hash join with the 24h band as a
+    # post-filter — the planner must NOT fall back to a nested loop
+    ("linear_touch_attribution", 6, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # weighted median: one window shuffle + grouped selection
+    ("weighted_median_price", 3, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Join"]),
 ]
 
 
