@@ -38,6 +38,10 @@ CASES = [
     "salted_returnflag_totals",
     "price_quantity_corr",
     "streaming_quality_monitor",
+    "priority_weighted_sample",
+    "value_acf_lags",
+    "linear_touch_attribution",
+    "weighted_median_price",
 ]
 
 
