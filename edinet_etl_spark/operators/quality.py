@@ -11,7 +11,7 @@ TABLE with measured violation counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.registry import query
@@ -908,3 +908,92 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("rel", "fd")
+
+
+@query(
+    "eventmix_chi2_drift",
+    oracle="""
+    WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    counts AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < d0 + 7 THEN 'week1' ELSE 'rest' END
+               AS period,
+             COUNT(*) AS o
+      FROM events CROSS JOIN lo
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, period, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY period) AS col_tot,
+             SUM(o) OVER () AS grand
+      FROM counts
+    ),
+    cells AS (
+      SELECT event_type, period, o,
+             CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE) AS e
+      FROM margins
+    )
+    SELECT event_type, period, CAST(o AS BIGINT) AS observed, e AS expected,
+           ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+             AS chi2_contrib
+    FROM cells
+    ORDER BY event_type, period
+    """,
+    covers=["Q-profile", "W-extended", "A-extended"],
+)
+def eventmix_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared drift cells for the event-type mix, first
+    calendar week vs the rest — the CATEGORICAL-column drift test
+    beside the numeric KS pair (`value_distribution_ks`,
+    `value_distribution_ks_binned`): per (type, period) cell the
+    observed count, the independence-model expected count
+    e = row_tot*col_tot/grand, and the chi^2 contribution (o-e)^2/e.
+    The analyst sums contributions against the (types-1) dof critical
+    value; emitting cells (not just the statistic) shows WHICH type
+    drifted — the actionable half of the report.
+
+    Determinism: counts are exact int64; e and the contribution are
+    fixed short chains of correctly-rounded double ops on integers —
+    no accumulation, no libm.  Scale: one map-side-combined count per
+    (type, period) — the contingency table is |types|x2 rows; margins
+    are windows OVER THAT TABLE, not the corpus; the min-date scalar
+    broadcasts. Nothing grows with the event volume but the first
+    aggregate's scan."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    counts = (
+        ev.crossJoin(F.broadcast(lo))
+        .groupBy(
+            "event_type",
+            F.when(
+                F.col("ts").cast("date") < F.date_add(F.col("d0"), 7), "week1"
+            )
+            .otherwise("rest")
+            .alias("period"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    margins = counts.select(
+        "event_type",
+        "period",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("period")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("grand").cast(
+        "double"
+    )
+    o_d = F.col("o").cast("double")
+    return (
+        margins.select(
+            "event_type",
+            "period",
+            F.col("o").cast("bigint").alias("observed"),
+            e.alias("expected"),
+            (((o_d - e) * (o_d - e)) / e).alias("chi2_contrib"),
+        )
+        .orderBy("event_type", "period")
+    )

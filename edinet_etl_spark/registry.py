@@ -160,7 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "value_mad_outliers",
     "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
     "sorted_neighborhood_pairs", "linear_touch_attribution",
-    "weighted_median_price",
+    "weighted_median_price", "eventmix_chi2_drift",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
