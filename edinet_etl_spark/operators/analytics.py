@@ -1336,3 +1336,178 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey,
+             l.l_suppkey AS suppkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,8))) AS DECIMAL(18,4)) AS rev4
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    pern AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(CAST(SUM(rev4) AS VARCHAR) AS DOUBLE) AS total_revenue,
+             CAST(CAST(SUM(CAST(rev4 AS DECIMAL(19,4)) * rev4) AS VARCHAR)
+                  AS DOUBLE) AS sum_sq
+      FROM rev GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation,
+           p.n_suppliers,
+           p.total_revenue,
+           p.sum_sq / (p.total_revenue * p.total_revenue) AS hhi
+    FROM pern p JOIN nation n ON n.n_nationkey = p.nationkey
+    ORDER BY nation
+    """,
+    covers=["A-extended", "J1"],
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = SUM(share_i^2) over a nation's suppliers, the
+    standard market-concentration index (1/n = perfectly even, 1.0 =
+    monopoly) — the "is one supplier dominating this market?" gate a
+    procurement or data-sourcing dashboard runs.
+
+    Exactness: per-supplier revenue goes through the decimal-sum
+    discipline and is then FIXED at its intrinsic 4-dp grid
+    (2-dp price x 2-dp discount factor), so rev4 is an exact
+    DECIMAL(18,4) in both engines; rev4*rev4 (DECIMAL multiply) and
+    its SUM stay exact; HHI itself is computed as
+    dbl(SUM(rev^2)) / (dbl(SUM(rev)))^2 — two string-hop conversions
+    of identical decimals, one IEEE multiply, one IEEE divide, all
+    correctly rounded and engine-identical.  No per-share division
+    inside the sum, so no float accumulation anywhere.
+
+    Scale: one map-side-combined aggregate on (nationkey, suppkey) —
+    the natural pre-aggregation key — then a 25-group rollup and a
+    broadcast decode to nation names.  The supplier table itself is
+    never joined in bulk; only its (suppkey -> nationkey) projection
+    rides the fact-side shuffle.  At 100 TB this is the same two-level
+    agg shape as `revenue_by_nation_year` (SCALE.md's flagship law)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("decimal(18,4)")
+            .alias("rev4")
+        )
+    )
+    pern = rev.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev4").cast("string").cast("double").alias("total_revenue"),
+        F.sum(F.col("rev4") * F.col("rev4"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    return (
+        pern.join(F.broadcast(nat), pern.nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "total_revenue",
+            (F.col("sum_sq") / (F.col("total_revenue") * F.col("total_revenue"))).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "segment_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY cents, custkey) AS BIGINT) AS i
+      FROM spend
+    ),
+    sums AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS six
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_spend,
+           (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
+              - (n_customers + 1) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+             / (n_customers * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
+    FROM sums
+    ORDER BY segment
+    """,
+    covers=["A-extended", "W-extended"],
+)
+def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend inside each market segment —
+    the inequality statistic behind "do 20% of customers drive 80% of
+    revenue?", computed EXACTLY: G = (2*SUM(i*x_i) - (n+1)*SUM(x)) /
+    (n*SUM(x)) with x ascending and i the within-segment rank.
+
+    Exactness: spend is fixed to integer CENTS up front (o_totalprice
+    is intrinsically 2-dp; DECIMAL(18,2)*100 -> BIGINT is exact in
+    both engines — never double*100, which truncates under the
+    floating grid); ranks are pinned by (cents, custkey); the rank-
+    weighted products accumulate in DECIMAL(38,0) so the formula
+    survives n ~ 10^8 customers x 10^10-cent spends without int64
+    overflow; the only float ops are two string-hop conversions and
+    the final fused arithmetic — identical IEEE sequences in both
+    engines.
+
+    Scale: per-customer totals are a map-side-combined aggregate on
+    the orders fact; the rank window partitions by segment (5 groups —
+    the documented per-group-volume skew law shared with
+    `weighted_median_price`; the binned sketch is the constant-state
+    fallback), then a 5-row reduce.  Never a global un-partitioned
+    window."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey").alias("custkey"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wr = Window.partitionBy("segment").orderBy("cents", "custkey")
+    ranked = spend.select(
+        "segment", "cents", F.row_number().over(wr).cast("bigint").alias("i")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(d38("cents")).alias("sx"),
+        F.sum(d38("i") * d38("cents")).alias("six"),
+    )
+    sx_d = F.col("sx").cast("string").cast("double")
+    six_d = F.col("six").cast("string").cast("double")
+    return sums.select(
+        "segment",
+        "n_customers",
+        (sx_d / F.lit(100.0)).alias("total_spend"),
+        (
+            (F.lit(2.0) * six_d - (F.col("n_customers") + 1) * sx_d)
+            / (F.col("n_customers") * sx_d)
+        ).alias("gini"),
+    ).orderBy("segment")

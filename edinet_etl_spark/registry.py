@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
     "sorted_neighborhood_pairs", "linear_touch_attribution",
     "weighted_median_price", "eventmix_chi2_drift",
+    "nation_supplier_hhi", "segment_spend_gini",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

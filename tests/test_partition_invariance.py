@@ -42,6 +42,8 @@ CASES = [
     "value_acf_lags",
     "linear_touch_attribution",
     "weighted_median_price",
+    "nation_supplier_hhi",
+    "segment_spend_gini",
 ]
 
 
