@@ -1511,3 +1511,200 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers") * sx_d)
         ).alias("gini"),
     ).orderBy("segment")
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    ),
+    top AS (
+      SELECT CAST(MIN(key) AS BIGINT) AS top_key
+      FROM counts WHERE cnt = (SELECT MAX(cnt) FROM counts)
+    ),
+    dist AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS freq FROM counts GROUP BY cnt),
+    cum AS (
+      SELECT cnt,
+             SUM(freq) OVER (
+               ORDER BY cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq
+      FROM dist
+    ),
+    sel AS (
+      SELECT
+        CAST(MIN(CASE WHEN 2 * cumfreq >= (SELECT n_keys FROM s)
+                 THEN cnt END) AS BIGINT) AS p50_cnt,
+        CAST(MIN(CASE WHEN 100 * cumfreq >= 99 * (SELECT n_keys FROM s)
+                 THEN cnt END) AS BIGINT) AS p99_cnt
+      FROM cum
+    )
+    SELECT s.n_keys, s.total_rows, s.max_cnt, top.top_key,
+           sel.p50_cnt, sel.p99_cnt,
+           CAST(s.max_cnt * s.n_keys AS DOUBLE)
+             / CAST(s.total_rows AS DOUBLE) AS skew_factor
+    FROM s, top, sel
+    """,
+    covers=["SC-skew", "A-extended"],
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key frequency profile for lineitem.l_partkey — the
+    measurement that DECIDES whether `salted_hotkey_join_totals`-style
+    salting is needed before a big join: distinct-key count, the
+    heaviest key and its row count, nearest-rank p50/p99 of the per-key
+    frequency distribution, and `skew_factor` = max_cnt / (total/n_keys)
+    (how many times heavier the hottest key is than the average; AQE's
+    skew threshold reasoning uses exactly this ratio).
+
+    Exactness: everything except `skew_factor` is int64; the percentile
+    admissions cross-multiply (2*cum >= n, 100*cum >= 99*n) so no
+    division enters selection; `skew_factor` is one exact int64 product
+    converted to double (< 2^53) and one IEEE division — engine-identical.
+    Tie on the hottest key resolves to MIN(key).
+
+    Scale: stage 1 is a map-side-combined count on the key (the same
+    shuffle the downstream join would pay, so the profile piggybacks on
+    known-affordable work); stage 2 collapses to the count-of-counts
+    distribution, which has at most O(sqrt(total_rows)) rows (k distinct
+    frequencies need >= k(k+1)/2 underlying rows), so the partition-less
+    ordered window over it is bounded regardless of fact size; the three
+    one-row legs broadcast-cross-join into the single output row."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    s = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        # argmax with tie -> MIN(key): max over (cnt, -key), then negate.
+        F.max(F.struct(F.col("cnt"), (-F.col("key")).alias("nk"))).alias("mx"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        (-F.col("mx.nk")).cast("bigint").alias("top_key"),
+    )
+    dist = counts.groupBy("cnt").agg(F.count("*").cast("bigint").alias("freq"))
+    wc = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dist.select("cnt", F.sum("freq").over(wc).alias("cumfreq"))
+    sel = cum.crossJoin(F.broadcast(s.select("n_keys"))).agg(
+        F.min(F.when(2 * F.col("cumfreq") >= F.col("n_keys"), F.col("cnt")))
+        .cast("bigint")
+        .alias("p50_cnt"),
+        F.min(F.when(100 * F.col("cumfreq") >= 99 * F.col("n_keys"), F.col("cnt")))
+        .cast("bigint")
+        .alias("p99_cnt"),
+    )
+    return s.crossJoin(F.broadcast(sel)).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "top_key",
+        "p50_cnt",
+        "p99_cnt",
+        (
+            (F.col("max_cnt") * F.col("n_keys")).cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+@query(
+    "exact_group_percentiles",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    byval AS (
+      SELECT segment, price, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seg GROUP BY segment, price
+    ),
+    cum AS (
+      SELECT segment, price,
+             SUM(cnt) OVER (
+               PARTITION BY segment ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM byval
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MIN(CASE WHEN 2 * cumcnt >= n THEN price END) AS p50,
+           MIN(CASE WHEN 10 * cumcnt >= 9 * n THEN price END) AS p90,
+           MIN(CASE WHEN 100 * cumcnt >= 99 * n THEN price END) AS p99
+    FROM cum
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    covers=["W-extended", "A-extended"],
+)
+def exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p90/p99) of order totalprice
+    per market segment — the SLA-style "what does the 99th-percentile
+    order look like per segment" question, answered exactly (the
+    binned `binned_quantile_sketch` is the mergeable approximation;
+    this is its exact complement, same selection-by-cumulative-weight
+    machinery as `weighted_median_price`).
+
+    Exactness: the answer is always an existing data value — the
+    smallest price whose cumulative order count reaches ceil(p*n) —
+    and every admission cross-multiplies to integers
+    (2*cum >= n, 10*cum >= 9n, 100*cum >= 99n), so no float arithmetic
+    exists anywhere in the query.  Nearest-rank needs no tie-break
+    columns: the cumulative window orders by the VALUE and the groupBy
+    collapsed duplicates first, so ranks are over distinct values.
+
+    Scale: the fact table first collapses to distinct (segment, price)
+    pairs with a map-side-combined count — the window then runs over
+    the collapsed set (bounded by distinct prices per segment, not
+    rows).  One shuffle for the segment join is avoided entirely: the
+    orders->customer join shuffles on custkey (no broadcast hint;
+    customer grows with SF — AQE converts at runtime if small), then
+    one shuffle to (segment, price).  If one segment's distinct-value
+    set ever outgrew a partition, the binned two-pass sketch is the
+    documented fallback."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    byval = seg.groupBy("segment", "price").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("segment")
+    cum = byval.select(
+        "segment",
+        "price",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.min(F.when(2 * F.col("cumcnt") >= F.col("n"), F.col("price"))).alias("p50"),
+            F.min(
+                F.when(10 * F.col("cumcnt") >= 9 * F.col("n"), F.col("price"))
+            ).alias("p90"),
+            F.min(
+                F.when(100 * F.col("cumcnt") >= 99 * F.col("n"), F.col("price"))
+            ).alias("p99"),
+        )
+        .orderBy("segment")
+    )

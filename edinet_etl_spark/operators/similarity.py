@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
+from edinet_etl_spark.numeric import dec
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -1724,4 +1725,126 @@ def ivf_partitioned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_topk))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cell_id", "cosine")
+    )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH expl AS (
+      SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS cohort,
+             t.i AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+    ),
+    perdim AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(CAST(SUM(CASE WHEN cohort = 0
+                           THEN CAST(x AS DECIMAL(18,8)) END) AS VARCHAR)
+                  AS DOUBLE) AS sum_a,
+             CAST(CAST(SUM(CASE WHEN cohort = 1
+                           THEN CAST(x AS DECIMAL(18,8)) END) AS VARCHAR)
+                  AS DOUBLE) AS sum_b
+      FROM expl GROUP BY label, dim
+    ),
+    shifts AS (
+      SELECT label, dim, n_a, n_b,
+             ABS(sum_a / CAST(n_a AS DOUBLE)
+                 - sum_b / CAST(n_b AS DOUBLE)) AS shift
+      FROM perdim
+    ),
+    mx AS (
+      SELECT label,
+             MAX(n_a) AS n_even, MAX(n_b) AS n_odd,
+             MAX(shift) AS max_dim_shift
+      FROM shifts GROUP BY label
+    )
+    SELECT m.label,
+           CAST(m.n_even AS BIGINT) AS n_even,
+           CAST(m.n_odd AS BIGINT) AS n_odd,
+           m.max_dim_shift,
+           CAST(MIN(s.dim) AS BIGINT) AS drift_dim
+    FROM mx m JOIN shifts s
+      ON s.label = m.label AND s.shift = m.max_dim_shift
+    GROUP BY m.label, m.n_even, m.n_odd, m.max_dim_shift
+    ORDER BY m.label
+    """,
+    covers=["SIM-extended", "A-extended"],
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding cohorts (even vs
+    odd vec_id, standing in for "last week's encoder output vs this
+    week's") — the embedding-space drift monitor a training pipeline
+    runs before trusting a refreshed encoder: for each label, the
+    largest per-dimension shift between cohort centroids and which
+    dimension moved most.
+
+    Exactness: per-(label,dim,cohort) sums go through the decimal
+    discipline (floats cast to DECIMAL(18,8) — exact, associative),
+    surfaced via the string hop; each centroid is one IEEE division,
+    the shift one subtraction + abs, and the per-label reduction is
+    MAX (associative, order-independent).  The argmax dimension joins
+    back on bit-identical doubles with ties resolved to MIN(dim) —
+    no float accumulation anywhere.
+
+    Scale: posexplode is linear (n x d rows) but feeds a partial
+    aggregate in the same stage, so only labels x dims x partitions
+    combiner rows shuffle; everything after operates on the collapsed
+    labels x dims grid (~640 rows here, constant in corpus size).  The
+    argmax join-back is a broadcast of the per-label max row.  This is
+    the same collapse-then-tiny-grid shape as `eventmix_chi2_drift`."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "label",
+        "is_a",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    perdim = expl.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), dec(F.col("x"))))
+        .cast("string")
+        .cast("double")
+        .alias("sum_a"),
+        F.sum(F.when(~F.col("is_a"), dec(F.col("x"))))
+        .cast("string")
+        .cast("double")
+        .alias("sum_b"),
+    )
+    shifts = perdim.select(
+        "label",
+        "dim",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("sum_a") / F.col("n_a").cast("double")
+            - F.col("sum_b") / F.col("n_b").cast("double")
+        ).alias("shift"),
+    )
+    mx = shifts.groupBy("label").agg(
+        F.max("n_a").cast("bigint").alias("n_even"),
+        F.max("n_b").cast("bigint").alias("n_odd"),
+        F.max("shift").alias("max_dim_shift"),
+    )
+    s = shifts.select(
+        F.col("label").alias("s_label"), "dim", F.col("shift").alias("s_shift")
+    )
+    return (
+        s.join(
+            F.broadcast(mx),
+            on=(s.s_label == mx.label) & (s.s_shift == mx.max_dim_shift),
+        )
+        .groupBy("label", "n_even", "n_odd", "max_dim_shift")
+        .agg(F.min("dim").cast("bigint").alias("drift_dim"))
+        .select("label", "n_even", "n_odd", "max_dim_shift", "drift_dim")
+        .orderBy("label")
     )

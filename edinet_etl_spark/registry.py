@@ -162,6 +162,8 @@ _PRIORITY: tuple[str, ...] = (
     "sorted_neighborhood_pairs", "linear_touch_attribution",
     "weighted_median_price", "eventmix_chi2_drift",
     "nation_supplier_hhi", "segment_spend_gini",
+    "join_key_skew_profile", "exact_group_percentiles",
+    "embedding_centroid_drift",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -44,6 +44,8 @@ CASES = [
     "weighted_median_price",
     "nation_supplier_hhi",
     "segment_spend_gini",
+    "join_key_skew_profile",
+    "embedding_centroid_drift",
 ]
 
 

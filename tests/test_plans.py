@@ -222,6 +222,20 @@ EXPECTATIONS = [
     # weighted median: one window shuffle + grouped selection
     ("weighted_median_price", 3, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "Join"]),
+    # skew profile: key-count shuffle + count-of-counts legs; every
+    # exchange after stage 1 is O(sqrt(rows))-bounded or one-row, and
+    # the one-row legs attach via broadcast NLJ (benign)
+    ("join_key_skew_profile", 7, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # exact percentiles: distinct-value collapse BEFORE the per-segment
+    # window — the window must consume the collapsed agg, never raw rows
+    ("exact_group_percentiles", 5, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # centroid drift: explode feeds a partial agg in-stage (labels×dims
+    # combiner rows shuffle, not n×d), argmax join-back broadcast
+    ("embedding_centroid_drift", 5, ["HashAggregate", "BroadcastHashJoin"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin",
+      "BroadcastNestedLoopJoin"]),
 ]
 
 
