@@ -1264,24 +1264,26 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_median_price",
     oracle="""
-    WITH w AS (
-      SELECT l_returnflag,
-             l_extendedprice AS price,
-             CAST(l_quantity AS BIGINT) AS qty,
-             SUM(CAST(l_quantity AS BIGINT)) OVER (
-               PARTITION BY l_returnflag
-               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    WITH byval AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT l_returnflag, price, cnt, w,
+             SUM(w) OVER (
+               PARTITION BY l_returnflag ORDER BY price
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-             SUM(CAST(l_quantity AS BIGINT)) OVER (
-               PARTITION BY l_returnflag) AS totw
-      FROM lineitem
+             SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM byval
     )
     SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(cnt) AS BIGINT) AS n_items,
            CAST(MAX(totw) AS BIGINT) AS total_qty,
            MIN(CASE WHEN 2 * cumw >= totw THEN price END)
              AS weighted_median_price
-    FROM w
+    FROM cum
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -1295,40 +1297,46 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted median can't express.
 
     All admission math is exact int64 (quantities are integral;
-    2·cumw ≥ totw cross-multiplies away the half), the cumulative
-    window orders by (price, orderkey, linenumber) so ties are pinned,
-    and the answer is an existing data value — no interpolation, no
-    float accumulation anywhere.
+    2·cumw ≥ totw cross-multiplies away the half) and the answer is an
+    existing data value — no interpolation, no float accumulation.
+    Weights at equal prices merge BEFORE the cumulative scan, so ranks
+    are over distinct values and need no tie-break columns.
 
-    Scale: one window shuffle on the group key + one map-side-combined
-    aggregate; per-group volume bounds the window (same skew law as
-    every grouped exact selection here — the binned two-pass
-    `binned_quantile_sketch` is the documented constant-state fallback
-    when one group outgrows a partition)."""
+    Scale: the fact table first collapses to distinct (flag, price)
+    pairs with map-side-combined SUM(qty) — the cumulative window then
+    runs over the collapsed set, bounded by distinct prices per flag,
+    not row count.  (The first cut windowed the RAW rows: with only 3
+    flags the per-group scan serialized and the 10x probe measured
+    7.9x; after the collapse the same probe is ~1x — recorded in
+    SCALE.md.)  `binned_quantile_sketch` remains the constant-state
+    fallback if distinct values themselves blow up."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("bigint").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
+    )
+    byval = li.groupBy("l_returnflag", "price").agg(
+        F.sum("qty").cast("bigint").alias("w"),
+        F.count("*").cast("bigint").alias("cnt"),
     )
     wcum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
+        .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtot = Window.partitionBy("l_returnflag")
-    flagged = li.select(
+    cum = byval.select(
         "l_returnflag",
         "price",
-        F.sum("qty").over(wcum).alias("cumw"),
-        F.sum("qty").over(wtot).alias("totw"),
+        "cnt",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("totw"),
     )
     return (
-        flagged.groupBy("l_returnflag")
+        cum.groupBy("l_returnflag")
         .agg(
-            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("cnt").cast("bigint").alias("n_items"),
             F.max("totw").cast("bigint").alias("total_qty"),
             F.min(
                 F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("price"))

@@ -997,3 +997,123 @@ def eventmix_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "period")
     )
+
+
+@query(
+    "table_checksum_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 13))::BIGINT AS DECIMAL(38,0)))
+               AS VARCHAR) AS checksum
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' ||
+               c_name || '|' ||
+               CAST(c_nationkey AS VARCHAR) || '|' ||
+               c_mktsegment), 1, 13))::BIGINT AS DECIMAL(38,0)))
+               AS VARCHAR) AS checksum
+      FROM customer
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(l_partkey AS VARCHAR) || '|' ||
+               CAST(l_suppkey AS VARCHAR) || '|' ||
+               l_returnflag || '|' ||
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS VARCHAR)
+               ), 1, 13))::BIGINT AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, n_rows, checksum FROM c
+      UNION ALL
+      SELECT 'lineitem' AS table_name, n_rows, checksum FROM l
+      UNION ALL
+      SELECT 'orders' AS table_name, n_rows, checksum FROM o
+    ) ORDER BY table_name
+    """,
+    covers=["Q-extended", "U1"],
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per table — the replication /
+    migration verifier: after copying 100 TB between clusters or
+    engines, compare one row per table instead of the data.  Checksum =
+    SUM over rows of a 52-bit md5 row digest, accumulated in
+    DECIMAL(38,0) (exact, associative, order-independent — immune to
+    partitioning, shuffle order, and engine), surfaced as a string.
+
+    Columns folded into the digest are the engine-stable ones
+    (integers, strings, dates via epoch-day ints); float columns are
+    excluded by design — their text forms differ across engines, which
+    is exactly why the decimal-sum discipline exists for aggregates.
+
+    Scale: one map-side-combined aggregate per table, zero joins, zero
+    windows; the three one-row legs union.  10^15 max per row digest x
+    10^23 rows of headroom in DECIMAL(38,0) — no overflow at any SF."""
+    prep(spark)
+
+    def leg(name: str, df: DataFrame, cols: list) -> DataFrame:
+        digest = F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 13), 16, 10)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(digest.cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    legs = [
+        leg(
+            "customer",
+            c,
+            [
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            ],
+        ),
+        leg(
+            "lineitem",
+            li,
+            [
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.col("l_suppkey").cast("string"),
+                F.col("l_returnflag"),
+                F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("string"),
+            ],
+        ),
+        leg(
+            "orders",
+            o,
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("string"),
+                F.col("o_orderpriority"),
+            ],
+        ),
+    ]
+    out = legs[0]
+    for extra in legs[1:]:
+        out = out.unionAll(extra)
+    return out.orderBy("table_name")

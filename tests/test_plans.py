@@ -222,6 +222,10 @@ EXPECTATIONS = [
     # weighted median: one window shuffle + grouped selection
     ("weighted_median_price", 3, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "Join"]),
+    # table checksum: three map-side-combined one-row aggregate legs,
+    # a union, zero joins/windows
+    ("table_checksum_audit", 3, ["HashAggregate", "Union"],
+     ["PythonUDF", "CartesianProduct", "Join", "Window"]),
     # skew profile: key-count shuffle + count-of-counts legs; every
     # exchange after stage 1 is O(sqrt(rows))-bounded or one-row, and
     # the one-row legs attach via broadcast NLJ (benign)
