@@ -1500,3 +1500,91 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_fingerprint",
         )
     )
+
+
+_APPORTION_BUDGET = 1000
+
+
+@query(
+    "sample_budget_apportionment",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+    quota AS (
+      SELECT c.source, c.n_docs,
+             ({_APPORTION_BUDGET} * c.n_docs) // t.n_total AS floor_alloc,
+             ({_APPORTION_BUDGET} * c.n_docs) % t.n_total AS remainder
+      FROM counts c, tot t
+    ),
+    ranked AS (
+      SELECT source, n_docs, floor_alloc, remainder,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY remainder DESC, source) AS BIGINT) AS rnk,
+             CAST(SUM(floor_alloc) OVER () AS BIGINT) AS floor_total
+      FROM quota
+    )
+    SELECT source, n_docs,
+           CAST(floor_alloc
+                + CASE WHEN rnk <= {_APPORTION_BUDGET} - floor_total
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY source
+    """,
+    covers=["LLM-sampling", "A-extended"],
+)
+def sample_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sample
+    budget across sources: each source gets floor(B*n_i/N) docs, and
+    the B - Σfloor leftover seats go to the largest remainders — the
+    exact integer way to split "sample 1000 docs proportionally"
+    with allocations that provably sum to B (naive rounding doesn't).
+    Complements `source_temperature_sampling` (which reweights) and
+    `length_rebalance_sample` (which matches a target distribution):
+    this one hits an exact global budget.
+
+    Exactness: pure int64 throughout — B*n_i exact, floor/mod integer
+    ops, remainder ranking tie-broken by source name.  No floats
+    anywhere.
+
+    Scale: one map-side-combined count per source, then all logic runs
+    on the |sources|-row table (the one-row total attaches via
+    broadcast); the partition-less window is over |sources| rows, a
+    constant.  The downstream sampler would consume `alloc` as its
+    per-source deterministic-hash threshold k."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    B = F.lit(_APPORTION_BUDGET)
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        # integer DIV/MOD: exact at any magnitude, no float quotient
+        F.expr(f"CAST({_APPORTION_BUDGET} * n_docs AS BIGINT) DIV n_total").alias(
+            "floor_alloc"
+        ),
+        (B.cast("bigint") * F.col("n_docs") % F.col("n_total")).alias("remainder"),
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "source")
+    ranked = quota.select(
+        "source",
+        "n_docs",
+        "floor_alloc",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("floor_alloc").over(Window.partitionBy()).cast("bigint").alias(
+            "floor_total"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rnk") <= B - F.col("floor_total"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("source")

@@ -895,3 +895,76 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH posting AS (
+      SELECT DISTINCT t.term, doc_id
+      FROM documents, UNNEST(string_split(text, ' ')) t(term)
+      WHERE t.term <> ''
+    ),
+    terms AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS postings_md5
+      FROM posting GROUP BY term
+    )
+    SELECT term, df, first_doc, last_doc, postings_md5
+    FROM terms
+    ORDER BY df DESC, term
+    LIMIT 20
+    """,
+    covers=["TXT-index", "A-extended", "L2"],
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-engine primitive under
+    `bm25_retrieval_topk`: per term, its document frequency and the
+    SORTED posting list (surfaced as an md5 fingerprint so the
+    variable-length list compares bit-exact across engines; first/last
+    doc ids are the human-readable sample).  Top-20 terms by df,
+    ties pinned by term.
+
+    The posting-list hash is over the canonical ','-joined ascending
+    doc-id string — the same bytes any engine building this index
+    would write, so two independent builds can be diffed one row per
+    term (the index analogue of `table_checksum_audit`).
+
+    Scale: explode → DISTINCT (term, doc) collapses multiplicity
+    map-side; the posting aggregation shuffles once on term (the skew
+    case is stopword terms — exactly what `join_key_skew_profile`
+    measures and ranked-salt sub-bucketing handles for the dedup
+    family; here the giant posting collapses to one md5 inside the
+    aggregate, never materializing pairwise work); TakeOrdered top-20.
+    At 100 TB the posting string for a stopword is the one unbounded
+    object — production would segment postings into fixed-size blocks
+    per (term, block_id), the standard blocked-postings layout, before
+    hashing; df and the block structure shuffle identically."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    posting = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    terms = posting.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
+    return terms.orderBy(F.col("df").desc(), "term").limit(20)

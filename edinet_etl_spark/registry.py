@@ -163,7 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     "weighted_median_price", "eventmix_chi2_drift",
     "nation_supplier_hhi", "segment_spend_gini",
     "join_key_skew_profile", "exact_group_percentiles",
-    "embedding_centroid_drift",
+    "embedding_centroid_drift", "table_checksum_audit",
+    "sample_budget_apportionment", "inverted_index_postings",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

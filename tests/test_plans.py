@@ -222,6 +222,14 @@ EXPECTATIONS = [
     # weighted median: one window shuffle + grouped selection
     ("weighted_median_price", 3, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "Join"]),
+    # apportionment: |sources|-row logic after one count shuffle; the
+    # one-row total attaches via broadcast NLJ (benign)
+    ("sample_budget_apportionment", 4, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # inverted index: distinct collapse + ONE term shuffle + top-k heap
+    # — the giant stopword posting folds inside the aggregate
+    ("inverted_index_postings", 2, ["HashAggregate", "TakeOrderedAndProject"],
+     ["PythonUDF", "CartesianProduct", "Join", "Window"]),
     # table checksum: three map-side-combined one-row aggregate legs,
     # a union, zero joins/windows
     ("table_checksum_audit", 3, ["HashAggregate", "Union"],
