@@ -101,6 +101,11 @@ HEADLINE = [
     # binned KS (scale companion to the exact form above)
     "gopher_repetition_flags",
     "value_distribution_ks_binned",
+    # round-8: skew observability + exact grouped selection (the
+    # weighted median is the probe-driven distinct-collapse rewrite)
+    "join_key_skew_profile",
+    "exact_group_percentiles",
+    "weighted_median_price",
 ]
 
 

@@ -1716,3 +1716,93 @@ def exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_COMPACT_TARGET = 32768  # bytes per output bin (constant, SF-independent)
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(24 + length(o_orderstatus)
+                      + length(o_orderpriority)) AS BIGINT) AS bytes
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    planned AS (
+      SELECT day, bytes,
+             (SUM(bytes) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - bytes) // {_COMPACT_TARGET} AS bin_id
+      FROM files
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(day) AS first_day, MAX(day) AS last_day
+    FROM planned
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+    covers=["SC-layout", "A-extended"],
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE step every
+    date-partitioned lake needs: given per-day "file" sizes (a
+    deterministic per-row byte estimate standing in for real footer
+    sizes), assign consecutive days to target-size bins by
+    START-OFFSET binning: bin = floor(preceding cumulative bytes /
+    target).  Date-contiguous bins preserve partition-pruning
+    locality after the rewrite (unlike first-fit-decreasing, which
+    scatters dates and is inherently sequential — this form is the
+    parallelizable one a distributed planner actually uses).
+
+    Exactness: sizes, cumulative sums, and integer DIV are all int64;
+    bins never split a file; dates pass through untouched.
+
+    Scale: the fact scan collapses map-side to one row per day; the
+    partition-less cumulative window runs over |days| rows — bounded
+    by the calendar (36.5 k rows per century), CONSTANT in data size,
+    the defining property that makes this plan safe at 100 TB.  The
+    plan's output feeds `layout.overwrite_one_day`-style rewrites
+    bin by bin."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.lit(24)
+            + F.length("o_orderstatus")
+            + F.length("o_orderpriority")
+        )
+        .cast("bigint")
+        .alias("bytes")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = files.select(
+        "day",
+        "bytes",
+        F.expr(
+            f"(sum(bytes) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND CURRENT ROW) - bytes) DIV {_COMPACT_TARGET}"
+        ).alias("bin_id"),
+    )
+    return (
+        planned.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .select(
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            "n_files",
+            "total_bytes",
+            "first_day",
+            "last_day",
+        )
+        .orderBy("bin_id")
+    )

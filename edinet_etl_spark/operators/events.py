@@ -961,3 +961,100 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_hour")
     )
+
+
+@query(
+    "user_profile_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM base GROUP BY user_id
+    ),
+    last_ev AS (
+      SELECT user_id, event_type AS last_event_type FROM (
+        SELECT user_id, event_type, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1
+    ),
+    last_val AS (
+      SELECT user_id, value AS last_value FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base WHERE value IS NOT NULL) WHERE rn = 1
+    ),
+    last_k AS (
+      SELECT user_id, k AS last_k FROM (
+        SELECT user_id, k, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base WHERE k IS NOT NULL) WHERE rn = 1
+    )
+    SELECT a.user_id, a.first_seen, a.last_seen, a.n_events, a.n_types,
+           e.last_event_type, v.last_value, k.last_k
+    FROM agg a
+    LEFT JOIN last_ev e ON e.user_id = a.user_id
+    LEFT JOIN last_val v ON v.user_id = a.user_id
+    LEFT JOIN last_k k ON k.user_id = a.user_id
+    ORDER BY a.user_id
+    """,
+    covers=["EV-profile", "A1", "F14"],
+)
+def user_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record / customer-360 materialization: one row per user
+    with lifetime extent (first/last seen), activity counts, and
+    last-observation SURVIVORSHIP per attribute — the most recent
+    event type, the most recent non-null value, the most recent
+    decodable props key — each independently carried from the latest
+    event that HAS it (classic MDM survivorship, where attributes come
+    from different source rows).
+
+    Spark expresses every survivorship as max(struct(ts, event_id,
+    attr)) guarded by a non-null filter — a single map-side-combined
+    aggregation pass, NO windows, NO joins (the oracle mirrors with
+    ROW_NUMBER arms; (ts, event_id) is a total order so both pick the
+    identical row).  Outputs are existing data values — nothing to
+    round.
+
+    Scale: this is the one-shuffle profile materialization a feature
+    store runs daily at any SF; partial aggregates combine per
+    partition, so the exchange carries one in-flight profile per
+    (user, partition) — never raw events.  Exact distinct-type count
+    rides the same agg via Expand (|types| = 5 lanes)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+    )
+
+    def latest(col: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(F.col("ts"), F.col("event_id"), F.col(col).alias("v")),
+            )
+        )["v"]
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            latest("event_type").alias("last_event_type"),
+            latest("value").alias("last_value"),
+            latest("k").alias("last_k"),
+        )
+        .orderBy("user_id")
+    )

