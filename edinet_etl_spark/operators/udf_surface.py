@@ -320,3 +320,90 @@ def udtf_dynamic_word_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 25
         """
     )
+
+
+@query(
+    "cogrouped_asof_pandas",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_event_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_event_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.user_id, p.purchase_event_id, c.click_event_id,
+             CAST(epoch_us(p.pts) - epoch_us(c.cts) AS BIGINT) AS lag_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_event_id
+               ORDER BY c.cts DESC, c.click_event_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+    )
+    SELECT user_id, purchase_event_id, click_event_id, lag_us
+    FROM j WHERE rn = 1
+    ORDER BY purchase_event_id
+    """,
+    covers=["UDF-cogroup", "J-extended"],
+)
+def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth Spark extension point: ``cogroup().applyInPandas`` —
+    two keyed frames delivered to one Python function as aligned
+    pandas groups.  Demonstrated on the classic cogroup workload,
+    pandas ``merge_asof``: for every purchase, the latest click at or
+    before it by the same user (the Arrow-island twin of the pure-
+    Catalyst `asof_latest_order_per_event`; you reach for THIS form
+    when the per-group logic outgrows SQL, e.g. real merge_asof
+    tolerances or model scoring).
+
+    Determinism: ids and integer microsecond lags only — no floats;
+    ties at equal click ts resolve to the highest click_event_id
+    (clicks sorted by (ts, id), merge_asof keeps the LAST match —
+    mirrored by the oracle's DESC/DESC ROW_NUMBER).
+
+    Scale: cogroup shuffles each side ONCE on user_id (two Exchanges,
+    same as any join) and streams one user's two groups at a time
+    through Arrow — per-task memory bounds by the largest single key,
+    never the corpus; inside the island merge_asof is O(n log n) per
+    user.  Purchases with no prior click survive with NULLs (left
+    semantics)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), F.col("ts").alias("cts")
+    )
+
+    def asof(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_event_id", "click_event_id", "lag_us"]
+            )
+        p = p.sort_values(["pts", "purchase_event_id"]).reset_index(drop=True)
+        c = c.sort_values(["cts", "click_event_id"]).reset_index(drop=True)
+        if c.empty:
+            out = p[["user_id", "purchase_event_id"]].copy()
+            out["click_event_id"] = pd.array([None] * len(p), dtype="Int64")
+            out["lag_us"] = pd.array([None] * len(p), dtype="Int64")
+            return out
+        m = pd.merge_asof(
+            p, c[["cts", "click_event_id"]], left_on="pts", right_on="cts",
+            direction="backward", allow_exact_matches=True,
+        )
+        # unit-safe: normalize the timedelta to microseconds regardless
+        # of whether Arrow delivered ns- or us-precision timestamps
+        lag = (m["pts"] - m["cts"]).to_numpy().astype("timedelta64[us]").astype("int64")
+        m["lag_us"] = pd.array(lag, dtype="Int64")
+        m["click_event_id"] = m["click_event_id"].astype("Int64")
+        m.loc[m["cts"].isna(), ["click_event_id", "lag_us"]] = None
+        return m[["user_id", "purchase_event_id", "click_event_id", "lag_us"]]
+
+    out = purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        asof,
+        schema="user_id bigint, purchase_event_id bigint, "
+        "click_event_id bigint, lag_us bigint",
+    )
+    return out.orderBy("purchase_event_id")

@@ -166,7 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_centroid_drift", "table_checksum_audit",
     "sample_budget_apportionment", "inverted_index_postings",
     "gapfill_linear_interp", "user_profile_snapshot",
-    "compaction_bin_packing",
+    "compaction_bin_packing", "cogrouped_asof_pandas",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
