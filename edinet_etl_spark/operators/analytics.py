@@ -1778,15 +1778,18 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bytes")
     )
-    wcum = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    return pack_bins(files, _COMPACT_TARGET)
+
+
+def pack_bins(files: DataFrame, target: int) -> DataFrame:
+    """Start-offset binning core over any (day, bytes) frame (factored
+    for the hypothesis model test)."""
     planned = files.select(
         "day",
         "bytes",
         F.expr(
             f"(sum(bytes) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING"
-            f" AND CURRENT ROW) - bytes) DIV {_COMPACT_TARGET}"
+            f" AND CURRENT ROW) - bytes) DIV {target}"
         ).alias("bin_id"),
     )
     return (

@@ -1557,13 +1557,19 @@ def sample_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return apportion(counts, _APPORTION_BUDGET)
+
+
+def apportion(counts: DataFrame, budget: int) -> DataFrame:
+    """Hamilton largest-remainder core over any (source, n_docs) frame
+    (factored so the hypothesis model test can drive it directly)."""
     tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
-    B = F.lit(_APPORTION_BUDGET)
+    B = F.lit(budget)
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         # integer DIV/MOD: exact at any magnitude, no float quotient
-        F.expr(f"CAST({_APPORTION_BUDGET} * n_docs AS BIGINT) DIV n_total").alias(
+        F.expr(f"CAST({budget} * n_docs AS BIGINT) DIV n_total").alias(
             "floor_alloc"
         ),
         (B.cast("bigint") * F.col("n_docs") % F.col("n_total")).alias("remainder"),

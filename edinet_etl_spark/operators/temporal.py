@@ -615,8 +615,19 @@ def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus."""
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    start, end = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
     users = ev.select("user_id").distinct()
+    return gapfill_interp(
+        ev, users, "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    )
+
+
+def gapfill_interp(
+    ev: DataFrame, users: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Linear-interpolation gap-fill core over any events-shaped frame
+    (user_id, ts, value, event_id) — factored like `gapfill_locf` so
+    the hypothesis model test can drive it."""
+    spark = ev.sparkSession
     ev = ev.filter(
         (F.col("ts") >= F.lit(start).cast("timestamp"))
         & (F.col("ts") < F.lit(end).cast("timestamp"))

@@ -892,3 +892,142 @@ def test_value_acf_matches_python_model(spark):
         assert r["n_pairs"] == n_pairs
         assert r["n_hours"] == n_hours
         assert r["acf"] == acf, (r, acf)
+
+
+# --- Hamilton apportionment vs an independent Python model ---
+
+_src_counts = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=5000),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_src_counts, st.integers(min_value=0, max_value=2000))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_apportionment_matches_hamilton_model(spark, counts, budget):
+    from edinet_etl_spark.operators.llmdata import apportion
+
+    df = spark.createDataFrame(
+        [(s, n) for s, n in counts], "source string, n_docs bigint"
+    )
+    got = {r.source: r.alloc for r in apportion(df, budget).collect()}
+
+    # independent model: exact integer Hamilton method
+    total = sum(n for _, n in counts)
+    floors = {s: (budget * n) // total for s, n in counts}
+    rems = sorted(
+        ((-(budget * n) % total, s) for s, n in counts),
+        key=lambda t: (-((budget * dict(counts)[t[1]]) % total), t[1]),
+    )
+    leftover = budget - sum(floors.values())
+    expect = dict(floors)
+    for _, s in rems[:leftover]:
+        expect[s] += 1
+
+    assert got == expect
+    assert sum(got.values()) == budget
+    # each allocation is floor or floor+1 of its exact quota
+    for s, n in counts:
+        assert got[s] in (floors[s], floors[s] + 1)
+
+
+# --- compaction start-offset binning vs a sequential Python model ---
+
+_day_sizes = st.lists(
+    st.integers(min_value=1, max_value=400), min_size=1, max_size=25
+)
+
+
+@given(_day_sizes, st.integers(min_value=100, max_value=1000))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_compaction_bins_match_sequential_model(spark, sizes, target):
+    import datetime
+
+    from edinet_etl_spark.operators.analytics import pack_bins
+
+    days = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i) for i in range(len(sizes))]
+    df = spark.createDataFrame(list(zip(days, sizes)), "day date, bytes bigint")
+    got = {
+        r.bin_id: (r.n_files, r.total_bytes, r.first_day, r.last_day)
+        for r in pack_bins(df, target).collect()
+    }
+
+    # sequential model: walk days in order, bin = floor(start_offset/target)
+    expect: dict = {}
+    cum = 0
+    for d, b in zip(days, sizes):
+        bin_id = cum // target
+        n, tb, fd, ld = expect.get(bin_id, (0, 0, d, d))
+        expect[bin_id] = (n + 1, tb + b, min(fd, d), max(ld, d))
+        cum += b
+    assert got == expect
+    # bins are date-contiguous: ranges never interleave
+    order = sorted(expect)
+    for a, b in zip(order, order[1:]):
+        assert expect[a][3] < expect[b][2]
+
+
+# --- linear-interpolation gap-fill vs a pure-Python IEEE model ---
+
+_interp_event = st.tuples(
+    st.integers(min_value=1, max_value=3),              # user_id
+    st.integers(min_value=0, max_value=10_799),         # seconds offset
+    st.integers(min_value=-99999, max_value=99999),     # value in cents
+)
+
+
+@given(st.lists(_interp_event, min_size=1, max_size=20, unique_by=lambda e: (e[0], e[1])))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gapfill_interp_matches_python_model(spark, events):
+    import datetime as dt_mod
+
+    from edinet_etl_spark.operators.temporal import gapfill_interp
+
+    base = dt_mod.datetime(2024, 1, 1)
+    rows = [
+        (uid, idx, base + dt_mod.timedelta(seconds=off), cents / 100.0)
+        for idx, (uid, off, cents) in enumerate(events, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    users = df.select("user_id").distinct()
+    out = gapfill_interp(df, users, "2024-01-01 00:00:00", "2024-01-01 03:00:00")
+    got = {(r["user_id"], r["grid_hour"]): r["interp_value"] for r in out.collect()}
+
+    # model: per (user, hour) last observation by (ts, event_id), then
+    # the SAME 3-op IEEE expression Spark evaluates
+    last_obs: dict[tuple[int, dt_mod.datetime], tuple] = {}
+    for uid, idx, ts, val in rows:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        key = (uid, hour)
+        cand = (ts, idx, val)
+        if key not in last_obs or cand[:2] > last_obs[key][:2]:
+            last_obs[key] = cand
+    expect = {}
+    for uid in {r[0] for r in rows}:
+        obs = {
+            h: last_obs[(uid, dt_mod.datetime(2024, 1, 1, h))][2]
+            for h in range(4)
+            if (uid, dt_mod.datetime(2024, 1, 1, h)) in last_obs
+        }
+        hs = sorted(obs)
+        for h in range(4):
+            prev = max((o for o in hs if o <= h), default=None)
+            nxt = min((o for o in hs if o > h), default=None)
+            if prev is None:
+                v = None
+            elif nxt is None:
+                v = obs[prev]
+            else:
+                # identical expression tree to the Spark/DuckDB form
+                v = obs[prev] + (obs[nxt] - obs[prev]) * (
+                    float(h - prev) / float(nxt - prev)
+                )
+            expect[(uid, dt_mod.datetime(2024, 1, 1, h))] = v
+    assert got == expect
