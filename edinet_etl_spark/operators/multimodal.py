@@ -325,3 +325,91 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_energy bigint, peak_frame bigint"
         ),
     )
+
+
+_THUMB_BLOCKS = 8
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the resize stage: block-average pooling
+    of each payload's byte signal down to `_THUMB_BLOCKS` buckets —
+    the 1-D stand-in for thumbnail downsampling (the real path swaps
+    the pooling line for PIL's Image.resize; batch shape, schema and
+    boundary math are identical).  Block sums stay int64 so the
+    fingerprint compares exactly in any engine."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        n_bytes, b0, fps = [], [], []
+        for p in pdf["payload"]:
+            arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            n = len(arr)
+            if n == 0:
+                sums = [0] * _THUMB_BLOCKS
+            else:
+                # byte i lands in block (i * B) // n — same integer
+                # boundary rule the SQL oracle states
+                blocks = (np.arange(n, dtype=np.int64) * _THUMB_BLOCKS) // n
+                sums_arr = np.zeros(_THUMB_BLOCKS, dtype=np.int64)
+                np.add.at(sums_arr, blocks, arr)
+                sums = sums_arr.tolist()
+            n_bytes.append(n)
+            b0.append(sums[0])
+            fps.append(hashlib.md5(",".join(map(str, sums)).encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "block0_sum": b0,
+                "thumb_md5": fps,
+            }
+        )
+
+
+_THUMB_MD5_SQL = "md5(" + " || ',' || ".join(
+    f"CAST(SUM(CASE WHEN ((i - 1) * {_THUMB_BLOCKS}) // length(text) = {j} "
+    f"THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END) AS BIGINT)"
+    for j in range(_THUMB_BLOCKS)
+) + ")"
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN ((i - 1) * {_THUMB_BLOCKS}) // length(text) = 0
+                    THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END)
+                AS BIGINT) AS block0_sum,
+           {_THUMB_MD5_SQL} AS thumb_md5
+    FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+    GROUP BY doc_id, length(text)
+    """,
+    covers=["M6-multimodal"],
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE stage of the multimodal ladder (decode → resize →
+    feature-extract → frame-sample): block-average pooling of each
+    payload to a fixed {B}-bucket thumbnail, run as an Arrow-batched
+    ``mapInPandas`` island.  Byte i of an n-byte payload lands in
+    block (i*B) div n — the exact integer boundary rule a real
+    downsampler uses per axis, so swapping the stub for PIL changes
+    one line, not the plumbing.
+
+    The oracle replays the identical integer math per character
+    (payloads are ascii text bytes) and compares the md5 of the
+    ordered block-sum vector — the pooled content verified
+    byte-for-byte, not shape-checked.
+
+    Scale: one Python island, per-doc work linear in payload bytes,
+    zero shuffle (pooling is payload-local); Arrow batches amortize
+    the JVM<->Python hop exactly as in `multimodal_decode`."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.mapInPandas(
+        _resize_batches,
+        schema="doc_id long, n_bytes bigint, block0_sum bigint, thumb_md5 string",
+    )
