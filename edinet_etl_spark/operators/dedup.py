@@ -1582,3 +1582,52 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g in (1, 2)
     ]
     return arms[0].unionAll(arms[1]).orderBy("doc_a", "doc_b", "gap")
+
+
+@query(
+    "duplicate_cluster_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CANON_COMPONENT_CTES},
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    covers=["M6-dedup", "A-extended"],
+)
+def duplicate_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup OBSERVABILITY
+    readout: how many near-duplicate clusters of each size the corpus
+    contains (size 1 = unique docs; Σ n_clusters = docs kept after
+    dedup; Σ n_docs = corpus).  The number a data card publishes and
+    the first thing to eyeball after changing LSH dials — a sudden
+    giant cluster means a boilerplate explosion, a flat histogram
+    means the dials are too tight.
+
+    Composes `neardup_components` (exact-collapse → LSH over
+    canonicals → min-label propagation) and collapses per-component
+    counts twice — component sizes, then the size histogram; both
+    aggregates are map-side-combined and the histogram is at most
+    |max cluster size| rows.  Pure integers throughout."""
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -167,7 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_budget_apportionment", "inverted_index_postings",
     "gapfill_linear_interp", "user_profile_snapshot",
     "compaction_bin_packing", "cogrouped_asof_pandas",
-    "multimodal_resize",
+    "multimodal_resize", "duplicate_cluster_histogram",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
