@@ -1809,3 +1809,135 @@ def pack_bins(files: DataFrame, target: int) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "winsorized_segment_stats",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    byval AS (
+      SELECT segment, price, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seg GROUP BY segment, price
+    ),
+    cum AS (
+      SELECT segment, price, cnt,
+             SUM(cnt) OVER (
+               PARTITION BY segment ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM byval
+    ),
+    thr AS (
+      SELECT segment,
+             MIN(CASE WHEN 100 * cumcnt >= n THEN price END) AS p01,
+             MIN(CASE WHEN 100 * cumcnt >= 99 * n THEN price END) AS p99
+      FROM cum GROUP BY segment
+    ),
+    clipped AS (
+      SELECT b.segment, b.cnt,
+             b.price,
+             CASE WHEN b.price < t.p01 THEN t.p01
+                  WHEN b.price > t.p99 THEN t.p99
+                  ELSE b.price END AS wprice,
+             t.p01, t.p99
+      FROM byval b JOIN thr t ON t.segment = b.segment
+    )
+    SELECT segment,
+           CAST(SUM(cnt) AS BIGINT) AS n_orders,
+           MAX(p01) AS p01, MAX(p99) AS p99,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,8)) * cnt) AS VARCHAR)
+                AS DOUBLE) / SUM(cnt) AS raw_mean,
+           CAST(CAST(SUM(CAST(wprice AS DECIMAL(18,8)) * cnt) AS VARCHAR)
+                AS DOUBLE) / SUM(cnt) AS winsorized_mean
+    FROM clipped
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    covers=["A-extended", "W-extended"],
+)
+def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per segment — the robust center a metrics
+    pipeline reports when a few whale orders would swamp the plain
+    mean: clip every price into the exact nearest-rank [p01, p99]
+    band, then average.  Composes this module's two exact primitives:
+    distinct-value cumulative SELECTION (`exact_group_percentiles`)
+    for the thresholds and the decimal-sum discipline for the mean —
+    beside `value_mad_outliers` (which flags outliers) this one
+    REMOVES their leverage.
+
+    Exactness: thresholds are data values picked by integer
+    cross-multiplied admissions; clipping is a CASE (no arithmetic);
+    both means are exact DECIMAL sums of (value x count) over the
+    collapsed grid, string-hopped once, divided once.
+
+    Scale: everything after the (segment, price) collapse operates on
+    distinct values, never raw rows — the winsorized sum needs NO
+    second fact scan because Σ clip(v)·cnt is computable from the same
+    collapsed grid that selected the thresholds; the threshold table
+    (|segments| rows) broadcasts back."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    byval = seg.groupBy("segment", "price").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("segment")
+    cum = byval.select(
+        "segment",
+        "price",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    thr = cum.groupBy("segment").agg(
+        F.min(F.when(100 * F.col("cumcnt") >= F.col("n"), F.col("price"))).alias(
+            "p01"
+        ),
+        F.min(
+            F.when(100 * F.col("cumcnt") >= 99 * F.col("n"), F.col("price"))
+        ).alias("p99"),
+    )
+    clipped = byval.join(F.broadcast(thr), "segment").select(
+        "segment",
+        "cnt",
+        "price",
+        F.when(F.col("price") < F.col("p01"), F.col("p01"))
+        .when(F.col("price") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("price"))
+        .alias("wprice"),
+        "p01",
+        "p99",
+    )
+    total = F.sum("cnt")
+    return (
+        clipped.groupBy("segment")
+        .agg(
+            total.cast("bigint").alias("n_orders"),
+            F.max("p01").alias("p01"),
+            F.max("p99").alias("p99"),
+            (
+                F.sum(dec(F.col("price")) * F.col("cnt"))
+                .cast("string")
+                .cast("double")
+                / total
+            ).alias("raw_mean"),
+            (
+                F.sum(dec(F.col("wprice")) * F.col("cnt"))
+                .cast("string")
+                .cast("double")
+                / total
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("segment")
+    )

@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "gapfill_linear_interp", "user_profile_snapshot",
     "compaction_bin_packing", "cogrouped_asof_pandas",
     "multimodal_resize", "duplicate_cluster_histogram",
+    "winsorized_segment_stats",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -48,6 +48,7 @@ CASES = [
     "embedding_centroid_drift",
     "gapfill_linear_interp",
     "user_profile_snapshot",
+    "winsorized_segment_stats",
 ]
 
 
