@@ -1058,3 +1058,107 @@ def user_profile_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    byval AS (
+      SELECT event_type, gap_us, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY event_type, gap_us
+    ),
+    cum AS (
+      SELECT event_type, gap_us, cnt,
+             SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY gap_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM byval
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           MIN(CASE WHEN 2 * cumcnt >= n THEN gap_us END) AS median_gap_us,
+           CAST(CAST(SUM(CAST(gap_us AS DECIMAL(38,0)) * cnt) AS VARCHAR)
+                AS DOUBLE) / MAX(n) AS mean_gap_us
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=["EV-interarrival", "W-extended", "A-extended"],
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type — the cadence
+    profile behind rate-limiting, bot detection, and session-gap
+    tuning (`user_sessions`' 30-minute threshold should come FROM this
+    table, not folklore): per type, the exact min / median / mean /
+    max gap between consecutive same-type events of the same user.
+
+    Exactness: gaps are exact int64 microseconds (LAG over a pinned
+    (ts, event_id) order); the median is nearest-rank selection over
+    the distinct-gap collapse (integer cross-multiplied admission);
+    the mean is an exact DECIMAL Σ gap·cnt with one string-hopped
+    division.
+
+    Scale: the LAG window partitions by (user, type) — maximal key
+    parallelism, never a per-type global sort; gap rows then collapse
+    to distinct (type, gap) values map-side before the per-type
+    cumulative selection (the same two-collapse law as
+    `exact_group_percentiles`)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        # ts is TIMESTAMP_NTZ (nanos-parquet conversion); the NTZ→TZ
+        # cast is deterministic because prep() pins the session to UTC
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    byval = gaps.groupBy("event_type", "gap_us").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = byval.select(
+        "event_type",
+        "gap_us",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.min(
+                F.when(2 * F.col("cumcnt") >= F.col("n"), F.col("gap_us"))
+            ).alias("median_gap_us"),
+            (
+                F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("cnt"))
+                .cast("string")
+                .cast("double")
+                / F.max("n")
+            ).alias("mean_gap_us"),
+        )
+        .orderBy("event_type")
+    )

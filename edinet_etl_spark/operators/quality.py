@@ -1117,3 +1117,80 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in legs[1:]:
         out = out.unionAll(extra)
     return out.orderBy("table_name")
+
+
+@query(
+    "dictionary_encoding_stats",
+    oracle="""
+    WITH legs AS (
+      SELECT 'c_mktsegment' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct,
+             CAST(SUM(length(c_mktsegment)) AS BIGINT) AS raw_bytes
+      FROM customer
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(SUM(length(o_orderpriority)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(SUM(length(o_orderstatus)) AS BIGINT)
+      FROM orders
+    )
+    SELECT column_name, n_rows, n_distinct, raw_bytes,
+           CAST(raw_bytes AS DOUBLE)
+             / CAST(4 * n_rows + raw_bytes * n_distinct / n_rows AS DOUBLE)
+             AS est_dict_ratio
+    FROM legs
+    ORDER BY column_name
+    """,
+    covers=["Q-extended", "SC-layout"],
+)
+def dictionary_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding advisor — the storage-layout question every
+    columnar lake asks per string column: would a dictionary beat raw
+    encoding?  Per candidate column: rows, exact distinct count, raw
+    byte mass, and the estimated compression ratio raw /
+    (4·rows + avg_len·distinct) — 4-byte codes plus one dictionary
+    page (the parquet dictionary-page cost model, evaluated in exact
+    integers with ONE final double division; the dict size term uses
+    the integer mean length so both engines round identically).
+
+    Scale: one map-side-combined aggregate per column (exact distinct
+    rides the same agg via Expand), three one-row legs unioned — the
+    same zero-join shape as `table_checksum_audit`; at 100 TB this is
+    the profile a table-format OPTIMIZE advisor runs per column
+    chunk."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+
+    def leg(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.sum(F.length(col)).cast("bigint").alias("raw_bytes"),
+        ).select(F.lit(name).alias("column_name"), "n_rows", "n_distinct", "raw_bytes")
+
+    legs = (
+        leg("c_mktsegment", c, "c_mktsegment")
+        .unionAll(leg("o_orderpriority", o, "o_orderpriority"))
+        .unionAll(leg("o_orderstatus", o, "o_orderstatus"))
+    )
+    return legs.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "raw_bytes",
+        (
+            F.col("raw_bytes").cast("double")
+            / (
+                4 * F.col("n_rows")
+                + F.col("raw_bytes") * F.col("n_distinct") / F.col("n_rows")
+            ).cast("double")
+        ).alias("est_dict_ratio"),
+    ).orderBy("column_name")

@@ -168,7 +168,8 @@ _PRIORITY: tuple[str, ...] = (
     "gapfill_linear_interp", "user_profile_snapshot",
     "compaction_bin_packing", "cogrouped_asof_pandas",
     "multimodal_resize", "duplicate_cluster_histogram",
-    "winsorized_segment_stats",
+    "winsorized_segment_stats", "dictionary_encoding_stats",
+    "event_interarrival_stats",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

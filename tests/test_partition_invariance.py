@@ -49,6 +49,7 @@ CASES = [
     "gapfill_linear_interp",
     "user_profile_snapshot",
     "winsorized_segment_stats",
+    "event_interarrival_stats",
 ]
 
 
