@@ -1,5 +1,5 @@
 """The pluggable-function surface (SURVEY.md §2.10): the reference has
-no function API; this module exposes the four Spark extension points a
+no function API; this module exposes the six Spark extension points a
 user would reach for, each proven against the SQL oracle:
 
 - **scalar pandas_udf** — Arrow-vectorized per-row function
@@ -7,7 +7,11 @@ user would reach for, each proven against the SQL oracle:
 - **grouped-agg pandas_udf** — a UDAF: whole group in, scalar out;
 - **grouped-map applyInPandas** — whole group in, frame out;
 - **Python UDTF** (Spark ≥ 3.5 ``@udtf``) — table function usable
-  from SQL via LATERAL join.
+  from SQL via LATERAL join;
+- **cogroup().applyInPandas** — two keyed frames aligned per key
+  through one Arrow island (`cogrouped_asof_pandas`);
+- **mapInArrow** — raw RecordBatch in/out, zero pandas
+  materialization (`arrow_token_totals`).
 
 UDF objects are built lazily inside the query functions: the
 ``pandas_udf``/``udtf`` decorators parse their DDL return types
@@ -407,3 +411,61 @@ def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id bigint, lag_us bigint",
     )
     return out.orderBy("purchase_event_id")
+
+
+@query(
+    "arrow_token_totals",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(MAX(length(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=["UDF-arrow", "A-extended"],
+)
+def arrow_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sixth extension point: ``mapInArrow`` — the island BELOW
+    mapInPandas, operating on raw ``pyarrow.RecordBatch``es with zero
+    pandas materialization (no index, no object boxing): the right
+    tier when the kernel is itself vectorized Arrow compute (here
+    ``split_pattern`` + ``list_value_length``, both C++).  Token
+    counts per doc come out of the island; the per-source rollup
+    stays JVM-side so the aggregate is map-side-combined as usual.
+
+    Semantics pinned to the SQL oracle's ``string_split(text, ' ')``:
+    split on SINGLE spaces, empties preserved — Arrow's
+    ``split_pattern`` matches exactly (unlike
+    ``ascii_split_whitespace``, which collapses runs).
+
+    Scale: one Python island, per-batch C++ work, no shuffle inside;
+    Arrow-to-Arrow means even the Python-side copy of mapInPandas is
+    avoided — the cheapest possible custom stage when you don't need
+    pandas."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def count_tokens(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = pc.list_value_length(
+                pc.split_pattern(b.column("text"), pattern=" ")
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("source"), n], names=["source", "n_tokens"]
+            )
+
+    toks = docs.mapInArrow(count_tokens, schema="source string, n_tokens bigint")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -169,7 +169,7 @@ _PRIORITY: tuple[str, ...] = (
     "compaction_bin_packing", "cogrouped_asof_pandas",
     "multimodal_resize", "duplicate_cluster_histogram",
     "winsorized_segment_stats", "dictionary_encoding_stats",
-    "event_interarrival_stats",
+    "event_interarrival_stats", "arrow_token_totals",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
