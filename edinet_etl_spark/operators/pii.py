@@ -266,3 +266,78 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("clean_id") == F.col("dirty_id"), 1).otherwise(0)) == 1
         ).alias("true_match_in_candidates"),
     )
+
+
+@query(
+    "pii_pseudonymize_customers",
+    oracle="""
+    WITH tok AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             'CUST_' || substr(md5('name-key:' || c_name), 1, 12) AS name_token,
+             'KEY_' || substr(md5('key-salt:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+               AS key_token
+      FROM customer
+    )
+    SELECT c_custkey, name_token, key_token, c_nationkey, c_mktsegment,
+           CAST(COUNT(*) OVER (PARTITION BY name_token) AS BIGINT)
+             AS token_collisions
+    FROM tok
+    ORDER BY c_custkey
+    """,
+    covers=["PII-pseudo", "F5"],
+)
+def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization — the OTHER half of the PII
+    toolkit: where `pii_scrub_customers` destroys identifiers,
+    this replaces them with stable keyed tokens so the anonymized
+    table still JOINS (same person → same token across tables and
+    runs, the property analytics-on-anonymized-data requires).  The
+    `token_collisions` window is the built-in k-anonymity audit: a
+    value > 1 means two names collided into one token (expected ~0 at
+    48 bits; a spike means the token is too short for the corpus).
+
+    Tokens are salted-md5 prefixes ('name-key:'/'phone-key:' stand in
+    for rotated secret salts — rotating the salt re-keys the entire
+    corpus in one pass).  Everything is codegen string work; the
+    collision audit is one window over the token (the attribute
+    cardinality), no joins.
+
+    Scale: per-row hashing is embarrassingly parallel; the audit
+    window shuffles on name_token — the profile `join_key_skew_profile`
+    would run first if tokens could be hot (they cannot: md5)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+
+    def token(prefix: str, salt: str, col: str) -> Column:
+        return F.concat(
+            F.lit(prefix),
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(col))), 1, 12),
+        )
+
+    tok = cust.select(
+        "c_custkey",
+        token("CUST_", "name-key:", "c_name").alias("name_token"),
+        F.concat(
+            F.lit("KEY_"),
+            F.substring(
+                F.md5(F.concat(F.lit("key-salt:"), F.col("c_custkey").cast("string"))),
+                1,
+                12,
+            ),
+        ).alias("key_token"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    from pyspark.sql import Window
+
+    return tok.select(
+        "c_custkey",
+        "name_token",
+        "key_token",
+        "c_nationkey",
+        "c_mktsegment",
+        F.count("*")
+        .over(Window.partitionBy("name_token"))
+        .cast("bigint")
+        .alias("token_collisions"),
+    ).orderBy("c_custkey")
