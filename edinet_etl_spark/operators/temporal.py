@@ -710,3 +710,66 @@ def gapfill_interp(
         )
         .alias("interp_value"),
     )
+
+
+@query(
+    "business_day_ship_lag",
+    oracle="""
+    WITH lags AS (
+      SELECT
+        (5 * ((CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) AS BIGINT) + 3) // 7)
+         + LEAST((CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) + 3) % 7, 5))
+        -
+        (5 * ((CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) + 3) // 7)
+         + LEAST((CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) + 3) % 7, 5))
+        AS bday_lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= o_orderdate
+    )
+    SELECT CAST(bday_lag AS BIGINT) AS bday_lag,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lags GROUP BY bday_lag ORDER BY bday_lag
+    """,
+    covers=["T-calendar", "F4", "J-extended"],
+)
+def business_day_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping lag in BUSINESS days (weekends excluded) — the
+    calendar-intelligence form of `lineitem_ship_lag_range` that SLA
+    reporting actually wants ("shipped within 5 business days").
+
+    The business-day count uses a closed form, not a calendar table:
+    with m = epoch_day + 3 (so m % 7 == 0 ⇔ Monday), business days
+    since epoch B = 5·(m div 7) + min(m mod 7, 5); the lag is
+    B(ship) − B(order).  Pure int64 div/mod — no engine weekday
+    function is trusted (Spark's dayofweek is 1=Sunday, DuckDB's is
+    0=Sunday; the epoch-day formula sidesteps the mismatch class
+    entirely).
+
+    Scale: the equi-join is the same hash shape as the raw-lag query;
+    the histogram collapses map-side to ≤ a few thousand lag values."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bdays(col: str) -> F.Column:
+        m = F.datediff(F.col(col).cast("date"), epoch).cast("bigint") + 3
+        # (m - m%7)/7 is an exact integer (≪ 2^53), so the double
+        # division is lossless; m is always positive here (dates ≥1992)
+        weeks = ((m - (m % 7)) / F.lit(7)).cast("bigint")
+        return F.lit(5) * weeks + F.least(m % 7, F.lit(5))
+
+    j = li.join(od, li.l_orderkey == od.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    lag = (bdays("l_shipdate") - bdays("o_orderdate")).cast("bigint")
+    return (
+        j.select(lag.alias("bday_lag"))
+        .groupBy("bday_lag")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bday_lag")
+    )

@@ -170,7 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_resize", "duplicate_cluster_histogram",
     "winsorized_segment_stats", "dictionary_encoding_stats",
     "event_interarrival_stats", "arrow_token_totals",
-    "pii_pseudonymize_customers",
+    "pii_pseudonymize_customers", "business_day_ship_lag",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
