@@ -341,3 +341,61 @@ def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_collisions"),
     ).orderBy("c_custkey")
+
+
+_KANON_K = 20
+
+
+@query(
+    "kanon_release_segment_stats",
+    oracle=f"""
+    WITH cells AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS total_balance
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT nation, segment, n_customers, total_balance
+    FROM cells
+    WHERE n_customers >= {_KANON_K}
+    ORDER BY nation, segment
+    """,
+    covers=["PII-kanon", "A3", "J1"],
+)
+def kanon_release_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cell-size release — the statistical-disclosure-control
+    gate on aggregate publication: per (nation, segment) cell, publish
+    count and total balance ONLY when at least k=20 individuals
+    contribute; smaller cells are SUPPRESSED entirely (the standard
+    census-table rule; the released table can't single anyone out by
+    cell membership).  Completes the privacy ladder: scrub destroys,
+    pseudonymize re-keys, this gate controls what aggregates leave.
+
+    Suppression is a plain filter on the exact count — declarative, so
+    Catalyst pushes the whole thing into one aggregate + filter; the
+    balance sum rides the decimal discipline.
+
+    Scale: one map-side-combined aggregate on the cell key + a
+    broadcast nation decode; the filter removes rows, never reads
+    more.  At 100 TB the k-threshold maths is identical — suppression
+    cost is zero because it happens after the collapse."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+    return (
+        cells.filter(F.col("n_customers") >= _KANON_K)
+        .orderBy("nation", "segment")
+    )
