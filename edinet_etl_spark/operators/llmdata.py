@@ -1594,3 +1594,146 @@ def apportion(counts: DataFrame, budget: int) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     ).orderBy("source")
+
+
+@query(
+    "maxmin_fair_token_caps",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) // 2 AS BIGINT) AS b
+      FROM tok
+    ),
+    ranked AS (
+      SELECT source, t,
+             CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+             SUM(t) OVER (ORDER BY t, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM tok
+    ),
+    sat AS (
+      SELECT r.source, r.t, r.rn, r.p, t2.n, t2.b,
+             CASE WHEN r.p + (t2.n - r.rn) * r.t <= t2.b
+                  THEN 1 ELSE 0 END AS is_sat
+      FROM ranked r, tot t2
+    ),
+    jrow AS (
+      SELECT COALESCE(MAX(CASE WHEN is_sat = 1 THEN rn END), 0) AS j,
+             COALESCE(MAX(CASE WHEN is_sat = 1 THEN p END), 0) AS pj
+      FROM sat
+    ),
+    planned AS (
+      SELECT s.source, s.t, s.is_sat,
+             (s.b - j.pj) // (s.n - j.j) AS cap,
+             (s.b - j.pj) % (s.n - j.j) AS extra_r,
+             CASE WHEN s.is_sat = 0 THEN
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.is_sat
+                                       ORDER BY s.source) AS BIGINT)
+             END AS urn
+      FROM sat s, jrow j
+    )
+    SELECT source, t AS total_tokens,
+           CAST(CASE WHEN is_sat = 1 THEN t
+                     ELSE cap + CASE WHEN urn <= extra_r THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens
+    FROM planned
+    ORDER BY source
+    """,
+    covers=["LLM-sampling", "A-extended", "W-extended"],
+)
+def maxmin_fair_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) token budget across sources — the
+    OTHER classic mixing allocator beside Hamilton's proportional
+    `sample_budget_apportionment`: small sources keep everything they
+    have, large sources are capped at a common water level C chosen so
+    allocations sum EXACTLY to the budget (here half the corpus's
+    tokens — "downsample 2× without starving minority sources", the
+    standard anti-domination data-mix rule).
+
+    Exact integer construction: sources sorted by size, a source is
+    SATURATED iff granting it fully and capping everyone above at its
+    size still fits the budget (p_i + (n-i)·t_i ≤ B — all int64); with
+    j saturated sources consuming p_j, the cap is (B-p_j) DIV (n-j)
+    and the MOD remainder goes one token each to the first unsaturated
+    sources by name.  Σ alloc = B provably; alloc_i ≤ t_i always.
+
+    Scale: one map-side token count per source, then every window runs
+    over the |sources|-row table; the two one-row scalars attach via
+    broadcast — same constant-small control-plane shape as the other
+    allocators.  Proven against an independent Python water-filling
+    model in `tests/test_properties.py`."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("t")
+    )
+    return waterfill_half(tok)
+
+
+def waterfill_half(tok: DataFrame) -> DataFrame:
+    """Water-filling core over any (source, t) frame with budget =
+    total DIV 2 (factored for the hypothesis model test; budget < total
+    guarantees at least one unsaturated source, so the cap divisor is
+    never zero)."""
+    tot = tok.agg(
+        F.sum("t").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(t) AS BIGINT) DIV 2").alias("b"),
+    )
+    w_rank = Window.orderBy("t", "source")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = tok.select(
+        "source",
+        "t",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.sum("t").over(w_cum).alias("p"),
+    )
+    sat = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "t",
+        "rn",
+        "p",
+        "n",
+        "b",
+        F.when(
+            F.col("p") + (F.col("n") - F.col("rn")) * F.col("t") <= F.col("b"), 1
+        )
+        .otherwise(0)
+        .alias("is_sat"),
+    )
+    jrow = sat.agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_sat") == 1, F.col("rn"))), F.lit(0).cast("bigint")
+        ).alias("j"),
+        F.coalesce(
+            F.max(F.when(F.col("is_sat") == 1, F.col("p"))), F.lit(0).cast("bigint")
+        ).alias("pj"),
+    )
+    w_unsat = Window.partitionBy("is_sat").orderBy("source")
+    planned = sat.crossJoin(F.broadcast(jrow)).select(
+        "source",
+        "t",
+        "is_sat",
+        F.expr("(b - pj) DIV (n - j)").alias("cap"),
+        ((F.col("b") - F.col("pj")) % (F.col("n") - F.col("j"))).alias("extra_r"),
+        F.when(
+            F.col("is_sat") == 0,
+            F.row_number().over(w_unsat).cast("bigint"),
+        ).alias("urn"),
+    )
+    return planned.select(
+        "source",
+        F.col("t").alias("total_tokens"),
+        F.when(F.col("is_sat") == 1, F.col("t"))
+        .otherwise(
+            F.col("cap") + F.when(F.col("urn") <= F.col("extra_r"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    ).orderBy("source")

@@ -171,7 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "winsorized_segment_stats", "dictionary_encoding_stats",
     "event_interarrival_stats", "arrow_token_totals",
     "pii_pseudonymize_customers", "business_day_ship_lag",
-    "kanon_release_segment_stats",
+    "kanon_release_segment_stats", "maxmin_fair_token_caps",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

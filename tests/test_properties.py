@@ -1031,3 +1031,41 @@ def test_gapfill_interp_matches_python_model(spark, events):
                 )
             expect[(uid, dt_mod.datetime(2024, 1, 1, h))] = v
     assert got == expect
+
+
+# --- max-min fair water-filling vs an independent Python model ---
+
+
+@given(_src_counts)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_waterfill_matches_python_model(spark, counts):
+    from edinet_etl_spark.operators.llmdata import waterfill_half
+
+    df = spark.createDataFrame([(s, t) for s, t in counts], "source string, t bigint")
+    got = {r.source: r.alloc_tokens for r in waterfill_half(df).collect()}
+
+    # independent model: simulate water-filling by iterative saturation
+    total = sum(t for _, t in counts)
+    budget = total // 2
+    remaining = dict(counts)
+    alloc = {s: 0 for s, _ in counts}
+    left = budget
+    active = sorted(remaining, key=lambda s: (remaining[s], s))
+    while active and left > 0:
+        fair = left // len(active)
+        smallest = active[0]
+        if remaining[smallest] <= fair:
+            alloc[smallest] = remaining[smallest]
+            left -= remaining[smallest]
+            active = active[1:]
+        else:
+            # everyone remaining gets fair (+1 for the first `rem` by name)
+            rem = left % len(active)
+            for i, s in enumerate(sorted(active)):
+                alloc[s] = fair + (1 if i < rem else 0)
+            left = 0
+            active = []
+    assert got == alloc
+    assert sum(got.values()) == budget
+    for s, t in counts:
+        assert 0 <= got[s] <= t
