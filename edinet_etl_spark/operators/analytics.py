@@ -1941,3 +1941,77 @@ def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "region_nation_revenue_shares",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,8))) AS revd
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(revd AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(revd) OVER (PARTITION BY region) AS VARCHAR)
+                    AS DOUBLE) AS share_of_region,
+           CAST(CAST(revd AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(revd) OVER () AS VARCHAR) AS DOUBLE)
+             AS share_of_total
+    FROM rev
+    ORDER BY region, nation
+    """,
+    covers=["W-extended", "A-extended", "J1"],
+)
+def region_nation_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution ladder (the BI ratio-to-report
+    shape): each nation's revenue with its share of its REGION and of
+    the WORLD — two nested ratio windows over the same 25-row grid.
+
+    Exactness: the numerator AND both window denominators stay in
+    exact DECIMAL until one string-hopped conversion each — window
+    SUM over decimals is associative, so the whole-partition fold
+    order (which engines do NOT pin for unordered frames) cannot
+    matter.  (The first cut window-summed the doubles and the driver
+    mirror caught the 1-ulp fold-order divergence immediately —
+    exactly the failure class the decimal discipline exists for.)
+
+    Scale: the heavy work is the same broadcast-star fact aggregate as
+    `revenue_by_nation_year`; both share windows run on the constant
+    25-row result — the denominators never touch the fact table."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revd"
+            )
+        )
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w_region = Window.partitionBy("region")
+    w_total = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        dbl(F.col("revd")).alias("revenue"),
+        (dbl(F.col("revd")) / dbl(F.sum("revd").over(w_region))).alias(
+            "share_of_region"
+        ),
+        (dbl(F.col("revd")) / dbl(F.sum("revd").over(w_total))).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region", "nation")

@@ -50,6 +50,7 @@ CASES = [
     "user_profile_snapshot",
     "winsorized_segment_stats",
     "event_interarrival_stats",
+    "region_nation_revenue_shares",
 ]
 
 
