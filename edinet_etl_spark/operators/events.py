@@ -1162,3 +1162,94 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "clamped_running_balance",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  WHEN event_type = 'error' THEN -value
+                  ELSE 0.0 END AS delta
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, delta,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM base
+    ),
+    walk AS (
+      SELECT user_id, rn, n,
+             GREATEST(0.0, delta) + 0.0 AS bal,
+             CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_resets
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.n,
+             GREATEST(0.0, w.bal + s.delta) + 0.0,
+             w.n_resets + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, n AS n_events, bal AS final_balance, n_resets
+    FROM walk WHERE rn = n
+    ORDER BY user_id
+    """,
+    covers=["EV-sequential", "X-iterative"],
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (floor-at-zero) running balance — the canonical
+    operator plain window functions CANNOT express: each step depends
+    on the clamp applied at the previous step (credit balances,
+    inventory that can't go negative, token buckets).  Purchases add
+    value, errors drain it, the floor is 0; output is each user's
+    final balance and how often the floor engaged.
+
+    Spark form: per-user sequential fold inside ``applyInPandas`` —
+    the honest shape for inherently-sequential state (the streaming
+    twin is `applyInPandasWithState`); the oracle replays the SAME
+    left-to-right IEEE fold as a recursive CTE, so results compare
+    bit-exact (each step normalizes -0.0 via +0.0 on both sides —
+    GREATEST/max disagree on zero sign, the one portability trap
+    here).
+
+    Scale: one shuffle on user_id; per-task work is linear in the
+    largest user's history, state is one float — at 100 TB this runs
+    as a streaming stateful op with the identical per-key fold."""
+    prep(spark)
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal, resets = 0.0, 0
+        for d in pdf["delta"]:
+            nxt = bal + float(d)
+            if nxt < 0:
+                resets += 1
+            bal = max(0.0, nxt) + 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance": [bal],
+                "n_resets": [resets],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        fold,
+        schema="user_id bigint, n_events bigint, final_balance double, "
+        "n_resets bigint",
+    )
+    return out.orderBy("user_id")

@@ -172,7 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_interarrival_stats", "arrow_token_totals",
     "pii_pseudonymize_customers", "business_day_ship_lag",
     "kanon_release_segment_stats", "maxmin_fair_token_caps",
-    "region_nation_revenue_shares",
+    "region_nation_revenue_shares", "clamped_running_balance",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
