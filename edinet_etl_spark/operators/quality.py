@@ -1194,3 +1194,171 @@ def dictionary_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("est_dict_ratio"),
     ).orderBy("column_name")
+
+
+@query(
+    "order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               AS computed_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderstatus AS orderstatus,
+             o.o_totalprice - li.computed_total AS diff
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN ABS(diff) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           MAX(ABS(diff)) AS max_abs_diff
+    FROM recon
+    GROUP BY orderstatus
+    ORDER BY orderstatus
+    """,
+    covers=["Q-extended", "A-extended", "J-extended"],
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the audit every billing /
+    ledger pipeline runs nightly: does each order's header total equal
+    the sum of its lines under the pricing formula
+    Σ extendedprice·(1−discount)·(1+tax)?  Per order status: orders
+    checked, orders off by more than a cent, and the worst absolute
+    discrepancy.  (On the synthetic fixture the header is independent
+    of the lines, so the mismatch counts are large — the point is the
+    exact, reproducible MEASUREMENT of the gap, which is precisely
+    what a reconciliation report is.)
+
+    Exactness: the per-order line sum is an exact decimal fold
+    (3-factor product ≤6 dp on the 1e-8 grid) string-hopped once; the
+    diff is ONE subtraction of engine-identical doubles; ABS/compare/
+    MAX are all order-independent.
+
+    Scale: one map-side-combined per-order aggregate, one equi-join on
+    the order key (co-partitionable / bucketable), one status rollup —
+    the canonical fact-vs-fact reconciliation shape at any SF."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(18,8)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("computed_total")
+    )
+    recon = o.join(per_order, o.o_orderkey == per_order.l_orderkey).select(
+        F.col("o_orderstatus").alias("orderstatus"),
+        (F.col("o_totalprice") - F.col("computed_total")).alias("diff"),
+    )
+    return (
+        recon.groupBy("orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.abs("diff") > 0.01, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mismatched"),
+            F.max(F.abs("diff")).alias("max_abs_diff"),
+        )
+        .orderBy("orderstatus")
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, written as literal doubles so both
+# engines parse the identical constant (no libm call at query time).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829993",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.045757490560675115",
+}
+
+# CAST('…' AS DOUBLE): a bare decimal literal is parsed as DECIMAL by
+# DuckDB and double-rounded on conversion; string→double is the
+# correctly-rounded path in every engine (same trap numeric.py hops).
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM digits GROUP BY first_digit
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+    SELECT c.first_digit, c.observed,
+           {_BENFORD_SQL_CASE} AS benford_share,
+           CAST(c.observed AS DOUBLE) / t.n
+             - {_BENFORD_SQL_CASE} AS deviation
+    FROM counts c, tot t
+    ORDER BY c.first_digit
+    """,
+    covers=["Q-extended", "A-extended"],
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the fraud/synthetic-data
+    screen auditors run on financial columns: the observed first-digit
+    distribution of order totals beside the Benford expectation
+    log10(1+1/d), one row per digit with the share deviation.
+    (Uniform synthetic prices fail Benford hard — which is the audit
+    telling the truth about this fixture; real ledger data hews close.)
+
+    Exactness: digit extraction is integer/string work; the Benford
+    shares are 9 LITERAL doubles (precomputed, identical text parsed
+    by both engines — no runtime libm); each deviation is one division
+    and one subtraction per digit ROW, never summed across digits —
+    so no float accumulation exists.
+
+    Scale: one map-side digit count (9 groups), a one-row total
+    broadcast back — constant-size output at any SF."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit FLOOR: Spark's double->bigint cast truncates while
+    # DuckDB's ROUNDS -- floor first so both engines agree on the digit
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("first_digit") == d, F.lit(float(p)))
+            for d, p in _BENFORD.items()
+        ]
+    )
+    # total via a window over the 9-digit rows: a one-row aggregate
+    # cross-joined back would recompute the counts subtree (two full
+    # fact scans — the 10x probe measured 5.6x before this change);
+    # the window sum is exact int64 over 9 rows on a single scan
+    n = F.sum("observed").over(Window.partitionBy())
+    return counts.select(
+        "first_digit",
+        "observed",
+        share.alias("benford_share"),
+        (F.col("observed").cast("double") / n - share).alias("deviation"),
+    ).orderBy("first_digit")
