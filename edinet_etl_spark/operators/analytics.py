@@ -2015,3 +2015,84 @@ def region_nation_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+@query(
+    "spend_quartile_mobility",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 2 END
+               AS period,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY o_custkey,
+               CASE WHEN o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 2 END
+    ),
+    ranked AS (
+      SELECT custkey, period,
+             CAST(NTILE(4) OVER (
+               PARTITION BY period ORDER BY cents, custkey) AS BIGINT)
+               AS quartile
+      FROM spend
+    )
+    SELECT a.quartile AS q_before, b.quartile AS q_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked a JOIN ranked b
+      ON a.custkey = b.custkey AND a.period = 1 AND b.period = 2
+    GROUP BY a.quartile, b.quartile
+    ORDER BY q_before, q_after
+    """,
+    covers=["W-extended", "A-extended", "EV-mobility"],
+)
+def spend_quartile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile mobility matrix — the period-over-period cohort
+    movement analysis behind churn and upsell dashboards: each
+    customer's spend quartile before vs after a cut date, as a 4×4
+    transition-count matrix (the diagonal is stability, below it is
+    churn risk).  Only customers active in BOTH periods transition.
+
+    Exactness: spend is integer cents (2-dp grid × 100, exact);
+    NTILE(4) is pure rank arithmetic — both engines fill the first
+    (n mod 4) buckets one heavier — and the order is pinned by
+    (cents, custkey), so bucket boundaries are deterministic.
+
+    Scale: one map-side spend collapse, one per-period ranking window
+    (two partitions, each bounded by customers-per-period — at 100 TB
+    the binned two-pass selection replaces the exact NTILE, same
+    trade as every grouped exact selection here), and a self-join on
+    custkey that AQE plans as a normal hash join on the collapsed
+    per-customer table, never the fact table."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("period").orderBy("cents", "custkey")
+    ranked = spend.select(
+        "custkey", "period", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
+    a = ranked.filter(F.col("period") == 1).select(
+        "custkey", F.col("quartile").alias("q_before")
+    )
+    b = ranked.filter(F.col("period") == 2).select(
+        F.col("custkey").alias("custkey_b"), F.col("quartile").alias("q_after")
+    )
+    return (
+        a.join(b, a.custkey == b.custkey_b)
+        .groupBy("q_before", "q_after")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("q_before", "q_after")
+    )

@@ -174,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "kanon_release_segment_stats", "maxmin_fair_token_caps",
     "region_nation_revenue_shares", "clamped_running_balance",
     "order_total_reconciliation", "benford_first_digit_audit",
+    "spend_quartile_mobility",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
