@@ -49,6 +49,7 @@ def load_all() -> None:
         analytics,
         dedup,
         events,
+        formats,
         llmdata,
         multimodal,
         pii,
@@ -174,7 +175,8 @@ _PRIORITY: tuple[str, ...] = (
     "kanon_release_segment_stats", "maxmin_fair_token_caps",
     "region_nation_revenue_shares", "clamped_running_balance",
     "order_total_reconciliation", "benford_first_digit_audit",
-    "spend_quartile_mobility",
+    "spend_quartile_mobility", "orc_roundtrip_stats",
+    "jsonl_roundtrip_stats",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
