@@ -106,6 +106,12 @@ HEADLINE = [
     "join_key_skew_profile",
     "exact_group_percentiles",
     "weighted_median_price",
+    # round-8 cont.: golden record, search-index build, linear interp
+    # (the reversed-cumulative rewrite), ledger reconciliation
+    "user_profile_snapshot",
+    "inverted_index_postings",
+    "gapfill_linear_interp",
+    "order_total_reconciliation",
 ]
 
 

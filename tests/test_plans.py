@@ -241,6 +241,36 @@ EXPECTATIONS = [
     # — the giant stopword posting folds inside the aggregate
     ("inverted_index_postings", 2, ["HashAggregate", "TakeOrderedAndProject"],
      ["PythonUDF", "CartesianProduct", "Join", "Window"]),
+    # winsorized mean: selection + clipped mean on the SAME collapsed
+    # grid — no second fact scan, thresholds broadcast back
+    ("winsorized_segment_stats", 6, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct"]),
+    # inter-arrival: (user,type)-keyed LAG, distinct-gap collapse,
+    # per-type selection — no joins at all
+    ("event_interarrival_stats", 4, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Join"]),
+    # mobility: NTILE over the collapsed per-customer table only
+    ("spend_quartile_mobility", 7, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # shares: flagship star agg + ratio windows on the 25-row grid
+    ("region_nation_revenue_shares", 3, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # reconciliation: per-order collapse + ONE order-key join + rollup
+    ("order_total_reconciliation", 4, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Window",
+      "BroadcastNestedLoopJoin"]),
+    # Benford: one digit count + 9-row window (single fact scan — the
+    # one-row cross-join draft rescanned the fact table, probe 5.6x)
+    ("benford_first_digit_audit", 2, ["Window", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Join"]),
+    # dictionary advisor: three zero-join aggregate legs + union
+    ("dictionary_encoding_stats", 6, ["HashAggregate", "Union"],
+     ["PythonUDF", "CartesianProduct", "Join", "Window"]),
+    # k-anon release: one cell aggregate + broadcast decode + filter
+    ("kanon_release_segment_stats", 3, ["HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "Window",
+      "BroadcastNestedLoopJoin"]),
+    # golden record: ONE aggregation pass (struct-max survivorship)
     # table checksum: three map-side-combined one-row aggregate legs,
     # a union, zero joins/windows
     ("table_checksum_audit", 3, ["HashAggregate", "Union"],
