@@ -176,7 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "region_nation_revenue_shares", "clamped_running_balance",
     "order_total_reconciliation", "benford_first_digit_audit",
     "spend_quartile_mobility", "orc_roundtrip_stats",
-    "jsonl_roundtrip_stats",
+    "jsonl_roundtrip_stats", "funnel_7d_conversion",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
