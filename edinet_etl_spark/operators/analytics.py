@@ -2096,3 +2096,119 @@ def spend_quartile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("q_before", "q_after")
     )
+
+
+def _q_exprs(p_num: int):
+    """Columns for the type-7 interpolated quartile p_num/4 evaluated
+    over the cum frame (price, cnt, cumcnt, n): lower/upper order
+    statistics by integer-admission selection."""
+    fl = (F.col("n") - 1) * p_num
+    lo_rank = F.expr(f"(n - 1) * {p_num} DIV 4 + 1")
+    rem = fl % 4  # quarter fraction numerator: 0..3, exact
+    lo = F.min(F.when(F.col("cumcnt") >= lo_rank, F.col("price")))
+    hi = F.min(F.when(F.col("cumcnt") >= lo_rank + 1, F.col("price")))
+    return lo, hi, rem
+
+
+@query(
+    "interpolated_quartiles",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    byval AS (
+      SELECT segment, price, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seg GROUP BY segment, price
+    ),
+    cum AS (
+      SELECT segment, price, cnt,
+             SUM(cnt) OVER (
+               PARTITION BY segment ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM byval
+    ),
+    sel AS (
+      SELECT segment, CAST(MAX(n) AS BIGINT) AS n_orders,
+        MIN(CASE WHEN cumcnt >= (n-1) * 1 // 4 + 1 THEN price END) AS lo1,
+        MIN(CASE WHEN cumcnt >= (n-1) * 1 // 4 + 2 THEN price END) AS hi1,
+        MAX((n-1) * 1 % 4) AS r1,
+        MIN(CASE WHEN cumcnt >= (n-1) * 2 // 4 + 1 THEN price END) AS lo2,
+        MIN(CASE WHEN cumcnt >= (n-1) * 2 // 4 + 2 THEN price END) AS hi2,
+        MAX((n-1) * 2 % 4) AS r2,
+        MIN(CASE WHEN cumcnt >= (n-1) * 3 // 4 + 1 THEN price END) AS lo3,
+        MIN(CASE WHEN cumcnt >= (n-1) * 3 // 4 + 2 THEN price END) AS hi3,
+        MAX((n-1) * 3 % 4) AS r3
+      FROM cum GROUP BY segment
+    )
+    SELECT segment, n_orders,
+           lo1 + (COALESCE(hi1, lo1) - lo1) * (r1 * 0.25) AS q1,
+           lo2 + (COALESCE(hi2, lo2) - lo2) * (r2 * 0.25) AS median,
+           lo3 + (COALESCE(hi3, lo3) - lo3) * (r3 * 0.25) AS q3
+    FROM sel
+    ORDER BY segment
+    """,
+    covers=["A-extended", "W-extended"],
+)
+def interpolated_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (PERCENTILE_CONT, type-7) quartiles per segment —
+    the complement of `exact_group_percentiles`' nearest-rank form:
+    the value at fractional rank h = (n−1)p + 1, linearly interpolated
+    between the two surrounding order statistics.  Implemented with
+    the SAME distinct-value cumulative-selection machinery on both
+    engines rather than the built-ins, because PERCENTILE_CONT tie
+    conventions differ across engines — here the rank arithmetic is
+    pinned explicitly.
+
+    Exactness: both order statistics are data values picked by
+    integer admissions; the quarter fraction r/4 is EXACT in binary
+    (r·0.25 with r ∈ {{0,1,2,3}}), so the interpolation is three
+    deterministic IEEE ops — the same budget as `gapfill_linear_interp`.
+
+    Scale: identical two-collapse shape as the nearest-rank family —
+    distinct-value collapse, bounded per-segment window, constant
+    output."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    byval = seg.groupBy("segment", "price").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("segment")
+    cum = byval.select(
+        "segment",
+        "price",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_orders")]
+    parts = {}
+    for p_num, name in ((1, "q1"), (2, "median"), (3, "q3")):
+        lo, hi, rem = _q_exprs(p_num)
+        aggs += [
+            lo.alias(f"lo{p_num}"),
+            hi.alias(f"hi{p_num}"),
+            F.max(rem).alias(f"r{p_num}"),
+        ]
+        parts[name] = p_num
+    sel = cum.groupBy("segment").agg(*aggs)
+    cols = ["segment", "n_orders"]
+    out = sel
+    for name, p_num in parts.items():
+        lo_c = F.col(f"lo{p_num}")
+        hi_c = F.coalesce(F.col(f"hi{p_num}"), lo_c)
+        out = out.withColumn(
+            name, lo_c + (hi_c - lo_c) * (F.col(f"r{p_num}") * F.lit(0.25))
+        )
+        cols.append(name)
+    return out.select(*cols).orderBy("segment")

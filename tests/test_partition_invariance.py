@@ -51,6 +51,7 @@ CASES = [
     "winsorized_segment_stats",
     "event_interarrival_stats",
     "region_nation_revenue_shares",
+    "interpolated_quartiles",
 ]
 
 
