@@ -1336,3 +1336,112 @@ def funnel_7d_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted_7d"),
     )
+
+
+@query(
+    "mannwhitney_value_by_type",
+    oracle="""
+    WITH byval AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    ranked AS (
+      SELECT n_a, n_b,
+             SUM(n_a + n_b) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM byval
+    ),
+    sums AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+             CAST(SUM(n_b) AS BIGINT) AS nb,
+             -- 2*R_a: tied values share the average of the rank block
+             -- (prev+1 .. cum), whose DOUBLE is the integer prev+cum+1
+             CAST(SUM(n_a * (cum - (n_a + n_b) + cum + 1)) AS BIGINT) AS two_ra
+      FROM ranked
+    )
+    SELECT na AS n_click, nb AS n_purchase,
+           CAST(two_ra - na * (na + 1) AS DOUBLE) / 2 AS u_click,
+           CAST(na AS DOUBLE) * nb
+             - CAST(two_ra - na * (na + 1) AS DOUBLE) / 2 AS u_purchase,
+           CAST(two_ra AS DOUBLE) / (2 * na) AS mean_rank_click
+    FROM sums
+    """,
+    covers=["EV-stats", "A-extended", "W-extended"],
+)
+def mannwhitney_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between click and purchase values
+    — the rank-based two-sample test completing the drift-test trio
+    (exact KS on values, chi-squared on categories, rank-sum on
+    ordinal shift): U measures how often a click value beats a
+    purchase value, robust to outliers in a way the mean comparison
+    is not.
+
+    Exact integer construction: the combined sample collapses to
+    distinct values with per-group counts; tied values share the
+    average rank of their block, and working with 2×rank
+    (prev + cum + 1, an integer) keeps EVERYTHING in int64 — the two
+    final halvings and the mean-rank division are single exact IEEE
+    ops.  No libm, no float accumulation.
+
+    Scale: distinct-value collapse map-side, one ordered window over
+    the collapsed values (the same O(distinct) bound as the selection
+    family), one-row output."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return mannwhitney_u(
+        ev.select("value", (F.col("event_type") == "click").alias("is_a")),
+        "n_click",
+        "n_purchase",
+        "u_click",
+        "u_purchase",
+        "mean_rank_click",
+    )
+
+
+def mannwhitney_u(
+    samples: DataFrame,
+    na_name: str,
+    nb_name: str,
+    ua_name: str,
+    ub_name: str,
+    mr_name: str,
+) -> DataFrame:
+    """Mann-Whitney U core over any (value double, is_a boolean) frame
+    (factored for the hypothesis model test)."""
+    byval = samples.groupBy("value").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "n_a",
+        "n_b",
+        F.sum(F.col("n_a") + F.col("n_b")).over(wcum).alias("cum"),
+    )
+    sums = ranked.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("n_a")
+            * (F.col("cum") - (F.col("n_a") + F.col("n_b")) + F.col("cum") + 1)
+        )
+        .cast("bigint")
+        .alias("two_ra"),
+    )
+    u_a = (F.col("two_ra") - F.col("na") * (F.col("na") + 1)).cast("double") / 2
+    return sums.select(
+        F.col("na").alias(na_name),
+        F.col("nb").alias(nb_name),
+        u_a.alias(ua_name),
+        (F.col("na").cast("double") * F.col("nb") - u_a).alias(ub_name),
+        (F.col("two_ra").cast("double") / (2 * F.col("na"))).alias(mr_name),
+    )

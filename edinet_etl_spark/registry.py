@@ -177,7 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "order_total_reconciliation", "benford_first_digit_audit",
     "spend_quartile_mobility", "orc_roundtrip_stats",
     "jsonl_roundtrip_stats", "funnel_7d_conversion",
-    "interpolated_quartiles",
+    "interpolated_quartiles", "mannwhitney_value_by_type",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

@@ -1069,3 +1069,47 @@ def test_waterfill_matches_python_model(spark, counts):
     assert sum(got.values()) == budget
     for s, t in counts:
         assert 0 <= got[s] <= t
+
+
+# --- Mann-Whitney U vs a pure-Python tie-aware rank model ---
+
+_mw_samples = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # value (ties likely)
+        st.booleans(),                             # group A membership
+    ),
+    min_size=2,
+    max_size=30,
+).filter(lambda xs: any(a for _, a in xs) and any(not a for _, a in xs))
+
+
+@given(_mw_samples)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mannwhitney_matches_rank_model(spark, xs):
+    from edinet_etl_spark.operators.events import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(float(v), a) for v, a in xs], "value double, is_a boolean"
+    )
+    row = mannwhitney_u(df, "na", "nb", "ua", "ub", "mr").collect()[0]
+
+    # model: average ranks with ties (2x ranks stay integral)
+    vals = sorted(v for v, _ in xs)
+    two_rank = {}  # value -> 2 * average rank
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        two_rank[vals[i]] = (i + 1) + j  # (first + last) = 2*avg
+        i = j
+    na = sum(1 for _, a in xs if a)
+    nb = len(xs) - na
+    two_ra = sum(two_rank[v] for v, a in xs if a)
+    ua = (two_ra - na * (na + 1)) / 2
+    assert (row["na"], row["nb"]) == (na, nb)
+    assert row["ua"] == ua
+    assert row["ub"] == na * nb - ua
+    assert row["mr"] == two_ra / (2 * na)
+    # identity: U_a + U_b == n_a * n_b
+    assert row["ua"] + row["ub"] == na * nb
