@@ -2212,3 +2212,103 @@ def interpolated_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(name)
     return out.select(*cols).orderBy("segment")
+
+
+def _sql_rank2(col: str) -> str:
+    """DuckDB CTE body: distinct values of ``col`` with 2x tie-averaged
+    rank (prev_cum + cum + 1 — integer, the Mann-Whitney trick)."""
+    return f"""
+      SELECT {col} AS v,
+             SUM(cnt) OVER (ORDER BY {col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2
+               - cnt + 1 AS r2
+      FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY {col})
+    """
+
+
+@query(
+    "spearman_rank_corr",
+    oracle=f"""
+    WITH rx AS ({_sql_rank2('l_extendedprice')}),
+    ry AS ({_sql_rank2('l_quantity')}),
+    joined AS (
+      SELECT rx.r2 AS x, ry.r2 AS y
+      FROM lineitem l
+      JOIN rx ON rx.v = l.l_extendedprice
+      JOIN ry ON ry.v = l.l_quantity
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM joined
+    )
+    SELECT n AS n_rows,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+             AS spearman_rho
+    FROM m
+    """,
+    covers=["A-extended", "W-extended"],
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between price and quantity — the
+    robust, outlier-immune complement to `price_quantity_corr`'s
+    Pearson: Pearson computed on tie-averaged RANKS.  Working with
+    2×rank (the Mann-Whitney integer trick) keeps every rank and every
+    moment exact: the numerator and both variance terms are computed
+    EXACTLY in DECIMAL(38,0) before one string-hopped conversion each,
+    then two correctly-rounded sqrts and one division — scale factors
+    from the doubled ranks cancel in ρ.
+
+    Scale: two distinct-value collapses build bounded rank maps (the
+    full-table ranking window a naive form needs would serialize);
+    rows join the price map on its value (hash) and the ~50-value
+    quantity map (AQE broadcast); one map-side-combined moment
+    aggregate.  DECIMAL(38,0) holds the moments to ~10^31 — beyond
+    sf1000; the headroom law is documented rather than assumed."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+
+    def rank2(col: str) -> DataFrame:
+        byval = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        wcum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return byval.select(
+            "v",
+            (F.sum("cnt").over(wcum) * 2 - F.col("cnt") + 1).alias("r2"),
+        )
+
+    rx = rank2("l_extendedprice").withColumnRenamed("r2", "x")
+    ry = rank2("l_quantity").withColumnRenamed("r2", "y")
+    joined = (
+        li.join(rx, li.l_extendedprice == rx.v)
+        .drop("v")
+        .join(ry, li.l_quantity == ry.v)
+        .select("x", "y")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        F.col("n").alias("n_rows"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("spearman_rho"),
+    )
