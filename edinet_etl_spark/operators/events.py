@@ -1445,3 +1445,75 @@ def mannwhitney_u(
         (F.col("na").cast("double") * F.col("nb") - u_a).alias(ub_name),
         (F.col("two_ra").cast("double") / (2 * F.col("na"))).alias(mr_name),
     )
+
+
+@query(
+    "longest_purchase_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchored AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS BIGINT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    covers=["EV-islands", "W-extended", "A-extended"],
+)
+def longest_purchase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user — the classic
+    gaps-and-islands computation (login streaks, SLA uptime runs)
+    via the anchor trick: within a user's DISTINCT active days, every
+    member of a consecutive run shares the same (day − row_number),
+    so one group-by on that anchor measures every streak with no
+    self-join and no iteration.
+
+    Exactness: days become epoch-day int64 (sidestepping engine date
+    arithmetic differences exactly as `business_day_ship_lag` does);
+    everything after is integer counting.
+
+    Scale: distinct-day collapse map-side, ONE user-keyed window over
+    collapsed days (bounded by active days per user, not events), two
+    more map-side aggregates — the anchor trick is what makes streaks
+    linear where the naive self-join is quadratic per user."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), epoch).cast("bigint").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        (F.col("d") - F.row_number().over(w).cast("bigint")).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

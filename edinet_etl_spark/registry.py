@@ -178,7 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "spend_quartile_mobility", "orc_roundtrip_stats",
     "jsonl_roundtrip_stats", "funnel_7d_conversion",
     "interpolated_quartiles", "mannwhitney_value_by_type",
-    "spearman_rank_corr",
+    "spearman_rank_corr", "longest_purchase_streak",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
