@@ -2312,3 +2312,68 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (num / (F.sqrt(vx) * F.sqrt(vy))).alias("spearman_rho"),
     )
+
+
+@query(
+    "modal_quantity_per_flag",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    mx AS (
+      SELECT l_returnflag, MAX(cnt) AS max_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_qty
+      FROM counts GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(MIN(c.qty) AS BIGINT) AS modal_qty,
+           CAST(MAX(c.cnt) AS BIGINT) AS modal_count,
+           MAX(m.n_distinct_qty) AS n_distinct_qty
+    FROM counts c JOIN mx m
+      ON m.l_returnflag = c.l_returnflag AND c.cnt = m.max_cnt
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+    covers=["A-extended"],
+)
+def modal_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() — the most frequent value per group, with the tie pinned
+    to the smallest value (engine-native mode() functions leave ties
+    unspecified, so the election is spelled out: count per value,
+    per-group max count, argmin value at that count).  The ordered-set
+    aggregate that rounds out the central-tendency set beside mean
+    (`pricing_summary`), median (`percentile_stats`), weighted median
+    and the winsorized mean.
+
+    Exactness: pure integer counting and MIN/MAX elections.
+
+    Scale: value-collapse map-side (the same first stage as every
+    selection here), then all logic on the |flags|×|distinct qty|
+    grid; the per-group max joins back on the collapsed grid only."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    mx = counts.groupBy("l_returnflag").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.count("*").cast("bigint").alias("n_distinct_qty"),
+    )
+    c = counts.select(
+        F.col("l_returnflag").alias("flag"), "qty", "cnt"
+    )
+    return (
+        c.join(
+            F.broadcast(mx),
+            (c.flag == mx.l_returnflag) & (c.cnt == mx.max_cnt),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("qty").cast("bigint").alias("modal_qty"),
+            F.max("cnt").cast("bigint").alias("modal_count"),
+            F.max("n_distinct_qty").alias("n_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1517,3 +1517,102 @@ def longest_purchase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "session_entry_exit_pairs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '5 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             MIN(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                 ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                 ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM numbered
+      ) GROUP BY user_id, session_id
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+    covers=["M5-session", "A-extended"],
+)
+def session_entry_exit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry→exit page-pair matrix — the navigation summary a
+    product dashboard builds on top of sessionization: for every
+    session (5-minute inactivity gap, same islands as
+    `user_sessions`), its first and last event type, rolled up to a
+    |types|² matrix ("sessions that start with an error and end with
+    a purchase" is one cell).
+
+    The entry/exit election is min/max over (ts, event_id, type)
+    struct ordering — a single aggregate, ties pinned by event_id
+    ((ts, event_id) is a total order, so the oracle's two ROW_NUMBER
+    arms pick the identical rows).
+
+    Scale: the same ONE user-keyed window shuffle as sessionization
+    itself, then two map-side-combined aggregates — the matrix is
+    constant-size output."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("interval 5 minutes"),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(wcum).alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "exit_type"
+        ),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return (
+        sessions.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

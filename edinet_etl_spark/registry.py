@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "jsonl_roundtrip_stats", "funnel_7d_conversion",
     "interpolated_quartiles", "mannwhitney_value_by_type",
     "spearman_rank_corr", "longest_purchase_streak",
+    "session_entry_exit_pairs", "modal_quantity_per_flag",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
