@@ -968,3 +968,57 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_md5"),
     )
     return terms.orderBy(F.col("df").desc(), "term").limit(20)
+
+
+@query(
+    "doc_top_token_arrayonly",
+    oracle="""
+    SELECT doc_id, tok AS top_token, cnt AS top_count FROM (
+      SELECT doc_id, tok, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, tok DESC) AS rn
+      FROM (
+        SELECT doc_id, t.term AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents, UNNEST(string_split(text, ' ')) t(term)
+        WHERE doc_id < 100
+        GROUP BY doc_id, t.term
+      )
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    covers=["TXT-hof", "F-higher-order"],
+)
+def doc_top_token_arrayonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc most frequent token computed ENTIRELY with array
+    higher-order functions — no explode, no shuffle, no window: the
+    plan is a single codegen'd projection (pinned in test_plans: zero
+    Generate/Exchange nodes beyond the scan).  transform over
+    array_distinct counts each candidate with filter+size, and
+    array_max over (count, token) structs elects the winner with the
+    tie pinned to the larger token — the oracle states the same
+    election relationally.
+
+    This is the operator-form proof of the HOF tier the similarity
+    kernels rely on (`dot_exact`'s zip_with/aggregate): row-local
+    array work stays inside one whole-stage-codegen pass, the cheapest
+    tier in the engine, below even mapInArrow.
+
+    Scale: per-row work is O(distinct × tokens) but strictly row-local
+    — zero shuffle, embarrassingly parallel; output bounded by the
+    doc_id filter exactly like `udtf_char_ngrams`."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            F.size(F.filter(toks, lambda x: x == t)).cast("bigint").alias("cnt"),
+            t.alias("tok"),
+        ),
+    )
+    best = F.array_max(pairs)
+    return docs.select(
+        "doc_id",
+        best["tok"].alias("top_token"),
+        best["cnt"].alias("top_count"),
+    ).orderBy("doc_id")

@@ -275,6 +275,11 @@ EXPECTATIONS = [
     # a union, zero joins/windows
     ("table_checksum_audit", 3, ["HashAggregate", "Union"],
      ["PythonUDF", "CartesianProduct", "Join", "Window"]),
+    # HOF top-token: the whole point is ZERO explode and ZERO shuffle
+    # beyond the final sort — one codegen projection over the scan
+    ("doc_top_token_arrayonly", 1, [],
+     ["PythonUDF", "Generate", "Join", "Window", "CartesianProduct",
+      "HashAggregate"]),
     # skew profile: key-count shuffle + count-of-counts legs; every
     # exchange after stage 1 is O(sqrt(rows))-bounded or one-row, and
     # the one-row legs attach via broadcast NLJ (benign)
