@@ -773,3 +773,110 @@ def business_day_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("bday_lag")
     )
+
+
+@query(
+    "peak_open_orders",
+    oracle="""
+    WITH spans AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d0,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(MAX(l.l_shipdate) AS DATE)) AS BIGINT) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT d0 AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT d1 + 1 AS d, -1 AS delta FROM spans
+      ) GROUP BY d
+    ),
+    running AS (
+      SELECT d,
+             SUM(delta) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
+      FROM deltas
+    )
+    SELECT CAST(year(DATE '1970-01-01' + CAST(d AS INT)) AS BIGINT) AS yr,
+           CAST(MAX(open_orders) AS BIGINT) AS peak_open,
+           MIN(CASE WHEN open_orders = mx THEN DATE '1970-01-01'
+                    + CAST(d AS INT) END) AS peak_day
+    FROM (
+      SELECT d, open_orders,
+             MAX(open_orders) OVER (
+               PARTITION BY year(DATE '1970-01-01' + CAST(d AS INT))) AS mx
+      FROM running
+    )
+    GROUP BY year(DATE '1970-01-01' + CAST(d AS INT))
+    ORDER BY yr
+    """,
+    covers=["T-sweepline", "W-extended", "A-extended"],
+)
+def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per year — the sweep-line
+    interval-concurrency operator (concurrent sessions, hospital beds,
+    connection pools): each order is open from its order date to its
+    last line's ship date; +1/−1 boundary deltas accumulate along
+    the timeline and the running sum IS the concurrency curve, read
+    out as each year's peak and the first day it was hit.
+
+    Exactness: days are epoch-day int64 throughout (no engine date
+    arithmetic in the math path); the running sum, peaks, and the
+    argmin-day election are pure integers; only the readable peak_day
+    converts back to DATE (epoch + int, exact in both engines).
+
+    Scale: spans collapse per order map-side; the boundary-delta table
+    collapses to DISTINCT days — calendar-bounded like
+    `compaction_bin_packing`, so the partition-less cumulative window
+    is constant-size regardless of order volume.  The naive
+    alternative (self-join orders against days) is quadratic; the
+    sweep line is linear plus a bounded scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("rmax"))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d0"),
+            F.datediff(F.col("rmax").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d1"),
+        )
+    )
+    deltas = (
+        spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(spans.select((F.col("d1") + 1).alias("d"), F.lit(-1).alias("delta")))
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    wrun = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.select(
+        "d", F.sum("delta").over(wrun).alias("open_orders")
+    )
+    day = F.date_add(epoch, F.col("d").cast("int"))
+    yr = F.year(day).cast("bigint")
+    wyr = Window.partitionBy(yr)
+    flagged = running.select(
+        "d",
+        "open_orders",
+        yr.alias("yr"),
+        F.max("open_orders").over(wyr).alias("mx"),
+        day.alias("day"),
+    )
+    return (
+        flagged.groupBy("yr")
+        .agg(
+            F.max("open_orders").cast("bigint").alias("peak_open"),
+            F.min(
+                F.when(F.col("open_orders") == F.col("mx"), F.col("day"))
+            ).alias("peak_day"),
+        )
+        .orderBy("yr")
+    )

@@ -180,7 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "interpolated_quartiles", "mannwhitney_value_by_type",
     "spearman_rank_corr", "longest_purchase_streak",
     "session_entry_exit_pairs", "modal_quantity_per_flag",
-    "doc_top_token_arrayonly",
+    "doc_top_token_arrayonly", "peak_open_orders",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
