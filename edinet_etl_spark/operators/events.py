@@ -1616,3 +1616,75 @@ def session_entry_exit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+@query(
+    "hourly_value_bands",
+    oracle="""
+    WITH byval AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hod, value,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY hour(ts), value
+    ),
+    cum AS (
+      SELECT hod, value, cnt,
+             SUM(cnt) OVER (PARTITION BY hod ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+             SUM(cnt) OVER (PARTITION BY hod) AS n
+      FROM byval
+    )
+    SELECT hod,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN 2 * cumcnt >= n THEN value END) AS p50,
+           MIN(CASE WHEN 20 * cumcnt >= 19 * n THEN value END) AS p95
+    FROM cum
+    GROUP BY hod
+    ORDER BY hod
+    """,
+    covers=["EV-bands", "W-extended", "A-extended"],
+)
+def hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day p50/p95 value bands — the robust daily-profile
+    envelope a monitoring dashboard draws behind the live line (and
+    the banding `seasonal_hourly_anomalies`' mean-based baseline can't
+    give when the value distribution is skewed): per hour of day, the
+    exact nearest-rank median and 95th percentile of event values.
+
+    Same integer-admission selection machinery as
+    `exact_group_percentiles` (2·cum ≥ n, 20·cum ≥ 19n) over the
+    distinct-value collapse; 24 fixed groups, constant output.
+
+    Scale: the collapse bounds the per-hour window by distinct values,
+    not events; hour-of-day extraction is deterministic under prep()'s
+    pinned UTC session."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    byval = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hod"), "value"
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wcum = (
+        Window.partitionBy("hod")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("hod")
+    cum = byval.select(
+        "hod",
+        "value",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    return (
+        cum.groupBy("hod")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.min(F.when(2 * F.col("cumcnt") >= F.col("n"), F.col("value"))).alias(
+                "p50"
+            ),
+            F.min(
+                F.when(20 * F.col("cumcnt") >= 19 * F.col("n"), F.col("value"))
+            ).alias("p95"),
+        )
+        .orderBy("hod")
+    )

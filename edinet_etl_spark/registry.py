@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "spearman_rank_corr", "longest_purchase_streak",
     "session_entry_exit_pairs", "modal_quantity_per_flag",
     "doc_top_token_arrayonly", "peak_open_orders",
+    "hourly_value_bands",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
