@@ -2377,3 +2377,95 @@ def modal_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "nation_revenue_rank_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,8))) AS revd
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY n.n_name, year(o.o_orderdate)
+    ),
+    ranked AS (
+      SELECT nation, yr,
+             CAST(ROW_NUMBER() OVER (PARTITION BY yr
+               ORDER BY revd DESC, nation) AS BIGINT) AS rnk,
+             CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue
+      FROM rev
+    )
+    SELECT a.nation,
+           a.rnk AS rank_y1, b.rnk AS rank_y2,
+           a.rnk - b.rnk AS rank_gain,
+           a.revenue AS revenue_y1, b.revenue AS revenue_y2
+    FROM ranked a JOIN ranked b
+      ON a.nation = b.nation AND a.yr = 1996 AND b.yr = 1997
+    ORDER BY a.nation
+    """,
+    covers=["W-extended", "A-extended", "J1"],
+)
+def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement — each nation's supplier-revenue rank in
+    1996 vs 1997 and its gain (the "top movers" board every
+    period-over-period report leads with).  Ranks are ROW_NUMBER over
+    the decimal-exact revenue with name-pinned ties; the rank
+    arithmetic is pure int64 and the revenue surfaces through the
+    string hop.
+
+    Scale: one fact aggregate (the flagship star shape filtered to two
+    years), then all ranking on the 25×2 grid; the self-join matches
+    on the grid only."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revd"
+            )
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("revd").desc(), "nation")
+    ranked = rev.select(
+        "nation",
+        "yr",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.col("revd").cast("string").cast("double").alias("revenue"),
+    )
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "nation", F.col("rnk").alias("rank_y1"), F.col("revenue").alias("revenue_y1")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("nation").alias("nation_b"),
+        F.col("rnk").alias("rank_y2"),
+        F.col("revenue").alias("revenue_y2"),
+    )
+    return (
+        a.join(b, a.nation == b.nation_b)
+        .select(
+            "nation",
+            "rank_y1",
+            "rank_y2",
+            (F.col("rank_y1") - F.col("rank_y2")).alias("rank_gain"),
+            "revenue_y1",
+            "revenue_y2",
+        )
+        .orderBy("nation")
+    )

@@ -1688,3 +1688,60 @@ def hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day
+      FROM events e
+    )
+    SELECT d.day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day <> f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily d JOIN firsts f ON f.user_id = d.user_id
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    covers=["EV-dau", "A-extended"],
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-users decomposed into NEW vs RETURNING — the DAU
+    split every growth dashboard leads with (`user_retention_cohorts`
+    answers "do cohorts come back"; this answers "who is today's
+    traffic made of").  A user is new on exactly their first-seen day.
+
+    Exactness: distinct (user, day) collapse, a per-user MIN, integer
+    counting — nothing to round.
+
+    Scale: both inputs collapse map-side before the user-keyed join
+    (bounded by users × active-days, not events); the join key is the
+    user — the same co-partitionable shape as the retention triangle."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )

@@ -181,7 +181,8 @@ _PRIORITY: tuple[str, ...] = (
     "spearman_rank_corr", "longest_purchase_streak",
     "session_entry_exit_pairs", "modal_quantity_per_flag",
     "doc_top_token_arrayonly", "peak_open_orders",
-    "hourly_value_bands",
+    "hourly_value_bands", "nation_revenue_rank_shift",
+    "daily_new_vs_returning",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
