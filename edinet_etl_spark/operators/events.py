@@ -1745,3 +1745,134 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "session_eventtype_lift",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '5 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM numbered
+    ),
+    totals AS (SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT)
+               AS n_sessions FROM baskets),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b, t.n_sessions,
+           CAST(p.n_both * t.n_sessions AS DOUBLE)
+             / CAST(sa.n * sb.n AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN totals t
+    ORDER BY type_a, type_b
+    """,
+    covers=["EV-basket", "A-extended", "M5-session"],
+)
+def session_eventtype_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over SESSIONS as baskets — the events twin
+    of `copurchase_lift_pairs`: for every event-type pair, how much
+    more often they co-occur in one session than independence
+    predicts (lift > 1 = behavioral affinity; "sessions with errors
+    also purchase?" is one cell).  Sessions are the same 5-minute
+    islands as `user_sessions`.
+
+    Exactness: all counts int64; lift is one exact int64 product per
+    side converted to double (≪ 2^53) and one IEEE division.
+
+    Scale: baskets collapse to distinct (session, type) map-side —
+    with |types| = 5 the per-session fan-out is ≤ C(5,2), so the
+    self-join is linear in sessions, never in events; singles and the
+    one-row total broadcast back onto the 10-row pair grid."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("interval 5 minutes"), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    baskets = (
+        flagged.select(
+            "user_id",
+            "event_type",
+            F.sum("new_session").over(wcum).alias("session_id"),
+        )
+        .distinct()
+    )
+    totals = baskets.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.user_id == b.user_b)
+            & (a.session_id == b.session_b)
+            & (a.type_a < b.type_b),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            (
+                (F.col("n_both") * F.col("n_sessions")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

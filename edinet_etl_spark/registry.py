@@ -182,7 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "session_entry_exit_pairs", "modal_quantity_per_flag",
     "doc_top_token_arrayonly", "peak_open_orders",
     "hourly_value_bands", "nation_revenue_rank_shift",
-    "daily_new_vs_returning",
+    "daily_new_vs_returning", "session_eventtype_lift",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
