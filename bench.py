@@ -4,10 +4,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+OUTPUT CONTRACT (round-3 postmortem): the driver captures only the last
+2000 chars of stdout, so the printed line must stay under that window.
+Compact separators, 3-decimal timings, and a headline set capped so the
+line stays < MAX_LINE_BYTES (asserted here and in
+tests/test_bench_contract.py).  Everything bulky — per-query plan
+hashes, run-by-run timings — goes to the PLANHASHES.json side file
+instead of stdout.
+
 Each query is forced end-to-end with the noop sink (full computation of
 every operator, no driver-side collect, no output I/O skew).  The
 headline set spans the engine's families: scan/filter/agg, multi-join,
-window dedup, event-time windows, LSH dedup, similarity, text.
+window dedup, event-time windows, LSH dedup, similarity, text,
+curation, sketches, CDC.
 """
 
 from __future__ import annotations
@@ -24,7 +33,12 @@ from edinet_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SIDE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANHASHES.json")
+MAX_LINE_BYTES = 1900  # driver tail window is 2000 chars; keep margin
 
+# The full round-1/round-2 sets (cross-round per-query continuity),
+# plus a curated 12 of the round-3 additions.  Adding a name here costs
+# ~len(name)+9 bytes of the stdout budget — check line_bytes() first.
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation_year",
@@ -50,69 +64,53 @@ HEADLINE = [
     "tfidf_top_terms",
     "neardup_components",
     "multires_time_rollup",
-    # subquery/decorrelation family
     "small_quantity_revenue",
     "suppliers_kept_waiting",
-    # TPC-H completion set (Q7/Q10 representatives)
     "bilateral_trade_volume",
     "returned_item_top_customers",
-    # curation additions: zero-shuffle per-doc scoring + corpus n-grams
     "repetition_scores",
     "corpus_common_ngrams",
-    # timeseries regularization
     "gapfill_locf_hourly",
     "time_weighted_avg_value",
-    # LLM-data curation
     "benchmark_contamination",
     "train_test_split_counts",
-    # round-2 continuation: compressed-domain ANN + corpus rarity + PII
     "pq_adc_topk",
     "doc_rarity_scores",
     "pii_scrub_customers",
-    # round-3: corpus boilerplate cleaning + mergeable-sketch quantiles
-    # + materialized-aggregate maintenance
     "boilerplate_segment_removal",
     "binned_quantile_sketch",
     "incremental_agg_maintenance",
-    # round-4: the composed curation flagship + rolling engagement
     "corpus_curation_pipeline",
     "rolling_7d_active_users",
-    # round-5: mixture sampling, shard shuffle, iterative BPE,
-    # sketch intersection, MRL truncation ANN, LSH S-curve eval
-    "source_temperature_sampling",
-    "training_shard_assignment",
+    # curated round-3 additions (the rest stay probe-tracked in
+    # SCALE.md and plan-audited via tools/plan_audit.py)
     "bpe_train_steps",
     "kmv_jaccard_intersection",
-    "matryoshka_prefix_recall",
     "lsh_recall_curve",
     "duplicate_span_scrub",
     "training_mix_manifest",
     "cdc_apply_changes",
-    # round-6: text-native similarity, sketch join-size, monitoring
-    # statistics, storage pruning, record linkage
     "hashed_tf_cosine_topk",
-    "cms_join_size_estimate",
-    "value_distribution_ks",
-    "value_cusum_changepoint",
-    "dynamic_partition_pruned_join",
     "ivf_partitioned_index_topk",
     "fuzzy_name_linkage",
-    # round-7: grouped Gopher repetition gate + the constant-state
-    # binned KS (scale companion to the exact form above)
-    "gopher_repetition_flags",
     "value_distribution_ks_binned",
-    # round-8: skew observability + exact grouped selection (the
-    # weighted median is the probe-driven distinct-collapse rewrite)
-    "join_key_skew_profile",
-    "exact_group_percentiles",
     "weighted_median_price",
-    # round-8 cont.: golden record, search-index build, linear interp
-    # (the reversed-cumulative rewrite), ledger reconciliation
-    "user_profile_snapshot",
     "inverted_index_postings",
-    "gapfill_linear_interp",
-    "order_total_reconciliation",
 ]
+
+
+def line_bytes(timings: dict[str, float], total: float, sf: float) -> bytes:
+    """The exact stdout payload — shared with the contract test."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    ).encode()
 
 
 def main() -> None:
@@ -138,6 +136,7 @@ def main() -> None:
     # more — stabilizes the recorded figure without 2× cost on the
     # well-behaved majority.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     plan_hashes: dict[str, str] = {}
     for name in HEADLINE:
         runs: list[float] = []
@@ -153,24 +152,27 @@ def main() -> None:
             ):
                 break
         timings[name] = round(min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
         # plan hash from the df just timed (driver-side only, ~ms):
         # equal across rounds ⇒ a timing delta is environment drift;
         # unequal ⇒ the plan changed and the delta is attributable.
         plan_hashes[name] = plan_hash(df)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "plan_hashes": plan_hashes,
-            }
+    with open(SIDE_FILE, "w") as fh:
+        json.dump(
+            {"sf": sf, "plan_hashes": plan_hashes, "runs": all_runs},
+            fh,
+            indent=1,
+            sort_keys=True,
         )
+    payload = line_bytes(timings, total, sf)
+    assert len(payload) <= MAX_LINE_BYTES, (
+        f"bench stdout line is {len(payload)}B > {MAX_LINE_BYTES}B: "
+        "trim HEADLINE or move data to the side file"
     )
+    sys.stdout.buffer.write(payload + b"\n")
+    sys.stdout.flush()
     spark.stop()
 
 
