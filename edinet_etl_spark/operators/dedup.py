@@ -1023,6 +1023,17 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
 _RECALL_BAND_MIDS = (0.1, 0.3, 0.5, 0.7, 0.9)
 _RECALL_ANALYTIC = tuple(1.0 - (1.0 - s * s) ** 4 for s in _RECALL_BAND_MIDS)
 
+# THE SAMPLE-RATE DIAL for the recall curve's exact-truth arm.  Docs
+# whose md5("lshrec:"+doc_id) first-8-hex value ≡ 0 (mod this) enter
+# the eval sample, so the sampled fraction is 1/_RECALL_SAMPLE_MOD and
+# the quadratic truth arm costs O((N/mod)²) pairs.  PRODUCTION
+# GUIDANCE: hold the SAMPLE SIZE constant, not the rate — set
+# mod ≈ corpus_docs / target_sample (e.g. 10k docs is plenty to read a
+# 5-band curve), so the eval cost stays flat as the corpus grows.
+# The candidate pipeline under test runs on the same sample, so the
+# measured recall stays apples-to-apples at any mod.
+_RECALL_SAMPLE_MOD = 2
+
 
 @query(
     "lsh_recall_curve",
@@ -1037,7 +1048,7 @@ _RECALL_ANALYTIC = tuple(1.0 - (1.0 - s * s) ** 4 for s in _RECALL_BAND_MIDS)
          sample AS (
            SELECT doc_id, text, n_chars FROM canon
            WHERE ('0x' || substr(md5('lshrec:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 2 = 0
+                   % {_RECALL_SAMPLE_MOD} = 0
          ),
          sh AS ({_sql_shingles_from("sample")}),
          mins AS ({_SQL_MINS}),
@@ -1087,10 +1098,11 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Truth requires exact Jaccard for every co-shingle pair — the
     declared-quadratic eval arm — so it runs on a deterministic HASH
-    SAMPLE of the canonical corpus (half, by md5 parity; a production
-    run dials the rate down with corpus size).  The candidate pipeline
-    under test runs on the same sample, so recall is measured
-    apples-to-apples.  Exact copies are collapsed first: byte-equal
+    SAMPLE of the canonical corpus: 1/`_RECALL_SAMPLE_MOD` of docs by
+    md5 parity (see the dial's comment — production holds the sample
+    SIZE constant by setting mod ∝ corpus size, keeping the eval cost
+    flat).  The candidate pipeline under test runs on the same sample,
+    so recall is measured apples-to-apples.  Exact copies are collapsed first: byte-equal
     pairs are J=1.0 trivia that the exact-dedup stage upstream already
     removes.
 
@@ -1120,7 +1132,7 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % 2
+        % _RECALL_SAMPLE_MOD
     )
     sample = canon.filter(parity == 0)
     pairs = candidate_pairs(lsh_bands(minhash_signatures(sample))).select(
