@@ -524,6 +524,106 @@ def jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_T = 0.9  # containment threshold for near-subset detection
+
+
+@query(
+    "containment_verify_candidates",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED}),
+         pairs AS ({_SQL_PAIRS}),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN tok a ON a.doc_id = p.doc_a
+           JOIN tok b ON b.doc_id = p.doc_b AND b.tok = a.tok
+           GROUP BY p.doc_a, p.doc_b
+         ), scored AS (
+           SELECT doc_a, doc_b,
+                  CAST(n_common AS DOUBLE) / sa.n_tok AS containment_a_in_b,
+                  CAST(n_common AS DOUBLE) / sb.n_tok AS containment_b_in_a,
+                  CAST(n_common AS DOUBLE)
+                    / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+         )
+    SELECT doc_a, doc_b, containment_a_in_b, containment_b_in_a, jaccard
+    FROM scored
+    WHERE GREATEST(containment_a_in_b, containment_b_in_a) >= {_CONTAIN_T}
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def containment_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup verification: token-set CONTAINMENT
+    |A∩B|/|A| (and /|B|) over the LSH candidate pairs — the detector
+    for near-SUBSET duplication (a doc quoted or excerpted inside a
+    larger one), which symmetric Jaccard structurally under-scores
+    when sizes differ (J ≤ |A|/|B|).  A pair survives when EITHER
+    direction's containment ≥ 0.9; Jaccard rides along so the two
+    scores can be compared per pair.
+
+    Same scale shape as `jaccard_verify_candidates` (one band shuffle
+    for candidates, two doc_id-partitioned token joins, per-pair cost
+    bounded by token counts); both containments come from the same
+    intersection count, so the asymmetric scores are free.  One
+    honest caveat at 100 TB: banded MinHash recalls by JACCARD, so
+    low-J high-containment pairs (tiny doc inside huge doc) need the
+    substring-fingerprint path (`duplicate_span_scrub`) as the
+    recall-complete companion — this query verifies what LSH surfaces,
+    it does not widen the candidate net."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand = candidate_pairs(lsh_bands(minhash_signatures(docs)))
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("ta_id"), F.col("tok").alias("ta_tok"))
+    tb = tok.select(F.col("doc_id").alias("tb_id"), F.col("tok").alias("tb_tok"))
+    inter = (
+        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb_id") == F.col("doc_b")) & (F.col("tb_tok") == F.col("ta_tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("sa_id"), F.col("n_tok").alias("sa_n"))
+    sb = sizes.select(F.col("doc_id").alias("sb_id"), F.col("n_tok").alias("sb_n"))
+    nc = F.col("n_common").cast("double")
+    return (
+        inter.join(sa, F.col("sa_id") == F.col("doc_a"))
+        .join(sb, F.col("sb_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (nc / F.col("sa_n")).alias("containment_a_in_b"),
+            (nc / F.col("sb_n")).alias("containment_b_in_a"),
+            (nc / (F.col("sa_n") + F.col("sb_n") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= _CONTAIN_T
+        )
+    )
+
+
 _SIMHASH_BITS = 16
 
 

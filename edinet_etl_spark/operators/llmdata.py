@@ -1737,3 +1737,74 @@ def waterfill_half(tok: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     ).orderBy("source")
+
+
+_VOCAB_V = 500  # tokenizer vocabulary budget under evaluation
+
+
+@query(
+    "vocab_coverage_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token FROM freq ORDER BY cnt DESC, token LIMIT {_VOCAB_V}
+    ), cov AS (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.token = t.token
+      GROUP BY t.source
+    )
+    SELECT source, n_tokens, n_oov,
+           CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM cov ORDER BY source
+    """,
+    covers=["M6-curation", "A3", "J-extended", "L-extended"],
+)
+def vocab_coverage_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit for a tokenizer budget: build the
+    top-V=500 token vocabulary by corpus frequency (total order: count
+    desc, token asc) and report, PER SOURCE, the fraction of token
+    occurrences that fall outside it — the out-of-vocabulary rate that
+    tells a tokenizer team which sources will fragment into bytes/
+    unknowns under a fixed vocab budget, before any training run pays
+    for the discovery.  Pure exact ratios (int/int division).
+
+    Scale: token frequency is one map-side-combinable aggregate; the
+    vocabulary is V rows — BROADCAST to the coverage join, so the
+    second corpus pass has zero shuffle on the token stream (the
+    per-source collapse combines map-side).  Both corpus passes are
+    full scans; at 100 TB, fold this onto the same token stream the
+    tf-idf/BPE queries already materialize."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = (
+        freq.orderBy(F.desc("cnt"), "token")
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    cov = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return cov.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    ).orderBy("source")

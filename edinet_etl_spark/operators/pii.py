@@ -399,3 +399,77 @@ def kanon_release_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.filter(F.col("n_customers") >= _KANON_K)
         .orderBy("nation", "segment")
     )
+
+
+_LDIV_L = 5
+_LDIV_BAND = 2000  # sensitive attribute: acctbal band width
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(FLOOR(c.c_acctbal / {_LDIV_BAND}) AS BIGINT) AS sens_band
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), cells AS (
+      SELECT nation, segment,
+             CAST(COUNT(*) AS BIGINT) AS n_individuals,
+             CAST(COUNT(DISTINCT sens_band) AS BIGINT) AS n_distinct_sensitive,
+             CAST(MAX(band_n) AS BIGINT) AS max_band_n
+      FROM (SELECT nation, segment, sens_band,
+                   COUNT(*) OVER (PARTITION BY nation, segment, sens_band)
+                     AS band_n
+            FROM tagged)
+      GROUP BY nation, segment
+    )
+    SELECT nation, segment, n_individuals, n_distinct_sensitive,
+           max_band_n,
+           CAST(CASE WHEN n_distinct_sensitive >= {_LDIV_L}
+                THEN 1 ELSE 0 END AS BIGINT) AS meets_l
+    FROM cells
+    ORDER BY nation, segment
+    """,
+    covers=["PII-kanon", "A3", "J1", "W-extended"],
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit — the disclosure-control check one
+    rung above k-anonymity: a quasi-identifier cell (nation, segment)
+    that is k-anonymous can still leak if everyone in it shares the
+    same SENSITIVE value, so each cell must contain at least l=5
+    distinct sensitive values (balance bands here).  `max_band_n`
+    exposes the dominant band's size — the input to the stricter
+    recursive-(c,l) variant.
+
+    Scale: one aggregate on the cell key with a COUNT(DISTINCT) that
+    Spark expands to a two-level partial aggregate (band collapse, then
+    cell collapse) — both map-side combinable, no distinct-heavy
+    shuffle of raw rows; the nation decode is a broadcast.  The audit
+    reads each individual exactly once at any corpus size."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tagged = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _LDIV_BAND).cast("bigint").alias("sens_band"),
+    )
+    bands = tagged.groupBy("nation", "segment", "sens_band").agg(
+        F.count("*").alias("band_n")
+    )
+    cells = bands.groupBy("nation", "segment").agg(
+        F.sum("band_n").cast("bigint").alias("n_individuals"),
+        F.count("*").cast("bigint").alias("n_distinct_sensitive"),
+        F.max("band_n").cast("bigint").alias("max_band_n"),
+    )
+    return cells.select(
+        "nation",
+        "segment",
+        "n_individuals",
+        "n_distinct_sensitive",
+        "max_band_n",
+        F.when(F.col("n_distinct_sensitive") >= _LDIV_L, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("meets_l"),
+    ).orderBy("nation", "segment")

@@ -1415,3 +1415,117 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((h, nxt.count(), reached.count()))
         frontier = nxt
     return spark.createDataFrame(rows, "hop bigint, n_new bigint, n_reached bigint")
+
+
+_RA_DEG_CAP = 40  # wedge centers capped at this degree (hub guard)
+_RA_MIN_SUPPORT = 2  # edge = co-purchased in >= this many distinct orders
+_RA_TOPK = 50
+
+_SQL_RA_EDGES = f"""
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {_RA_MIN_SUPPORT}
+"""
+
+
+@query(
+    "copurchase_link_prediction",
+    oracle=f"""
+    WITH pairs AS ({_SQL_RA_EDGES}),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), capped AS (
+      SELECT n.z, n.nbr, d.d FROM (
+        SELECT u AS z, v AS nbr FROM pairs
+        UNION ALL SELECT v AS z, u AS nbr FROM pairs
+      ) n JOIN deg d ON d.node = n.z WHERE d.d <= {_RA_DEG_CAP}
+    ), wedges AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.d
+      FROM capped a JOIN capped b ON a.z = b.z AND a.nbr < b.nbr
+    ), scores AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_capped,
+             CAST(CAST(SUM(CAST(1.0 / d AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS ra_score
+      FROM wedges GROUP BY u, v
+    ), cand AS (
+      SELECT s.u, s.v, s.common_capped, s.ra_score
+      FROM scores s LEFT JOIN pairs p ON p.u = s.u AND p.v = s.v
+      WHERE p.u IS NULL
+    )
+    SELECT u, v, common_capped, ra_score FROM cand
+    ORDER BY ra_score DESC, u, v LIMIT {_RA_TOPK}
+    """,
+    covers=["M6-graph", "A-extended", "J-extended", "L-extended"],
+)
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the SUPPORT-FILTERED part co-purchase graph
+    by RESOURCE ALLOCATION index: edges are pairs co-purchased in >= 2
+    distinct orders (the market-basket support filter — one-off
+    coincidences are noise, and it is what keeps the graph SPARSE:
+    random one-order co-occurrence grows ~quadratically with scale
+    while repeat co-purchase tracks true affinity, measured 115k -> 3.4k
+    edges at sf0.01); for part pairs NOT yet linked, score
+    RA(u,v) = sum over z in N(u) & N(v) of 1/deg(z) and return the top
+    candidates — "customers who bought these also bought", with the RA
+    weighting (common neighbors discounted by their promiscuity) that
+    wins the classic link-prediction benchmarks.  Unlike Adamic-Adar,
+    RA needs no logarithm, so the score rides the decimal sum and
+    hash-compares bit-exactly.
+
+    Two-hop enumeration is the O(sum deg^2) trap, so wedge CENTERS are
+    additionally capped at deg <= 40: a hub shared by thousands of
+    parts contributes <= 1/40 per wedge to RA while generating deg^2
+    wedges — the cap drops the score's noise floor, not its signal,
+    and bounds per-center fan-out at C(40,2) (same principle as the
+    LSH bucket salt caps in dedup.py).
+
+    Shuffle shape: the support filter IS the first aggregate (groupBy
+    pair), then one groupBy z (the capped self-join co-locates by
+    center), one groupBy (u,v) for the score, one anti-join against
+    the existing edges."""
+    prep(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _RA_MIN_SUPPORT)
+        .select("u", "v")
+        # feeds degrees, wedge enumeration and the anti-join
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    nbrs = pairs.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    capped = nbrs.join(deg, nbrs["z"] == deg["node"]).filter(
+        F.col("d") <= _RA_DEG_CAP
+    ).select("z", "nbr", "d")
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    wedges = ca.join(
+        cb, (F.col("ca.z") == F.col("cb.z")) & (F.col("ca.nbr") < F.col("cb.nbr"))
+    ).select(
+        F.col("ca.nbr").alias("u"), F.col("cb.nbr").alias("v"), F.col("ca.d").alias("d")
+    )
+    scores = wedges.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("common_capped"),
+        dsum(F.lit(1.0) / F.col("d"), "ra_score"),
+    )
+    cand = scores.join(pairs, ["u", "v"], "left_anti")
+    return cand.select("u", "v", "common_capped", "ra_score").orderBy(
+        F.desc("ra_score"), "u", "v"
+    ).limit(_RA_TOPK)

@@ -880,3 +880,78 @@ def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+_EWMA_K = 20  # events per user entering the average (lag 0..K-1)
+
+
+@query(
+    "ewma_user_value_halflife",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1
+               AS lag
+      FROM events
+    ), recent AS (
+      SELECT * FROM ranked WHERE lag < {_EWMA_K}
+    ), agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_used,
+             CAST(CAST(SUM(CAST(value * (1::BIGINT << ({_EWMA_K - 1} - lag))
+                                AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               AS wsum,
+             SUM(1::BIGINT << ({_EWMA_K - 1} - lag)) AS wtot,
+             CAST(CAST(MAX(CASE WHEN lag = 0 THEN value END)
+                  AS DECIMAL(18,8)) AS DOUBLE) AS latest_value
+      FROM recent GROUP BY user_id
+    )
+    SELECT user_id, n_events_used,
+           wsum / CAST(wtot AS DOUBLE) AS ewma_value,
+           latest_value
+    FROM agg ORDER BY user_id
+    """,
+    covers=["W-extended", "A-extended", "F1-F4"],
+)
+def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value with half-life = one event
+    (alpha = 1/2), the standard recency-weighted engagement score.
+    EWMA is a recursive definition most engines can't fold into a
+    window; the closed form Σ value·2^-lag / Σ 2^-lag over the last
+    K=20 events CAN be — and by scaling to INTEGER weights 2^(K-1-lag)
+    (a bit shift, exact in any engine) the weighted sum rides the
+    decimal discipline and the single final division is correctly
+    rounded: bit-exact on any partitioning, no libm anywhere.
+
+    Scale: one window rank + one map-side-combinable aggregate, both
+    on user_id — a single hash shuffle of the fact stream; weights are
+    computed inside codegen.  The K cap both bounds the integer
+    weights (2^19·value < 10^10, inside DECIMAL(18,8)) and is the
+    semantic dial: lag-K contributions are < 2^-19 of the score."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.select("user_id", "value", "ts", "event_id")
+        .withColumn("lag", F.row_number().over(w) - 1)
+        .filter(F.col("lag") < _EWMA_K)
+    )
+    # F.shiftleft only takes a literal bit count; the SQL form shifts
+    # by a column (codegen integer op, same as the oracle's `1 << x`)
+    wt = F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_K} - 1 - lag)")
+    agg = recent.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events_used"),
+        F.sum(dec(F.col("value") * wt)).cast("string").cast("double").alias("wsum"),
+        F.sum(wt).alias("wtot"),
+        F.max(F.when(F.col("lag") == 0, F.col("value")))
+        .cast("decimal(18,8)")
+        .cast("double")
+        .alias("latest_value"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events_used",
+        (F.col("wsum") / F.col("wtot").cast("double")).alias("ewma_value"),
+        "latest_value",
+    ).orderBy("user_id")

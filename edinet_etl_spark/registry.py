@@ -142,6 +142,10 @@ _PRIORITY: tuple[str, ...] = (
     "doc_top_token_arrayonly", "peak_open_orders", "hourly_value_bands",
     "nation_revenue_rank_shift", "daily_new_vs_returning",
     "session_eventtype_lift",
+    # ---- round-4 additions (queue behind all never-tested names) ----
+    "l_diversity_audit", "ewma_user_value_halflife",
+    "retrieval_mrr_eval", "copurchase_link_prediction",
+    "containment_verify_candidates", "vocab_coverage_oov_rate",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
