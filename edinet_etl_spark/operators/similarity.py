@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
-from edinet_etl_spark.numeric import dec
+from edinet_etl_spark.numeric import dec, dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -1945,3 +1945,97 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_PC_DIM = 64  # embedding dimensionality (asserted by the fold width)
+_PC_V0 = 0.125  # 1/sqrt(64): unit start vector, exact in binary
+
+_SQL_DSUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)"
+
+
+def _sql_pc_step(src: str, vexpr: str, w: str) -> str:
+    """One Gram-matrix power step in portable SQL: w_pos = Σ_rows
+    x_pos · (x·v), decimal-summed per coordinate."""
+    return f"""
+    {w}s AS (
+      SELECT vec_id, emb, list_dot_product(emb, {vexpr}) AS s FROM {src}
+    ), {w} AS (
+      SELECT pos, {_SQL_DSUM.format(x='x * s')} AS w
+      FROM (SELECT s, unnest(emb) AS x, unnest(range({_PC_DIM})) AS pos
+            FROM {w}s)
+      GROUP BY pos
+    ), {w}n AS (
+      SELECT {_SQL_DSUM.format(x='w * w')} AS n2 FROM {w}
+    ), {w}v AS (
+      SELECT list(w / sqrt(n2) ORDER BY pos) AS v FROM {w}, {w}n
+    )"""
+
+
+@query(
+    "embedding_top_pc_power_iteration",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),{_sql_pc_step('e', '[' + ', '.join(['0.125'] * _PC_DIM) + ']', 'w1')},
+    {_sql_pc_step('e', '(SELECT v FROM w1v)', 'w2')}
+    SELECT pos AS dim_pos,
+           w / sqrt((SELECT n2 FROM w2n)) AS pc_loading,
+           sqrt((SELECT n2 FROM w2n)) AS gram_norm
+    FROM w2 ORDER BY pos
+    """,
+    covers=["M6-similarity", "A-extended", "iterative"],
+)
+def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by TWO power
+    iterations on the (uncentered) Gram matrix — the building block of
+    PCA whitening / spectral index rotation, run without ever
+    materializing the 64×64 covariance: each step is w = Xᵀ(Xv), i.e.
+    one broadcast of the 64-float v, one fused scan computing the
+    per-row projection x·v, and one 64-group decimal aggregate.
+
+    Bit-exact iterative linear algebra: per-coordinate sums ride
+    DECIMAL(18,8) (order-independent on any partitioning), the
+    per-row projection is the fixed left-fold `dot_exact`, and the
+    only rounding steps — x·v products, w/‖w‖ normalize, sqrt — are
+    correctly rounded IEEE ops identical in any engine, so even the
+    INTERMEDIATE iterate v₁ matches DuckDB bitwise and the unrolled
+    SQL oracle reproduces the whole trajectory.  `gram_norm` = ‖XᵀXv₁‖
+    is the Rayleigh-quotient eigenvalue estimate at convergence.
+
+    Scale: each iteration shuffles exactly 64 groups (the posexplode
+    feeds a map-side-combined aggregate); v never leaves one row, so
+    iterations add plan depth, not data movement.  More iterations or
+    deflation for PC2+ compose the same step; at 100 TB the scan
+    dominates and the step count is the only multiplier."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v_df = spark.range(1).select(
+        F.array(*[F.lit(_PC_V0) for _ in range(_PC_DIM)]).alias("v")
+    )
+    last = None
+    for _ in range(2):
+        scored = emb.crossJoin(F.broadcast(v_df)).select(
+            "embedding", dot_exact(F.col("embedding"), F.col("v")).alias("s")
+        )
+        w = (
+            scored.select(F.posexplode("embedding").alias("pos", "x"), "s")
+            .groupBy("pos")
+            .agg(dsum(F.col("x").cast("double") * F.col("s"), "w"))
+        )
+        n2 = w.agg(dsum(F.col("w") * F.col("w"), "n2"))
+        last = w.crossJoin(F.broadcast(n2))
+        v_df = last.groupBy().agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("w") / F.sqrt("n2")).alias("vx"))
+                    )
+                ),
+                lambda s: s["vx"],
+            ).alias("v")
+        )
+    return last.select(
+        F.col("pos").cast("bigint").alias("dim_pos"),
+        (F.col("w") / F.sqrt("n2")).alias("pc_loading"),
+        F.sqrt("n2").alias("gram_norm"),
+    ).orderBy("dim_pos")

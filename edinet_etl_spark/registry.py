@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "l_diversity_audit", "ewma_user_value_halflife",
     "retrieval_mrr_eval", "copurchase_link_prediction",
     "containment_verify_candidates", "vocab_coverage_oov_rate",
+    "embedding_top_pc_power_iteration",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
