@@ -634,23 +634,28 @@ def _simhash_bit(j: int) -> Column:
     return F.when(F.substring(F.col("tok_md5"), j + 1, 1) <= "7", 1).otherwise(-1)
 
 
+# Shared simhash CTE chain (tok0 -> tok -> sums -> sigs) reused by the
+# signature query and the Hamming near-pair join below.
+_SQL_SIMHASH_CTES = (
+    "tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+    "tok AS (SELECT doc_id, md5(tok) AS tok_md5 FROM tok0),\n"
+    "sums AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN substr(tok_md5, {j + 1}, 1) <= '7' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    + " FROM tok GROUP BY doc_id),\n"
+    "sigs AS (SELECT doc_id, "
+    + " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
+    )
+    + " AS simhash FROM sums)"
+)
+
+
 @query(
     "simhash_signatures",
-    oracle=(
-        "WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
-        "tok AS (SELECT doc_id, md5(tok) AS tok_md5 FROM tok0),\n"
-        "sums AS (SELECT doc_id, "
-        + ", ".join(
-            f"SUM(CASE WHEN substr(tok_md5, {j + 1}, 1) <= '7' THEN 1 ELSE -1 END) AS s{j}"
-            for j in range(_SIMHASH_BITS)
-        )
-        + " FROM tok GROUP BY doc_id)\n"
-        "SELECT doc_id, "
-        + " || ".join(
-            f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
-        )
-        + " AS simhash FROM sums"
-    ),
+    oracle=f"WITH {_SQL_SIMHASH_CTES} SELECT doc_id, simhash FROM sigs",
     covers=["M6-dedup"],
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +683,100 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_SIMHASH_BITS)
     ]
     return sums.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+_SIMHASH_MAX_HAMMING = 2
+# 3 bands over the 16 bits (6/5/5): a pair at Hamming distance <=2 has
+# all its differing bits in at most 2 bands, so at least one band
+# matches exactly -> banding has NO false negatives at this radius.
+_SIMHASH_BANDS = [(1, 6), (7, 5), (12, 5)]
+
+
+@query(
+    "simhash_hamming_near_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, 0 AS band_id, substr(simhash, 1, 6) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, substr(simhash, 7, 5) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, substr(simhash, 12, 5) AS band_val FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             ({" + ".join(
+                 f"CASE WHEN substr(sa.simhash, {j + 1}, 1) <> substr(sb.simhash, {j + 1}, 1) THEN 1 ELSE 0 END"
+                 for j in range(_SIMHASH_BITS)
+             )}) AS hamming
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completed into a CANDIDATE PIPELINE: all doc pairs at
+    Hamming distance <= 2 on the 16-bit signature, found by banded
+    self-join — 3 bands (6/5/5 bits), so any pair within the radius
+    shares at least one exact band (pigeonhole: 2 differing bits
+    cannot hit 3 bands) — banding is recall-LOSSLESS here, unlike
+    MinHash LSH's probabilistic bands.  This is the second,
+    cheaper near-dup axis next to the MinHash/Jaccard path: simhash
+    distance tracks weighted-token cosine, so it catches
+    repetition-heavy near-dups Jaccard underweights.
+
+    Scale: the band join buckets by (band_id, 5-6 bits of signature);
+    bucket skew is bounded by signature entropy, and the verify step
+    is 16 char compares per candidate inside codegen.  One shuffle for
+    signatures (doc_id), one for the band join, one DISTINCT on the
+    candidate pair — no all-pairs stage anywhere."""
+    prep(spark)
+    sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.substring("simhash", start, ln).alias("band_val"),
+            )
+            for i, (start, ln) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("sa_id"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("sb_id"), F.col("simhash").alias("sig_b"))
+    hamming = sum(
+        F.when(
+            F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(_SIMHASH_BITS)
+    )
+    return (
+        cand.join(sa, F.col("sa_id") == F.col("doc_a"))
+        .join(sb, F.col("sb_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+    )
 
 
 # Shared oracle prefix for both neardup consumers: exact md5-collapse

@@ -2039,3 +2039,84 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("w") / F.sqrt("n2")).alias("pc_loading"),
         F.sqrt("n2").alias("gram_norm"),
     ).orderBy("dim_pos")
+
+
+_OUTLIER_TOPK = 20
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ), sums AS (
+      SELECT label, pos,
+             {_SQL_DSUM.format(x='x')} AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT label, unnest(emb) AS x,
+                   unnest(range({_PC_DIM})) AS pos FROM e)
+      GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(s / n ORDER BY pos) AS c FROM sums GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(
+               list_transform(list_zip(e.emb, c.c),
+                              p -> p[1] - p[2]),
+               list_transform(list_zip(e.emb, c.c),
+                              p -> p[1] - p[2])) AS dist2
+      FROM e JOIN cent c ON c.label = e.label
+    )
+    SELECT vec_id, label, dist2 FROM scored
+    ORDER BY dist2 DESC, vec_id LIMIT {_OUTLIER_TOPK}
+    """,
+    covers=["M6-similarity", "A-extended", "L-extended"],
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier detector: squared distance of each embedding
+    to its OWN label's centroid, worst offenders first — the curation
+    pass that surfaces probably-mislabeled or out-of-distribution
+    rows before they poison a contrastive-training epoch (the
+    embedding-space analogue of the text quality gates).
+
+    Exactness: per-(label,dim) sums ride the decimal discipline, each
+    centroid coordinate is one IEEE division, and dist² is the fixed
+    left-fold of (x−c)² — identical subtraction/multiply/add sequence
+    in both engines (`dot_exact` over a `zip_with` difference ↔
+    DuckDB `list_dot_product` over a zipped `list_transform`), so the
+    ranking key is bit-stable and the top-k deterministic (ties by
+    vec_id).
+
+    Scale: the posexplode feeds a partial aggregate in-stage (only
+    labels×dims combiner rows shuffle); centroids are a labels-sized
+    table BROADCAST back, so the scoring pass is one scan with
+    array-local codegen math and the only full shuffle is the final
+    top-k (TakeOrdered — no global sort materialization)."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            dsum(F.col("x").cast("double"), "s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("cx")))
+            ),
+            lambda s: s["cx"],
+        ).alias("c")
+    )
+    diff = F.zip_with(
+        F.col("embedding"), F.col("c"), lambda a, b: a.cast("double") - b
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", dot_exact(diff, diff).alias("dist2"))
+        .orderBy(F.desc("dist2"), "vec_id")
+        .limit(_OUTLIER_TOPK)
+    )

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_mrr_eval", "copurchase_link_prediction",
     "containment_verify_candidates", "vocab_coverage_oov_rate",
     "embedding_top_pc_power_iteration",
+    "embedding_label_outliers", "simhash_hamming_near_pairs",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
