@@ -113,8 +113,25 @@ def line_bytes(timings: dict[str, float], total: float, sf: float) -> bytes:
     ).encode()
 
 
+def _drop_accumulated_state(spark) -> None:
+    """Free what the previous query left in the JVM.
+
+    Iterative operators localCheckpoint intermediates; those blocks are
+    only released when Spark's ContextCleaner notices the RDD is
+    garbage — which never happens under back-to-back benching, so block
+    memory ratchets up and LATE queries pay a phantom GC tax (measured:
+    boilerplate_segment_removal 2.5 s fresh vs 6.1 s at position 38).
+    Clearing the cache and forcing a JVM GC lets the cleaner run, so
+    every query is measured against the same resident state."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     registry.load_all()
+    # measurement JVM gets headroom so GC never dominates timing; the
+    # driver's own sessions are untouched (env override still wins)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("edinet-etl-spark-bench", cpus=CPUS)
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
@@ -139,6 +156,7 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     plan_hashes: dict[str, str] = {}
     for name in HEADLINE:
+        _drop_accumulated_state(spark)
         runs: list[float] = []
         while True:
             # construction inside the timer: iterative operators

@@ -69,6 +69,22 @@ def normalize_plan(plan: str) -> str:
 def plan_hash(df: DataFrame) -> str:
     """12-hex-char stable hash of df's physical plan (pre-execution
     static shape; with AQE on this is the initial plan, which is the
-    deterministic artifact of the query code + session conf)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    deterministic artifact of the query code + session conf).
+
+    FileScan metadata (DataFilters/PushedFilters/ReadSchema) is printed
+    TRUNCATED at spark.sql.maxMetadataStringLength (default 100) — and
+    the cut lands mid-token at an offset that depends on the width of
+    the raw expression ids, which vary per session.  Truncation happens
+    before normalization can fix it, so the hash flips between
+    otherwise-identical runs (caught round 4: bilateral_trade_volume).
+    Raising the limit for the duration of the toString makes the plan
+    string complete, hence stable after id scrubbing."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
     return hashlib.md5(normalize_plan(plan).encode()).hexdigest()[:12]
