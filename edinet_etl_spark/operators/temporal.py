@@ -899,9 +899,10 @@ _EWMA_K = 20  # events per user entering the average (lag 0..K-1)
     ), agg AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n_events_used,
-             CAST(CAST(SUM(CAST(value * (1::BIGINT << ({_EWMA_K - 1} - lag))
-                                AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
-               AS wsum,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))
+                               * CAST(1::BIGINT << ({_EWMA_K - 1} - lag)
+                                      AS DECIMAL(10,0)))
+                  AS VARCHAR) AS DOUBLE) AS wsum,
              SUM(1::BIGINT << ({_EWMA_K - 1} - lag)) AS wtot,
              CAST(CAST(MAX(CASE WHEN lag = 0 THEN value END)
                   AS DECIMAL(18,8)) AS DOUBLE) AS latest_value
@@ -940,9 +941,15 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.shiftleft only takes a literal bit count; the SQL form shifts
     # by a column (codegen integer op, same as the oracle's `1 << x`)
     wt = F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_K} - 1 - lag)")
+    # decimal-FIRST multiply (CLAUDE.md magnitude bound): value*2^19
+    # as a double reaches ~3e8, past the 2^53/10^8 portability limit of
+    # a post-hoc decimal cast; dec(value) x dec(wt) is exact instead
     agg = recent.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events_used"),
-        F.sum(dec(F.col("value") * wt)).cast("string").cast("double").alias("wsum"),
+        F.sum(dec(F.col("value")) * wt.cast("decimal(10,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("wsum"),
         F.sum(wt).alias("wtot"),
         F.max(F.when(F.col("lag") == 0, F.col("value")))
         .cast("decimal(18,8)")

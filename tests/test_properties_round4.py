@@ -236,7 +236,8 @@ def test_ewma_query_matches_python_model(spark):
         den = 0
         for lag, v in enumerate(recent):
             wt = 1 << (_EWMA_K - 1 - lag)
-            num += Decimal(repr(v * wt)).quantize(q, ROUND_HALF_UP)
+            # mirrors the engine: quantize the VALUE, multiply exactly
+            num += Decimal(repr(v)).quantize(q, ROUND_HALF_UP) * wt
             den += wt
         model[uid] = (
             len(recent),
