@@ -530,14 +530,21 @@ _CONTAIN_T = 0.9  # containment threshold for near-subset detection
 @query(
     "containment_verify_candidates",
     oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sh AS ({_sql_shingles_from("canon")}),
          mins AS ({_SQL_MINS}),
          bands AS ({_SQL_BANDS}),
          salted AS ({_SQL_SALTED}),
          pairs AS ({_SQL_PAIRS}),
          tok AS (
            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-           FROM documents
+           FROM canon
          ),
          sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
          inter AS (
@@ -579,12 +586,23 @@ def containment_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     low-J high-containment pairs (tiny doc inside huge doc) need the
     substring-fingerprint path (`duplicate_span_scrub`) as the
     recall-complete companion — this query verifies what LSH surfaces,
-    it does not widen the candidate net."""
+    it does not widen the candidate net.
+
+    Runs over CANONICAL docs (exact md5 collapse first): byte-equal
+    copies are containment=1.0 trivia exact dedup already removes, and
+    collapsing them keeps LSH buckets and the token joins corpus-sized
+    instead of copy-count-sized."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    cand = candidate_pairs(lsh_bands(minhash_signatures(docs)))
+    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    cand = candidate_pairs(lsh_bands(minhash_signatures(canon)))
     tok = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        canon.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -635,9 +653,11 @@ def _simhash_bit(j: int) -> Column:
 
 
 # Shared simhash CTE chain (tok0 -> tok -> sums -> sigs) reused by the
-# signature query and the Hamming near-pair join below.
-_SQL_SIMHASH_CTES = (
-    "tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+# signature query and the Hamming near-pair join below; the source
+# table is a parameter so the near-pair form runs over canonical docs.
+def _sql_simhash_ctes(src_table: str = "documents") -> str:
+    return (
+    f"tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src_table}),\n"
     "tok AS (SELECT doc_id, md5(tok) AS tok_md5 FROM tok0),\n"
     "sums AS (SELECT doc_id, "
     + ", ".join(
@@ -655,7 +675,7 @@ _SQL_SIMHASH_CTES = (
 
 @query(
     "simhash_signatures",
-    oracle=f"WITH {_SQL_SIMHASH_CTES} SELECT doc_id, simhash FROM sigs",
+    oracle=f"WITH {_sql_simhash_ctes()} SELECT doc_id, simhash FROM sigs",
     covers=["M6-dedup"],
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +705,25 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
+def _simhash_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """16-bit simhash signatures for an arbitrary (doc_id, text) frame
+    — the body of `simhash_signatures`, reusable over canonical docs."""
+    docs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("tok_md5"))
+    sums = tok.groupBy("doc_id").agg(
+        *[F.sum(_simhash_bit(j)).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    )
+    bits = [
+        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
 _SIMHASH_MAX_HAMMING = 2
 # 3 bands over the 16 bits (6/5/5): a pair at Hamming distance <=2 has
 # all its differing bits in at most 2 bands, so at least one band
@@ -695,7 +734,14 @@ _SIMHASH_BANDS = [(1, 6), (7, 5), (12, 5)]
 @query(
     "simhash_hamming_near_pairs",
     oracle=f"""
-    WITH {_SQL_SIMHASH_CTES},
+    WITH canon AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+    {_sql_simhash_ctes("canon")},
     bands AS (
       SELECT doc_id, 0 AS band_id, substr(simhash, 1, 6) AS band_val FROM sigs
       UNION ALL
@@ -733,13 +779,30 @@ def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tracks weighted-token cosine, so it catches
     repetition-heavy near-dups Jaccard underweights.
 
+    Runs over CANONICAL docs (exact md5 collapse first — the
+    composition `canonical_minhash_candidates` prescribes): byte-equal
+    copies share a signature, so every k-copy group inflates its band
+    buckets k× and candidate pairs k² — the 10× replicated probe
+    measured 12× before the collapse, ~flat after, because replicas
+    never reach the band join.
+
     Scale: the band join buckets by (band_id, 5-6 bits of signature);
-    bucket skew is bounded by signature entropy, and the verify step
-    is 16 char compares per candidate inside codegen.  One shuffle for
-    signatures (doc_id), one for the band join, one DISTINCT on the
-    candidate pair — no all-pairs stage anywhere."""
+    the verify step is 16 char compares per candidate inside codegen.
+    One shuffle for signatures (doc_id), one for the band join, one
+    DISTINCT on the candidate pair — no all-pairs stage anywhere.  The
+    bit width is the scale dial: band-bucket population ~ n/2^bits, so
+    production corpora raise _SIMHASH_BITS (64-bit sigs, 4×16-bit
+    bands at radius 3) to keep buckets bounded; the pigeonhole
+    guarantee holds for any (bands, radius) with radius < bands."""
     prep(spark)
-    sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    docs = load(spark, sf_dir, "documents")
+    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sigs = _simhash_sigs(spark, canon).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.struct(
