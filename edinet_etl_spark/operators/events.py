@@ -1876,3 +1876,172 @@ def session_eventtype_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "value_anova_by_event_type",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum('value', 'sy')},
+             {sql_dsum('value * value', 'syy')}
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             {sql_dsum('sy', 's_all')},
+             {sql_dsum('syy', 'syy_all')},
+             {sql_dsum('sy * sy / n', 'ssb_term')}
+      FROM g
+    )
+    SELECT n_total, n_groups,
+           ssb_term - s_all * s_all / n_total AS ss_between,
+           syy_all - ssb_term AS ss_within,
+           syy_all - s_all * s_all / n_total AS ss_total,
+           (ssb_term - s_all * s_all / n_total)
+             / (syy_all - s_all * s_all / n_total) AS eta_sq,
+           ((ssb_term - s_all * s_all / n_total) / (n_groups - 1))
+             / ((syy_all - ssb_term) / (n_total - n_groups)) AS f_stat
+    FROM t
+    """,
+    covers=["A-extended", "M6-quality"],
+)
+def value_anova_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of event value by event type — the
+    "does this dimension explain the metric at all?" monitor that sits
+    above the pairwise tests (Mann-Whitney, KS): SS_between/SS_within,
+    η² (variance explained) and the F statistic, computed from the
+    sufficient statistics (n, Σy, Σy²) per group.  No p-value on
+    purpose — the F CDF needs betainc (libm); the statistic itself is
+    exact ratio arithmetic and thresholds fine for monitoring.
+
+    Bit-exactness: both aggregate levels ride the decimal discipline
+    (per-group sums over rows, then the G-row collapse), and every
+    derived quantity is the same correctly-rounded double op sequence
+    in both engines.
+
+    Scale: ONE map-side-combinable aggregate over the fact stream
+    (sufficient statistics are mergeable — this is sketch-shaped), a
+    G-row second collapse, zero joins.  The same two-level shape
+    computes ANOVA over any corpus size; G is the only state."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(F.col("value"), "sy"),
+        dsum(F.col("value") * F.col("value"), "syy"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        dsum(F.col("sy"), "s_all"),
+        dsum(F.col("syy"), "syy_all"),
+        dsum(F.col("sy") * F.col("sy") / F.col("n"), "ssb_term"),
+    )
+    correction = F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ssb = F.col("ssb_term") - correction
+    ssw = F.col("syy_all") - F.col("ssb_term")
+    sst = F.col("syy_all") - correction
+    return t.select(
+        "n_total",
+        "n_groups",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        sst.alias("ss_total"),
+        (ssb / sst).alias("eta_sq"),
+        ((ssb / (F.col("n_groups") - 1)) / (ssw / (F.col("n_total") - F.col("n_groups")))).alias(
+            "f_stat"
+        ),
+    )
+
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period | post-period boundary
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,8))
+                 ELSE CAST(0 AS DECIMAL(18,8)) END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,8))
+                 ELSE CAST(0 AS DECIMAL(18,8)) END) AS y
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM u
+    )
+    SELECT n_users,
+           (sxy - sx * sy / n_users) / (sxx - sx * sx / n_users) AS theta,
+           (syy - sy * sy / n_users) / n_users AS var_y,
+           ((syy - sy * sy / n_users)
+            - (sxy - sx * sy / n_users) * (sxy - sx * sy / n_users)
+              / (sxx - sx * sx / n_users)) / n_users AS var_adj_y,
+           (sxy - sx * sy / n_users) * (sxy - sx * sy / n_users)
+             / ((sxx - sx * sx / n_users) * (syy - sy * sy / n_users))
+             AS var_reduction
+    FROM s
+    """,
+    covers=["A-extended", "M6-quality", "F1-F4"],
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment variance reduction): per user, the
+    pre-period metric x is the covariate for the post-period metric y;
+    θ = Cov(x,y)/Var(x) and the adjusted metric y−θ(x−x̄) has variance
+    Var(y)·(1−ρ²) — `var_reduction` = ρ² IS the fraction of A/B-test
+    sample size the covariate buys back.  This is the standard
+    experimentation-platform preprocessing step over exactly this kind
+    of event stream.
+
+    Numeric path: per-user sums stay IN DECIMAL (no double hop), so
+    the user-level products x·y, x², y² are EXACT decimal(37,16) —
+    per-user month sums reach ~4e5, whose squares (1.6e11) are far
+    past the quantize-a-double portability bound, the trap the EWMA
+    fix documented; decimal-native multiplication sidesteps it at any
+    magnitude.  The string hop to double happens once, on the five
+    corpus totals; everything after is the same correctly-rounded op
+    sequence in both engines.
+
+    Scale: one user-keyed aggregate (map-side combinable), one 5-value
+    collapse; sufficient statistics again — mergeable across shards,
+    no second scan, no join."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,8)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < split, F.col("value").cast("decimal(18,8)")).otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value").cast("decimal(18,8)")).otherwise(zero)
+        ).alias("y"),
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("string").cast("double").alias("sx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n_users")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return s.select(
+        "n_users",
+        (cov / varx).alias("theta"),
+        (vary / n).alias("var_y"),
+        ((vary - cov * cov / varx) / n).alias("var_adj_y"),
+        (cov * cov / (varx * vary)).alias("var_reduction"),
+    )

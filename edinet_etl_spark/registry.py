@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "containment_verify_candidates", "vocab_coverage_oov_rate",
     "embedding_top_pc_power_iteration",
     "embedding_label_outliers", "simhash_hamming_near_pairs",
+    "value_anova_by_event_type", "cuped_variance_reduction",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
