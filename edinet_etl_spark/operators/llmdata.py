@@ -1042,11 +1042,10 @@ _BPE_ROUNDS = 4
 # a non-text byte); words containing it are excluded defensively.
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled-round BPE oracle (the kcore/pagerank fixed-iteration
-    construction): each round re-counts weighted adjacent-symbol pairs
-    over the CURRENT segmentation, picks the (count DESC, a, b) argmax,
-    and rewrites the vocabulary by literal replace."""
+def _bpe_train_ctes() -> str:
+    """The unrolled-round BPE CTE chain (words → w0 → p/pick/w/tot per
+    round), shared by the train query's oracle and the per-source
+    apply query's oracle."""
     parts = [
         r"""
     WITH words AS (
@@ -1086,6 +1085,14 @@ def _bpe_train_oracle() -> str:
       FROM w{r}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled-round BPE oracle (the kcore/pagerank fixed-iteration
+    construction): each round re-counts weighted adjacent-symbol pairs
+    over the CURRENT segmentation, picks the (count DESC, a, b) argmax,
+    and rewrites the vocabulary by literal replace."""
     selects = " UNION ALL ".join(
         f"""SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b,
                cnt AS pair_count,
@@ -1093,7 +1100,45 @@ def _bpe_train_oracle() -> str:
         FROM pick{r}"""
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_train_ctes() + "\n    " + selects
+
+
+def _bpe_apply_oracle() -> str:
+    """Per-source application of the trained merges: the same nested
+    literal replaces w4 uses, over per-(source, word) counts."""
+    nested = "sym"
+    for r in range(1, _BPE_ROUNDS + 1):
+        nested = (
+            f"replace({nested}, (SELECT '·' || a || '··' || b || '·' FROM pick{r}),"
+            f" (SELECT '·' || a || b || '·' FROM pick{r}))"
+        )
+    return (
+        _bpe_train_ctes()
+        + f"""
+    , sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1 AND word NOT LIKE '%·%'
+      GROUP BY source, word
+    ), sw0 AS (
+      SELECT source, n,
+             '·' || substr(regexp_replace(word, '(.)', '\\1··', 'g'),
+                           1, 3 * length(word) - 2) || '·' AS sym
+      FROM sw
+    ), sw4 AS (
+      SELECT source, n, {nested} AS sym FROM sw0
+    )
+    SELECT source,
+           CAST(SUM(n * (length(replace(substr(sym, 2, length(sym) - 2), '··', '')))) AS BIGINT)
+             AS n_chars,
+           CAST(SUM(n * length(string_split(substr(sym, 2, length(sym) - 2), '··')))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(n * length(string_split(substr(sym, 2, length(sym) - 2), '··')))
+                AS DOUBLE)
+             / SUM(n * (length(replace(substr(sym, 2, length(sym) - 2), '··', ''))))
+             AS tokens_per_char
+    FROM sw4 GROUP BY source ORDER BY source"""
+    )
 
 
 @query(
@@ -1123,6 +1168,18 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the identical unrolled fixed iteration as chained CTEs."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
+    rows = _bpe_learn_merges(spark, docs)
+    return spark.createDataFrame(
+        rows,
+        "round bigint, sym_a string, sym_b string, pair_count bigint, "
+        "total_tokens_after bigint",
+    )
+
+
+def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
+    """The BPE training loop (body of `bpe_train_steps`, reusable by
+    the per-source apply query): returns one (round, a, b, count,
+    total_tokens_after) tuple per round."""
     words = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.length("word") >= 1) & (~F.col("word").contains("·")))
@@ -1174,10 +1231,73 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["t"]
         )
         rows.append((r, top["a"], top["b"], top["cnt"], total))
-    return spark.createDataFrame(
-        rows,
-        "round bigint, sym_a string, sym_b string, pair_count bigint, "
-        "total_tokens_after bigint",
+    return rows
+
+
+@query(
+    "bpe_apply_per_source",
+    oracle=_bpe_apply_oracle(),
+    covers=["M6-curation", "F5-F9", "A-extended"],
+)
+def bpe_apply_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ENCODE side: train the 4 BPE merges on the whole
+    corpus (same loop as `bpe_train_steps`), then APPLY them per
+    source and report each source's chars, encoded token count, and
+    tokens-per-char — the fertility readout that tells a tokenizer
+    team which sources fragment worst under the shared vocabulary
+    (the per-source complement of the corpus-level compression curve).
+
+    Encoding is the training chain's own representation: nested
+    literal replaces on the '·'-delimited symbol stream, applied in
+    merge order — greedy left-to-right and identical in both engines;
+    the oracle nests the same four replaces.
+
+    Scale: training iterates on the weighted distinct-word vocabulary
+    (Zipf-bounded); encoding touches per-(source, word) counts, again
+    vocabulary-sized, never the raw corpus; the final readout is a
+    |sources|-row aggregate.  All pure codegen string work, no UDF."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    merges = [(r[1], r[2]) for r in _bpe_learn_merges(spark, docs)]
+    sw = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (~F.col("word").contains("·")))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sym = F.concat(
+        F.lit("·"),
+        F.expr(
+            "substring(regexp_replace(word, '(.)', '$1··'), 1, 3 * length(word) - 2)"
+        ),
+        F.lit("·"),
+    )
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·"))
+    inner = F.expr("substring(sym, 2, length(sym) - 2)")
+    enc = sw.select("source", "n", sym.alias("sym")).select(
+        "source",
+        "n",
+        F.length(F.replace(inner, F.lit("··"), F.lit(""))).alias("w_chars"),
+        F.size(F.split(inner, "··")).alias("w_tokens"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum(F.col("n") * F.col("w_chars")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("n") * F.col("w_tokens")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_chars")).alias(
+                "tokens_per_char"
+            ),
+        )
+        .orderBy("source")
     )
 
 
