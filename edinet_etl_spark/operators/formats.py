@@ -116,3 +116,58 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_XML_ORACLE = """
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p_partkey) AS BIGINT) AS partkey_sum,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           CAST(SUM(length(p_type)) AS BIGINT) AS type_bytes
+    FROM part
+    GROUP BY p_brand
+    ORDER BY brand
+"""
+
+
+@query("xml_roundtrip_stats", oracle=_XML_ORACLE, covers=["S-formats"])
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (built into Spark 4 — the spark-xml merge):
+    write parts as row-tagged XML, read back with an EXPLICIT schema
+    and the same rowTag, aggregate per brand.  XML matters to THIS
+    engine's domain specifically — EDINET filings are XBRL, i.e. XML
+    (the reference parses them in `src/transform.py`; the X1 UDTF
+    covers that island) — so the format round-trip proves the generic
+    reader/writer path too: entity escaping rides the p_type byte sum
+    (types contain spaces and mixed case; any double-escape flips it).
+
+    Scale: one writer task per partition like any format; XML parsing
+    is row-local StAX — heavier per byte than parquet, which is why
+    the lake stays parquet and XML is an EDGE format (ingest/export),
+    exactly how the pipeline layer treats it."""
+    prep(spark)
+    path = _scratch("xml", sf_dir)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    (
+        p.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "parts")
+        .option("rowTag", "part")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("p_partkey bigint, p_brand string, p_type string, p_size bigint")
+        .format("xml")
+        .option("rowTag", "part")
+        .load(path)
+    )
+    return (
+        back.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("p_partkey").cast("bigint").alias("partkey_sum"),
+            F.sum("p_size").cast("bigint").alias("size_sum"),
+            F.sum(F.length("p_type")).cast("bigint").alias("type_bytes"),
+        )
+        .orderBy("brand")
+    )
