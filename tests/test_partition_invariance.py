@@ -52,6 +52,16 @@ CASES = [
     "event_interarrival_stats",
     "region_nation_revenue_shares",
     "interpolated_quartiles",
+    # round-4 float-bearing additions: two-level decimal sums (ANOVA),
+    # decimal-native products (CUPED), dsum of rationals (RA link
+    # prediction), iterative per-coordinate decimal sums (power
+    # iteration), bit-shift weighted EWMA
+    "value_anova_by_event_type",
+    "cuped_variance_reduction",
+    "copurchase_link_prediction",
+    "embedding_top_pc_power_iteration",
+    "ewma_user_value_halflife",
+    "retrieval_mrr_eval",
 ]
 
 
