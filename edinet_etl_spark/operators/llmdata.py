@@ -1928,3 +1928,122 @@ def vocab_coverage_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     ).orderBy("source")
+
+
+_SG_WINDOW = 2  # skip-gram context window (± tokens)
+_SG_TOPK = 50
+_SG_VOCAB = 500
+
+
+@query(
+    "skipgram_training_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               unnest(range(length(string_split(text, ' ')))) AS pos
+        FROM documents)
+    ), co AS (
+      SELECT a.token AS center, b.token AS context,
+             CAST(COUNT(*) AS BIGINT) AS n_cooccur
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos - {_SG_WINDOW} AND a.pos + {_SG_WINDOW}
+       AND b.pos <> a.pos
+      GROUP BY a.token, b.token
+    ), top_pairs AS (
+      SELECT center, context, n_cooccur FROM co
+      ORDER BY n_cooccur DESC, center, context LIMIT {_SG_TOPK}
+    ), vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS rnk
+      FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+            ORDER BY cnt DESC, token LIMIT {_SG_VOCAB})
+    ), vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab)
+    SELECT p.center, p.context, p.n_cooccur,
+           n1.token AS neg_1, n2.token AS neg_2
+    FROM top_pairs p, vs
+    JOIN vocab n1 ON n1.rnk =
+      ('0x' || substr(md5('neg:' || p.center || chr(31) || p.context || ':1'),
+                      1, 8))::BIGINT % vs.v
+    JOIN vocab n2 ON n2.rnk =
+      ('0x' || substr(md5('neg:' || p.center || chr(31) || p.context || ':2'),
+                      1, 8))::BIGINT % vs.v
+    ORDER BY n_cooccur DESC, center, context
+    """,
+    covers=["M6-curation", "J-extended", "A-extended"],
+)
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pretraining-pair generation (the word2vec/contrastive
+    data-gen step): (center, context) co-occurrence within a ±2-token
+    window, the top pairs by count, each with two DETERMINISTIC
+    frequency-vocabulary negatives — hash-seeded instead of RNG-drawn,
+    so the training set is reproducible row-for-row on any cluster
+    (the same substitution every sampler in this repo makes).
+
+    Scale: the co-occurrence self-join is equi on doc_id with a ±2
+    position band, so fan-out is ≤ 2·window per token — linear in
+    corpus tokens, collapsed map-side into the (center, context)
+    aggregate (Zipf-bounded like the BPE vocab).  Negatives join the
+    top pairs against the broadcast 500-row vocabulary by hashed rank;
+    the modulus is the vocabulary's OWN count, so the query is correct
+    even on corpora with fewer distinct tokens."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    a = tok.select(
+        F.col("doc_id").alias("a_doc"), F.col("pos").alias("a_pos"),
+        F.col("token").alias("center"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
+        F.col("token").alias("context"),
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("a_doc") == F.col("b_doc"))
+            & (F.col("b_pos") >= F.col("a_pos") - _SG_WINDOW)
+            & (F.col("b_pos") <= F.col("a_pos") + _SG_WINDOW)
+            & (F.col("b_pos") != F.col("a_pos")),
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n_cooccur"))
+    )
+    top_pairs = co.orderBy(F.desc("n_cooccur"), "center", "context").limit(_SG_TOPK)
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), "token")
+    vocab = (
+        freq.orderBy(F.desc("cnt"), "token")
+        .limit(_SG_VOCAB)
+        .withColumn("rnk", F.row_number().over(wv) - 1)
+        .select("token", "rnk")
+    )
+    vs = vocab.agg(F.count("*").cast("bigint").alias("v"))
+
+    def neg_rank(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"), F.col("center"), F.lit("\x1f"),
+                        F.col("context"), F.lit(f":{i}"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        return h % F.col("v")
+
+    n1 = vocab.select(F.col("token").alias("neg_1"), F.col("rnk").alias("r1"))
+    n2 = vocab.select(F.col("token").alias("neg_2"), F.col("rnk").alias("r2"))
+    return (
+        top_pairs.crossJoin(F.broadcast(vs))
+        .join(F.broadcast(n1), neg_rank(1) == F.col("r1"))
+        .join(F.broadcast(n2), neg_rank(2) == F.col("r2"))
+        .select("center", "context", "n_cooccur", "neg_1", "neg_2")
+        .orderBy(F.desc("n_cooccur"), "center", "context")
+    )

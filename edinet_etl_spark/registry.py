@@ -150,7 +150,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_label_outliers", "simhash_hamming_near_pairs",
     "value_anova_by_event_type", "cuped_variance_reduction",
     "bpe_apply_per_source", "streaming_asof_enrich",
-    "xml_roundtrip_stats",
+    "xml_roundtrip_stats", "skipgram_training_pairs",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
