@@ -2469,3 +2469,157 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
+
+
+@query(
+    "target_encoding_loo",
+    oracle=f"""
+    WITH y AS (
+      SELECT c.c_custkey, c.c_mktsegment AS segment,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,8)))
+                  AS VARCHAR) AS DOUBLE) AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ), g AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(CAST(SUM(CAST(spend AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS s_g
+      FROM y GROUP BY segment
+    ), t AS (
+      SELECT CAST(CAST(SUM(CAST(s_g AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               AS s_all,
+             CAST(SUM(n_g) AS BIGINT) AS n_all
+      FROM g
+    )
+    SELECT y.c_custkey, y.segment, y.spend,
+           (g.s_g - y.spend) / (g.n_g - 1) AS loo_te,
+           (g.s_g + {_TE_SMOOTH_M} * (t.s_all / t.n_all))
+             / (g.n_g + {_TE_SMOOTH_M}) AS smoothed_te
+    FROM y JOIN g ON g.segment = y.segment, t
+    ORDER BY y.c_custkey
+    """,
+    covers=["A-extended", "J1", "M6-curation"],
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-target encoding of a categorical feature (segment → mean
+    customer spend), in the two leak-safe forms every tabular-ML
+    pipeline ships: LEAVE-ONE-OUT (each row's own target excluded —
+    (S_g − y_i)/(n_g − 1), the encoding that does not memorize the
+    row) and m-ESTIMATE smoothing toward the global prior
+    ((S_g + m·ȳ)/(n_g + m), m=20 — shrinks rare categories).  No RNG,
+    no fold machinery: both forms are closed-form per row.
+
+    Exactness: three decimal-sum levels (per-customer, per-segment,
+    global), then identical correctly-rounded subtract/divide chains
+    in both engines.
+
+    Scale: two map-side-combinable aggregates + a broadcast join of
+    the |segments|-row encoder table back to rows — the encode pass is
+    one scan; at 100 TB the encoder table is still 5 rows."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    y = (
+        cust.join(od, od["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(dsum(F.col("o_totalprice"), "spend"))
+    )
+    g = y.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        dsum(F.col("spend"), "s_g"),
+    )
+    t = g.agg(
+        dsum(F.col("s_g"), "s_all"),
+        F.sum("n_g").cast("bigint").alias("n_all"),
+    )
+    return (
+        y.join(F.broadcast(g), "segment")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "c_custkey",
+            "segment",
+            "spend",
+            ((F.col("s_g") - F.col("spend")) / (F.col("n_g") - 1)).alias("loo_te"),
+            (
+                (F.col("s_g") + _TE_SMOOTH_M * (F.col("s_all") / F.col("n_all")))
+                / (F.col("n_g") + _TE_SMOOTH_M)
+            ).alias("smoothed_te"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "ab_assignment_srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_control,
+             CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_treatment,
+             CAST(SUM(n_events) FILTER (arm = 0) AS BIGINT) AS events_control,
+             CAST(SUM(n_events) FILTER (arm = 1) AS BIGINT) AS events_treatment
+      FROM assign
+    )
+    SELECT n_control, n_treatment, events_control, events_treatment,
+           CAST(n_control - n_treatment AS DOUBLE)
+             * (n_control - n_treatment) / (n_control + n_treatment)
+             AS srm_chi2,
+           CAST(CASE WHEN CAST(n_control - n_treatment AS DOUBLE)
+                          * (n_control - n_treatment)
+                          / (n_control + n_treatment) > 3.841
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM agg
+    """,
+    covers=["A-extended", "M6-quality"],
+)
+def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B arm assignment (hash parity over user_id — the
+    assignment every experimentation platform derives, reproducible on
+    any engine) plus the SAMPLE-RATIO-MISMATCH guard: the 1-df chi²
+    of observed vs 50/50 expected counts, with the 0.05 critical value
+    (3.841) inlined as a literal — an SRM flag means the bucketing or
+    logging pipeline is broken and every downstream readout is invalid,
+    which is why this check runs FIRST in any experiment analysis.
+    Chi² here is pure integer arithmetic over counts (the (a−b)²/(a+b)
+    simplification of the 2-cell statistic) — no libm.
+
+    Scale: one user-collapse aggregate, one 2-cell reduction; the
+    arm hash is codegen md5 — the same single-scan shape at any
+    corpus size."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    assign = ev.groupBy("user_id").agg(F.count("*").alias("n_events")).select(
+        arm.alias("arm"), "n_events"
+    )
+    agg = assign.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_control"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_events"))).cast("bigint").alias("events_control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_events"))).cast("bigint").alias("events_treatment"),
+    )
+    diff = F.col("n_control") - F.col("n_treatment")
+    chi2 = diff.cast("double") * diff / (F.col("n_control") + F.col("n_treatment"))
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "events_control",
+        "events_treatment",
+        chi2.alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint").alias("srm_flag"),
+    )

@@ -151,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "value_anova_by_event_type", "cuped_variance_reduction",
     "bpe_apply_per_source", "streaming_asof_enrich",
     "xml_roundtrip_stats", "skipgram_training_pairs",
+    "target_encoding_loo", "ab_assignment_srm_check",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
