@@ -2479,28 +2479,32 @@ _TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
     oracle=f"""
     WITH y AS (
       SELECT c.c_custkey, c.c_mktsegment AS segment,
-             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,8)))
-                  AS VARCHAR) AS DOUBLE) AS spend
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,8))) AS spend_dec
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey, c.c_mktsegment
     ), g AS (
       SELECT segment,
              CAST(COUNT(*) AS BIGINT) AS n_g,
-             CAST(CAST(SUM(CAST(spend AS DECIMAL(18,8))) AS VARCHAR)
-                  AS DOUBLE) AS s_g
+             SUM(spend_dec) AS s_g_dec
       FROM y GROUP BY segment
     ), t AS (
-      SELECT CAST(CAST(SUM(CAST(s_g AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
-               AS s_all,
+      SELECT SUM(s_g_dec) AS s_all_dec,
              CAST(SUM(n_g) AS BIGINT) AS n_all
       FROM g
+    ), fin AS (
+      SELECT y.c_custkey, y.segment,
+             CAST(CAST(y.spend_dec AS VARCHAR) AS DOUBLE) AS spend,
+             CAST(CAST(g.s_g_dec AS VARCHAR) AS DOUBLE) AS s_g,
+             g.n_g,
+             CAST(CAST(t.s_all_dec AS VARCHAR) AS DOUBLE) AS s_all,
+             t.n_all
+      FROM y JOIN g ON g.segment = y.segment, t
     )
-    SELECT y.c_custkey, y.segment, y.spend,
-           (g.s_g - y.spend) / (g.n_g - 1) AS loo_te,
-           (g.s_g + {_TE_SMOOTH_M} * (t.s_all / t.n_all))
-             / (g.n_g + {_TE_SMOOTH_M}) AS smoothed_te
-    FROM y JOIN g ON g.segment = y.segment, t
-    ORDER BY y.c_custkey
+    SELECT c_custkey, segment, spend,
+           (s_g - spend) / (n_g - 1) AS loo_te,
+           (s_g + {_TE_SMOOTH_M} * (s_all / n_all))
+             / (n_g + {_TE_SMOOTH_M}) AS smoothed_te
+    FROM fin ORDER BY c_custkey
     """,
     covers=["A-extended", "J1", "M6-curation"],
 )
@@ -2513,9 +2517,13 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((S_g + m·ȳ)/(n_g + m), m=20 — shrinks rare categories).  No RNG,
     no fold machinery: both forms are closed-form per row.
 
-    Exactness: three decimal-sum levels (per-customer, per-segment,
-    global), then identical correctly-rounded subtract/divide chains
-    in both engines.
+    Exactness: the three aggregation levels stay IN DECIMAL end to
+    end (per-customer, per-segment, global — the CUPED discipline:
+    segment sums reach ~7e10, past the quantize-a-double portability
+    bound, which a per-level string hop would trip); one exact
+    decimal→string→double conversion per quantity at the end, then
+    identical correctly-rounded subtract/divide chains in both
+    engines.
 
     Scale: two map-side-combinable aggregates + a broadcast join of
     the |segments|-row encoder table back to rows — the encode pass is
@@ -2526,19 +2534,23 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = (
         cust.join(od, od["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
-        .agg(dsum(F.col("o_totalprice"), "spend"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("spend_dec"))
     )
     g = y.groupBy("segment").agg(
         F.count("*").cast("bigint").alias("n_g"),
-        dsum(F.col("spend"), "s_g"),
+        F.sum("spend_dec").alias("s_g_dec"),
     )
     t = g.agg(
-        dsum(F.col("s_g"), "s_all"),
+        F.sum("s_g_dec").alias("s_all_dec"),
         F.sum("n_g").cast("bigint").alias("n_all"),
     )
+    as_dbl = lambda c: F.col(c).cast("string").cast("double")
     return (
         y.join(F.broadcast(g), "segment")
         .crossJoin(F.broadcast(t))
+        .withColumn("spend", as_dbl("spend_dec"))
+        .withColumn("s_g", as_dbl("s_g_dec"))
+        .withColumn("s_all", as_dbl("s_all_dec"))
         .select(
             "c_custkey",
             "segment",
