@@ -2635,3 +2635,109 @@ def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("srm_chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).cast("bigint").alias("srm_flag"),
     )
+
+
+_CONF_ALPHA_N = 10  # miscoverage = 1/10
+
+
+@query(
+    "split_conformal_coverage",
+    oracle=f"""
+    WITH y AS (
+      SELECT c.c_custkey, c.c_mktsegment AS segment,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,8))) AS spend_dec
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ), g AS (
+      SELECT segment, SUM(spend_dec) AS s_g_dec,
+             CAST(COUNT(*) AS BIGINT) AS n_g
+      FROM y WHERE c_custkey % 2 = 0 GROUP BY segment
+    ), pred AS (
+      SELECT y.c_custkey, y.c_custkey % 2 = 0 AS is_cal,
+             CAST(CAST(y.spend_dec AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(g.s_g_dec AS VARCHAR) AS DOUBLE) / g.n_g AS resid
+      FROM y JOIN g ON g.segment = y.segment
+    ), cal AS (
+      SELECT ABS(resid) AS score,
+             ROW_NUMBER() OVER (ORDER BY ABS(resid), c_custkey) AS rnk,
+             COUNT(*) OVER () AS n_cal
+      FROM pred WHERE is_cal
+    ), qhat AS (
+      SELECT score AS q
+      FROM cal
+      WHERE rnk = CAST(CEIL((n_cal + 1) * ({_CONF_ALPHA_N} - 1.0)
+                            / {_CONF_ALPHA_N}) AS BIGINT)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ABS(resid) <= q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN ABS(resid) <= q THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS coverage,
+           MAX(q) AS q_hat
+    FROM pred, qhat WHERE NOT is_cal
+    """,
+    covers=["A-extended", "W-extended", "M6-quality"],
+)
+def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT CONFORMAL PREDICTION, end to end: calibrate on even
+    custkeys (predictor = calibration-set segment mean; score =
+    |residual|; q̂ = the ⌈(n+1)(1−α)⌉-th order statistic, α=0.1), then
+    measure empirical coverage of ŷ±q̂ on the held-out odd custkeys —
+    the distribution-free interval guarantee (coverage ≥ 1−α in
+    expectation) that modern ML serving stacks wrap around any point
+    predictor.  Everything is exact: the quantile is an order
+    statistic by ROW_NUMBER (ties broken by custkey), the predictor a
+    decimal-native mean, coverage an integer ratio.
+
+    Scale: the calibration quantile is ONE rank over the calibration
+    set (at 100 TB: the binned-quantile sketch substitutes, same as
+    the KS pair); prediction + coverage is a broadcast-join scan.
+    The hash-split (parity) is the same deterministic assignment the
+    A/B and train/test splits use."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    y = (
+        cust.join(od, od["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("spend_dec"))
+    )
+    g = (
+        y.filter(F.col("c_custkey") % 2 == 0)
+        .groupBy("segment")
+        .agg(
+            F.sum("spend_dec").alias("s_g_dec"),
+            F.count("*").cast("bigint").alias("n_g"),
+        )
+    )
+    pred = y.join(F.broadcast(g), "segment").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2 == 0).alias("is_cal"),
+        (
+            F.col("spend_dec").cast("string").cast("double")
+            - F.col("s_g_dec").cast("string").cast("double") / F.col("n_g")
+        ).alias("resid"),
+    )
+    cal = (
+        pred.filter("is_cal")
+        .select(F.abs("resid").alias("score"), "c_custkey")
+        .withColumn("rnk", F.row_number().over(Window.orderBy("score", "c_custkey")))
+        .withColumn("n_cal", F.count("*").over(Window.partitionBy()))
+    )
+    qhat = cal.filter(
+        F.col("rnk")
+        == F.ceil((F.col("n_cal") + 1) * (_CONF_ALPHA_N - 1.0) / _CONF_ALPHA_N).cast(
+            "bigint"
+        )
+    ).select(F.col("score").alias("q"))
+    covered = F.sum(F.when(F.abs("resid") <= F.col("q"), 1).otherwise(0))
+    return (
+        pred.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            (covered.cast("double") / F.count("*")).alias("coverage"),
+            F.max("q").alias("q_hat"),
+        )
+    )

@@ -2120,3 +2120,104 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist2"), "vec_id")
         .limit(_OUTLIER_TOPK)
     )
+
+
+_KNN_NQ = 50  # eval rows: vec_id < NQ
+_KNN_K = 5
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             e.label AS cand_label,
+             {_sql_dot('q.embedding', 'e.embedding')}
+               / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                  * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cosine,
+             e.vec_id AS cand_id
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < {_KNN_NQ} AND e.vec_id <> q.vec_id
+    ), topk AS (
+      SELECT query_id, true_label, cand_label FROM (
+        SELECT query_id, true_label, cand_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= {_KNN_K}
+    ), votes AS (
+      SELECT query_id, true_label, cand_label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY query_id, true_label, cand_label
+    ), pred AS (
+      SELECT query_id, true_label, cand_label AS pred_label FROM (
+        SELECT query_id, true_label, cand_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY n_votes DESC, cand_label) AS vr
+        FROM votes) WHERE vr = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred
+    """,
+    covers=["M6-similarity", "W-extended", "A-extended"],
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification accuracy over the embedding space (k=5,
+    majority vote, ties to the smallest label) — the embedding-quality
+    scorecard one step past retrieval metrics: `retrieval_mrr_eval`
+    asks "are relevant items ranked high?", this asks "is the space
+    good enough to CLASSIFY with?" — the metric that moves when an
+    encoder refresh silently degrades (pairs with
+    `embedding_centroid_drift` for the why).
+
+    Deterministic end to end: the fixed-fold cosine ranks, row_number
+    ties by candidate id, votes tie to the smallest label, accuracy is
+    an integer ratio.
+
+    Scale: eval queries broadcast; one corpus scan of array-local
+    dots; the vote is a (query × ≤k)-row aggregate.  Swap the
+    brute-force candidate stage for the IVF probe at 100 TB — the
+    vote/accuracy stages are unchanged."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cosine = dot_exact(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    topk = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "true_label", "cand_label", cosine.alias("cosine"), "cand_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "cand_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+    correct = F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+    return pred.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )

@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_apply_per_source", "streaming_asof_enrich",
     "xml_roundtrip_stats", "skipgram_training_pairs",
     "target_encoding_loo", "ab_assignment_srm_check",
+    "split_conformal_coverage", "knn_label_accuracy",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
