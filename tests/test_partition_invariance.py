@@ -62,6 +62,9 @@ CASES = [
     "embedding_top_pc_power_iteration",
     "ewma_user_value_halflife",
     "retrieval_mrr_eval",
+    "target_encoding_loo",
+    "split_conformal_coverage",
+    "knn_label_accuracy",
 ]
 
 
