@@ -2045,3 +2045,97 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((vary - cov * cov / varx) / n).alias("var_adj_y"),
         (cov * cov / (varx * vary)).alias("var_reduction"),
     )
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END AS period,
+             value
+      FROM events
+    ), cells AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum('value', 's')}
+      FROM tagged GROUP BY arm, period
+    ), m AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 AND period = 0 THEN s / n END) AS pre_c,
+        MAX(CASE WHEN arm = 0 AND period = 1 THEN s / n END) AS post_c,
+        MAX(CASE WHEN arm = 1 AND period = 0 THEN s / n END) AS pre_t,
+        MAX(CASE WHEN arm = 1 AND period = 1 THEN s / n END) AS post_t,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM cells
+    )
+    SELECT n_events, pre_c, post_c, pre_t, post_t,
+           (post_t - pre_t) - (post_c - pre_c) AS did_estimate
+    FROM m
+    """,
+    covers=["A-extended", "M6-quality", "F1-F4"],
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES over the experiment frame the SRM and
+    CUPED queries share (hash-parity arms, the same pre/post
+    boundary): the 2×2 cell means and the DiD estimate
+    (Δtreatment − Δcontrol), the causal-effect workhorse when
+    randomization is imperfect or the metric trends — closing the
+    experimentation ladder: `ab_assignment_srm_check` validates the
+    split, `cuped_variance_reduction` shrinks the error bar, this
+    estimates the effect.
+
+    Exactness: one decimal-disciplined aggregate to FOUR cells, each
+    mean one division, the estimate three subtractions — the same
+    correctly-rounded chain in both engines.
+
+    Scale: single map-side-combinable scan to a 4-row grid; the 2×2
+    pivot is a MAX-CASE over four rows.  Mergeable across shards like
+    every sufficient-statistic query here."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    split = F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("period"),
+        "value",
+    )
+    cells = tagged.groupBy("arm", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(F.col("value"), "s"),
+    )
+
+    def cell(a: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p),
+                F.col("s") / F.col("n"),
+            )
+        )
+
+    m = cells.agg(
+        cell(0, 0).alias("pre_c"),
+        cell(0, 1).alias("post_c"),
+        cell(1, 0).alias("pre_t"),
+        cell(1, 1).alias("post_t"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        "pre_c",
+        "post_c",
+        "pre_t",
+        "post_t",
+        (
+            (F.col("post_t") - F.col("pre_t")) - (F.col("post_c") - F.col("pre_c"))
+        ).alias("did_estimate"),
+    )
