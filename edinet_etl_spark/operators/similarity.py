@@ -2221,3 +2221,131 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         (correct.cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+_RBO_D = 10  # evaluation depth
+_RBO_NQ = 20
+_RBO_HALF = 32  # MRL prefix length under comparison
+# Tail weight of a candidate first co-present at depth m:
+# W[m] = sum_{d=m..D} (1/2)^(d-1) / d.  RBO@D = (1-p) * sum W[m_c]
+# with p = 1/2.  Computed ONCE in Python, PRE-ROUNDED to the 8-decimal
+# grid (an arbitrary double quantized engine-side can land on a
+# decimal midpoint where round-half modes differ — measured 1e-8
+# flips), then injected as identical literals into both engines (the
+# _RECALL_ANALYTIC precedent + the numeric.py scale doctrine).
+from decimal import ROUND_HALF_UP as _RHU
+from decimal import Decimal as _Dec
+
+_RBO_W = tuple(
+    float(
+        _Dec(repr(sum(0.5 ** (d - 1) / d for d in range(m, _RBO_D + 1)))).quantize(
+            _Dec("1E-8"), _RHU
+        )
+    )
+    for m in range(1, _RBO_D + 1)
+)
+
+
+@query(
+    "rank_biased_overlap_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+             {_sql_dot('q.embedding', 'e.embedding')}
+               / (sqrt({_sql_dot('q.embedding', 'q.embedding')})
+                  * sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS cos_full,
+             {_sql_dot(f'q.embedding[1:{_RBO_HALF}]', f'e.embedding[1:{_RBO_HALF}]')}
+               / (sqrt({_sql_dot(f'q.embedding[1:{_RBO_HALF}]', f'q.embedding[1:{_RBO_HALF}]')})
+                  * sqrt({_sql_dot(f'e.embedding[1:{_RBO_HALF}]', f'e.embedding[1:{_RBO_HALF}]')}))
+               AS cos_half
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < {_RBO_NQ} AND e.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_full DESC, cand_id) AS r_full,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_half DESC, cand_id) AS r_half
+      FROM scored
+    ), contrib AS (
+      SELECT query_id,
+             GREATEST(r_full, r_half) AS m
+      FROM ranked WHERE r_full <= {_RBO_D} AND r_half <= {_RBO_D}
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_in_both_topd,
+           0.5 * CAST(CAST(SUM(CAST(CASE m
+             {' '.join(f'WHEN {m} THEN {w!r}' for m, w in enumerate(_RBO_W, start=1))}
+             END AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS rbo
+    FROM contrib GROUP BY query_id ORDER BY query_id
+    """,
+    covers=["M6-similarity", "W-extended", "A-extended"],
+)
+def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al.) between the full-dim cosine
+    ranking and the Matryoshka 32-prefix ranking, per query — the
+    ranking-similarity eval that recall@k can't express: recall counts
+    set membership at one depth, RBO weights agreement geometrically
+    by rank, so it detects a truncated index that finds the right
+    items in the wrong ORDER.  p = 1/2 on purpose: every weight
+    (1/2)^(d-1)/d is exact rational arithmetic, folded into one
+    tail-weight lookup per candidate — a candidate first co-present
+    at depth m contributes W[m] = Σ_{{d≥m}} p^(d-1)/d, so RBO needs
+    no per-depth unrolling, just GREATEST(rank_a, rank_b).  The ten
+    W constants are computed once in Python and injected as identical
+    literals into both engines.
+
+    Scale: same broadcast-queries / one-scan shape as the other eval
+    arms; both rankings come from ONE pass (two window ranks over the
+    same candidate rows); the RBO collapse is a ≤D-row-per-query
+    aggregate riding the decimal discipline."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RBO_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def cos(a, b):
+        return dot_exact(a, b) / (
+            F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b))
+        )
+
+    qh = F.slice(F.col("q_emb"), 1, _RBO_HALF)
+    ch = F.slice(F.col("c_emb"), 1, _RBO_HALF)
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cos(F.col("q_emb"), F.col("c_emb")).alias("cos_full"),
+            cos(qh, ch).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "cand_id")
+    wh = Window.partitionBy("query_id").orderBy(F.desc("cos_half"), "cand_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wh).alias("r_half"),
+    )
+    contrib = ranked.filter(
+        (F.col("r_full") <= _RBO_D) & (F.col("r_half") <= _RBO_D)
+    ).select("query_id", F.greatest("r_full", "r_half").alias("m"))
+    w_expr = F.element_at(
+        F.array(*[F.lit(w) for w in _RBO_W]), F.col("m")
+    )
+    return (
+        contrib.groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_in_both_topd"),
+            (
+                F.lit(0.5)
+                * F.sum(w_expr.cast("decimal(18,8)")).cast("string").cast("double")
+            ).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

@@ -153,7 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "xml_roundtrip_stats", "skipgram_training_pairs",
     "target_encoding_loo", "ab_assignment_srm_check",
     "split_conformal_coverage", "knn_label_accuracy",
-    "did_estimator",
+    "did_estimator", "rank_biased_overlap_eval",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
