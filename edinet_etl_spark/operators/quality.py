@@ -385,51 +385,62 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term |Δshare| is exact IEEE on identical inputs, and the sum
     crosses the wire through the decimal dsum grid — bit-identical on
     any partitioning.  Plan: one word explode per side feeding
-    map-side-combined term counts; the L1 join is term-keyed
-    (vocabulary-sized, not corpus-sized); every volume metric is a
-    one-row aggregate."""
+    map-side-combined term counts; the full-outer term join is
+    materialized ONCE (`localCheckpoint`) and every vocabulary metric
+    (sizes, intersection, union, totals) comes out of a single
+    combined aggregate over it, so the whole report is the explode
+    job + two aggregate jobs + one doc-stats scan — not six
+    re-executions of the corpus scan."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    v1 = docs.filter(F.col("doc_id") % 2 == 0)
-    v2 = docs.filter(F.col("doc_id") % 2 == 1)
+    side = (F.col("doc_id") % 2 == 0)
+
+    # One pass over documents for both versions' volume stats.
+    vol = docs.agg(
+        F.count(F.when(side, 1)).alias("nd1"),
+        F.count(F.when(~side, 1)).alias("nd2"),
+        F.sum(F.when(side, F.col("n_chars")).cast("decimal(18,0)"))
+        .cast("string").alias("tc1"),
+        F.sum(F.when(~side, F.col("n_chars")).cast("decimal(18,0)"))
+        .cast("string").alias("tc2"),
+    ).collect()[0]
 
     def words(df):
         return df.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
 
-    c1 = words(v1).groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
-    c2 = words(v2).groupBy("word").agg(F.count("*").cast("bigint").alias("c2"))
-    n1 = c1.agg(F.sum("c1").cast("bigint").alias("n1"))
-    n2 = c2.agg(F.sum("c2").cast("bigint").alias("n2"))
-    joined = (
-        c1.join(c2, "word", "full_outer")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
-    )
+    c1 = words(docs.filter(side)).groupBy("word").agg(
+        F.count("*").cast("bigint").alias("c1"))
+    c2 = words(docs.filter(~side)).groupBy("word").agg(
+        F.count("*").cast("bigint").alias("c2"))
+    # Materialize the vocabulary-sized join once; both downstream
+    # aggregates read this (tiny) checkpoint, never the corpus again.
+    joined = c1.join(c2, "word", "full_outer").localCheckpoint(eager=True)
+
+    g = joined.agg(
+        F.count(F.col("c1")).alias("vs1"),
+        F.count(F.col("c2")).alias("vs2"),
+        F.count(F.when(F.col("c1").isNotNull() & F.col("c2").isNotNull(), 1))
+        .alias("inter"),
+        F.count("*").alias("union_n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    ).collect()[0]
+    jac = float(g["inter"]) / g["union_n"]
+
     share_delta = F.abs(
-        F.coalesce(F.col("c1"), F.lit(0)).cast("double") / F.col("n1")
-        - F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("n2")
+        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+        / F.lit(g["n1"]).cast("bigint")
+        - F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.lit(g["n2"]).cast("bigint")
     )
-    l1 = joined.agg(
-        F.sum(share_delta.cast("decimal(18,8)")).cast("string").cast("double").alias("v")
-    )
-    inter = c1.join(c2, "word", "inner").count()
-    union = c1.select("word").unionByName(c2.select("word")).distinct().count()
-    jac = float(inter) / union
-    stats1 = v1.agg(
-        F.count("*").alias("nd"),
-        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("string").alias("tc"),
-    ).collect()[0]
-    stats2 = v2.agg(
-        F.count("*").alias("nd"),
-        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("string").alias("tc"),
-    ).collect()[0]
-    vs1 = c1.count()
-    vs2 = c2.count()
-    l1v = l1.collect()[0]["v"]
+    l1v = joined.agg(
+        F.sum(share_delta.cast("decimal(18,8)"))
+        .cast("string").cast("double").alias("v")
+    ).collect()[0]["v"]
     rows = [
-        ("n_docs", float(stats1["nd"]), float(stats2["nd"])),
-        ("total_chars", float(stats1["tc"]), float(stats2["tc"])),
-        ("vocab_size", float(vs1), float(vs2)),
+        ("n_docs", float(vol["nd1"]), float(vol["nd2"])),
+        ("total_chars", float(vol["tc1"]), float(vol["tc2"])),
+        ("vocab_size", float(g["vs1"]), float(g["vs2"])),
         ("vocab_jaccard", jac, jac),
         ("term_share_l1", l1v, l1v),
     ]

@@ -79,40 +79,28 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-4 rotation: after r1+r2+r3 the cumulative driver-tested union
-# is 149/261 (all green; CORRECTNESS_r0{1,2,3}.json).  The head below
-# is 50 NEVER-driver-tested names — the 34 queued at round-3 positions
-# 51-84 (text/similarity tails, curation, multimodal, streaming) plus
-# 16 round-3 additions — pushing the cumulative union to ~199/261.
-# Positions 51-112 hold the remaining 62 never-tested names (round-5
-# rotation queue); new round-4 queries append after them.
+# Round-5 rotation: after r1..r4 the cumulative driver-tested union is
+# 199/282 (all green; CORRECTNESS_r0{1..4}.json).  The head below is 50
+# NEVER-driver-tested names — the 21 round-4 additions (experimentation
+# ladder, simhash near-pairs, containment verify, skip-gram, BPE apply,
+# conformal/kNN/DiD/RBO, streaming as-of) followed by 29 from the
+# staged round-4 queue — pushing the cumulative union to 249/282.
+# Positions 51-83 hold the remaining 33 never-tested names (round-6
+# closes the tail); new round-5 queries append after them.
 _PRIORITY: tuple[str, ...] = (
-    # ---- head: 50 never-driver-tested names (round-4 window) ----
-    "ivf_ann_nprobe2", "lsh_hyperplane_buckets",
-    "embedding_sq8_recon_error", "pq_codebook_recon_error",
-    "tfidf_top_terms", "language_id_heuristic", "token_count_estimate",
-    "document_fingerprints", "quality_scores",
-    "boilerplate_segment_removal", "bigram_novelty_scores",
-    "doc_rarity_scores", "doc_chunk_windows",
-    "token_budget_pack_partitioned", "source_overlap_matrix",
-    "bpe_top_merges", "canonical_minhash_candidates",
-    "lsh_band_bucket_stats", "jaccard_verify_candidates",
-    "minhash_jaccard_estimate_error", "props_variant_stats",
-    "event_sequence_trigrams", "rolling_7d_active_users",
-    "incremental_agg_maintenance", "multimodal_frame_sample",
-    "multimodal_features", "multimodal_audio_energy",
-    "pii_redaction_report", "table_profile_orders",
-    "fulfilled_only_customers_except", "suppliers_with_shipments",
-    "streaming_user_sessions", "streaming_nation_hourly",
-    "streaming_quality_monitor", "duplicate_span_scrub",
-    "training_mix_manifest", "ivf_partitioned_index_topk",
-    "value_distribution_ks_binned", "fuzzy_name_linkage",
-    "source_temperature_sampling", "training_shard_assignment",
-    "bpe_train_steps", "kmv_jaccard_intersection",
-    "matryoshka_prefix_recall", "lsh_recall_curve", "cdc_apply_changes",
-    "schema_evolution_read", "cms_join_size_estimate",
-    "hashed_tf_cosine_topk", "dynamic_partition_pruned_join",
-    # ---- positions 51+: remaining 62 never-tested (round-5 queue) ----
+    # ---- head: 50 never-driver-tested names (round-5 window) ----
+    # round-4 additions (21)
+    "simhash_hamming_near_pairs", "containment_verify_candidates",
+    "did_estimator", "cuped_variance_reduction", "target_encoding_loo",
+    "split_conformal_coverage", "knn_label_accuracy",
+    "rank_biased_overlap_eval", "skipgram_training_pairs",
+    "bpe_apply_per_source", "streaming_asof_enrich",
+    "xml_roundtrip_stats", "ab_assignment_srm_check",
+    "value_anova_by_event_type", "vocab_coverage_oov_rate",
+    "embedding_top_pc_power_iteration", "embedding_label_outliers",
+    "l_diversity_audit", "ewma_user_value_halflife",
+    "retrieval_mrr_eval", "copurchase_link_prediction",
+    # staged queue (29)
     "streaming_cms_heavy_hitters", "observed_scan_metrics",
     "csv_corrupt_records_audit", "corpus_drift_report",
     "value_distribution_ks", "copurchase_bfs_hops",
@@ -125,12 +113,13 @@ _PRIORITY: tuple[str, ...] = (
     "segment_spend_gini", "join_key_skew_profile",
     "exact_group_percentiles", "embedding_centroid_drift",
     "table_checksum_audit", "sample_budget_apportionment",
+    "cogrouped_asof_pandas", "pii_pseudonymize_customers",
+    # ---- positions 51-83: remaining 33 never-tested (round-6 queue) ----
     "inverted_index_postings", "gapfill_linear_interp",
     "user_profile_snapshot", "compaction_bin_packing",
-    "cogrouped_asof_pandas", "multimodal_resize",
-    "duplicate_cluster_histogram", "winsorized_segment_stats",
-    "dictionary_encoding_stats", "event_interarrival_stats",
-    "arrow_token_totals", "pii_pseudonymize_customers",
+    "multimodal_resize", "duplicate_cluster_histogram",
+    "winsorized_segment_stats", "dictionary_encoding_stats",
+    "event_interarrival_stats", "arrow_token_totals",
     "business_day_ship_lag", "kanon_release_segment_stats",
     "maxmin_fair_token_caps", "region_nation_revenue_shares",
     "clamped_running_balance", "order_total_reconciliation",
@@ -142,18 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_top_token_arrayonly", "peak_open_orders", "hourly_value_bands",
     "nation_revenue_rank_shift", "daily_new_vs_returning",
     "session_eventtype_lift",
-    # ---- round-4 additions (queue behind all never-tested names) ----
-    "l_diversity_audit", "ewma_user_value_halflife",
-    "retrieval_mrr_eval", "copurchase_link_prediction",
-    "containment_verify_candidates", "vocab_coverage_oov_rate",
-    "embedding_top_pc_power_iteration",
-    "embedding_label_outliers", "simhash_hamming_near_pairs",
-    "value_anova_by_event_type", "cuped_variance_reduction",
-    "bpe_apply_per_source", "streaming_asof_enrich",
-    "xml_roundtrip_stats", "skipgram_training_pairs",
-    "target_encoding_loo", "ab_assignment_srm_check",
-    "split_conformal_coverage", "knn_label_accuracy",
-    "did_estimator", "rank_biased_overlap_eval",
+    # ---- round-5 additions (queue behind all never-tested names) ----
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
