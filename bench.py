@@ -44,18 +44,15 @@ HEADLINE = [
     "revenue_by_nation_year",
     "top_unshipped_orders",
     "local_supplier_volume",
-    "forecast_revenue_change",
     "best_order_per_customer",
     "top3_orders_per_priority",
     "tumbling_hourly_stats",
     "user_sessions",
-    "exact_dedup",
     "minhash_lsh_candidates",
     "simhash_signatures",
     "cosine_topk_bruteforce",
     "lsh_hyperplane_buckets",
     "ivf_ann_topk",
-    "text_stats",
     "token_count_estimate",
     "asof_latest_order_per_event",
     "part_price_band_join",
@@ -73,7 +70,6 @@ HEADLINE = [
     "gapfill_locf_hourly",
     "time_weighted_avg_value",
     "benchmark_contamination",
-    "train_test_split_counts",
     "pq_adc_topk",
     "doc_rarity_scores",
     "pii_scrub_customers",
@@ -96,6 +92,13 @@ HEADLINE = [
     "value_distribution_ks_binned",
     "weighted_median_price",
     "inverted_index_postings",
+    # round-4 representatives (swapped in round 5 for 4 cheap
+    # redundant entries: train_test_split_counts, text_stats,
+    # exact_dedup, forecast_revenue_change — families still covered)
+    "simhash_hamming_near_pairs",
+    "containment_verify_candidates",
+    "knn_label_accuracy",
+    "skipgram_training_pairs",
 ]
 
 
