@@ -2741,3 +2741,418 @@ def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q").alias("q_hat"),
         )
     )
+
+
+# Poisson(1) CDF thresholds as 6-hex-digit literals (floor(P(X<=k)·16^6)
+# for k=0..4; weights cap at 5).  Hardcoded so BOTH engines compare the
+# same lowercase-hex md5 prefix against the same string literals — no
+# exp() at query time, no libm in any compared column.
+_POIS_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+_BOOT_B = 16
+
+
+def _sql_pois_w(b: int) -> str:
+    u = f"substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 6)"
+    cases = " ".join(
+        f"WHEN {u} < '{t}' THEN {k}" for k, t in enumerate(_POIS_HEX)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def _bootstrap_oracle() -> str:
+    aggs = []
+    for b in range(_BOOT_B):
+        w = _sql_pois_w(b)
+        aggs.append(
+            f"SUM({w}::BIGINT) AS ne{b},\n"
+            f"  CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))"
+            f" * CAST({w} AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE) AS ws{b}"
+        )
+    sel = "\n      UNION ALL\n      ".join(
+        f"SELECT {b} AS resample, ne{b} AS n_eff, ws{b} AS wsum FROM agg"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH agg AS (
+      SELECT {", ".join(aggs)} FROM events
+    ), rows_ AS (
+      {sel}
+    ), means AS (
+      SELECT resample, CAST(n_eff AS BIGINT) AS n_eff,
+             wsum / CAST(n_eff AS DOUBLE) AS mean_boot
+      FROM rows_
+    )
+    SELECT resample, n_eff, mean_boot,
+           CAST(ROW_NUMBER() OVER (ORDER BY mean_boot, resample) AS BIGINT)
+             AS rank_by_mean
+    FROM means ORDER BY resample
+    """
+
+
+@query(
+    "poisson_bootstrap_mean_ci",
+    oracle=_bootstrap_oracle(),
+    covers=["A-extended", "LLM-eval"],
+)
+def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean event value — the UNCERTAINTY
+    ladder rung the experimentation family (SRM → CUPED → ANOVA → DiD)
+    still lacked: B=16 deterministic resamples whose rank-ordered means
+    ARE the percentile confidence interval (ranks 1/16 and 16/16 bound
+    a ~88% CI).  Poisson(1) weights are THE scale-out bootstrap (each
+    row draws its multiplicity independently — no shared N counter, so
+    the resample is one scan, embarrassingly parallel; the classical
+    multinomial bootstrap needs a global draw).
+
+    Determinism without libm: the per-(row, b) weight compares a 6-hex
+    md5 prefix against HARDCODED Poisson-CDF hex literals (`_POIS_HEX`)
+    — both engines do identical string comparisons; exp(-1) never runs
+    at query time.  Weighted sums are decimal-native (integer weight ×
+    DECIMAL(18,8) value — the EWMA idiom), so each resample mean is one
+    correctly-rounded division of an exact sum.
+
+    Scale: ONE scan computes all 2B aggregate columns map-side
+    (combinable); the unpivot + rank run on a 16-row frame.  B scales
+    to hundreds before the aggregate row width matters; no fan-out,
+    no explode, no per-resample pass."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+
+    def w(b: int):
+        u = F.substring(
+            F.md5(F.concat(F.lit(f"boot{b}:"), F.col("event_id").cast("string"))),
+            1, 6,
+        )
+        expr = F.lit(5)
+        for k in reversed(range(len(_POIS_HEX))):
+            expr = F.when(u < F.lit(_POIS_HEX[k]), F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb.cast("bigint")).alias(f"ne{b}"))
+        aggs.append(
+            F.sum(dec(F.col("value")) * wb.cast("decimal(10,0)"))
+            .cast("string")
+            .cast("double")
+            .alias(f"ws{b}")
+        )
+    one = ev.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("resample"),
+                        F.col(f"ne{b}").alias("n_eff"),
+                        F.col(f"ws{b}").alias("wsum"),
+                    )
+                    for b in range(_BOOT_B)
+                ]
+            )
+        ).alias("s")
+    ).select("s.resample", "s.n_eff", "s.wsum")
+    means = stacked.select(
+        "resample",
+        F.col("n_eff").cast("bigint").alias("n_eff"),
+        (F.col("wsum") / F.col("n_eff").cast("double")).alias("mean_boot"),
+    )
+    w_rank = Window.orderBy("mean_boot", "resample")
+    return means.select(
+        "resample",
+        "n_eff",
+        "mean_boot",
+        F.row_number().over(w_rank).cast("bigint").alias("rank_by_mean"),
+    ).orderBy("resample")
+
+
+@query(
+    "ece_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT AS h,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), binned AS (
+      SELECT (h * 10) // 16777216 AS bin, h, y FROM scored
+    ), agg AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(h) AS BIGINT) AS sum_h,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM agg
+    )
+    SELECT bin, n,
+           CAST(sum_h AS DOUBLE) / (n * 16777216) AS mean_confidence,
+           CAST(n_pos AS DOUBLE) / n AS accuracy,
+           ABS(CAST(n_pos AS DOUBLE) / n
+               - CAST(sum_h AS DOUBLE) / (n * 16777216))
+             * n / tot.total AS ece_term
+    FROM agg, tot ORDER BY bin
+    """,
+    covers=["A-extended", "LLM-eval"],
+)
+def ece_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error (ECE) reliability table — the model
+    monitoring readout beside conformal coverage: scores binned into
+    deciles, each bin comparing mean predicted confidence against
+    observed accuracy; Σ ece_term is the ECE.  The "model" is a
+    deterministic 24-bit hash score (this harness has no model — the
+    operator under test is the binned calibration aggregation, which
+    is model-agnostic), with outcome = (event_type = 'purchase').
+
+    Exactness: the score is h/2^24 — but per-bin mean confidence is
+    computed as Σh / (n·2^24) on EXACT integer sums, one
+    correctly-rounded division; bin ids are pure integer math
+    ((h·10) div 2^24); accuracy is one integer ratio; the ece_term's
+    |acc−conf|·n/N chain is deterministic IEEE on identical inputs.
+    No per-row double ever enters an aggregate.
+
+    Scale: one combinable scan → 10-row grid; everything after is
+    constant-size.  The same shape holds for any bin count or model
+    score column at 100 TB."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("event_id").cast("string"))),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("bigint")
+    scored = ev.select(
+        h.alias("h"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    agg = (
+        scored.withColumn("bin", F.expr("(h * 10) div 16777216"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("h").cast("bigint").alias("sum_h"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = agg.agg(F.sum("n").cast("bigint").alias("total"))
+    conf = F.col("sum_h").cast("double") / (F.col("n") * F.lit(16777216))
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            conf.alias("mean_confidence"),
+            acc.alias("accuracy"),
+            (F.abs(acc - conf) * F.col("n") / F.col("total")).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+_DAILY_REVENUE_SQL = """
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS total
+      FROM events GROUP BY 1
+"""
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REVENUE_SQL}
+    ), pairs AS (
+      SELECT CASE WHEN b.total > a.total THEN 1
+                  WHEN b.total < a.total THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ), s AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS d
+      FROM pairs
+    ), ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS corr
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY total)
+      WHERE t > 1
+    ), v AS (
+      SELECT s.s_stat, s.d,
+             CAST(s.d * (s.d - 1) * (2 * s.d + 5) - ties.corr AS DOUBLE)
+               / 18 AS var_s
+      FROM s, ties
+    )
+    SELECT d AS n_days, s_stat, var_s,
+           CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                ELSE 0.0 END AS z_stat
+    FROM v
+    """,
+    covers=["A-extended", "W-extended", "X-observability"],
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on the daily-revenue
+    series — the monotone-trend gate (is this metric drifting up or
+    down, regardless of shape?) that complements the parametric OLS
+    trend and the CUSUM changepoint: S = Σ sign(y_j − y_i) over all
+    day pairs, tie-corrected variance, and the continuity-corrected
+    z statistic.  Rank-based, so outliers and level shifts can't fake
+    or hide a trend the way they can in a least-squares slope.
+
+    Exactness: sign comparisons on identical doubles are exact IEEE;
+    S, D, and the tie correction are integers; var_s is ONE division
+    of exact integers; z is one sqrt + one division (both correctly
+    rounded).  No libm beyond sqrt.
+
+    Scale: the corpus collapses to a calendar-day grid FIRST (one
+    combinable scan); the O(D²) pair join runs on that grid — D is
+    days-of-history, bounded by time, not by data volume (10× the
+    rows is the same ~30-row grid).  The broadcast side is the tiny
+    grid, never a fact table."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "total"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.total") > F.col("a.total"), 1)
+        .when(F.col("b.total") < F.col("a.total"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_stat"))
+    )
+    d_cnt = daily.agg(F.count("*").cast("bigint").alias("d"))
+    ties = (
+        daily.groupBy("total")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("corr")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(d_cnt))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "d",
+            (
+                (
+                    F.col("d") * (F.col("d") - 1) * (2 * F.col("d") + 5)
+                    - F.col("corr")
+                ).cast("double")
+                / 18
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("d").alias("n_days"), "s_stat", "var_s", z.alias("z_stat")
+    )
+
+
+@query(
+    "theil_sen_slope",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REVENUE_SQL}
+    ), xy AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS x, total AS y
+      FROM daily
+    ), slopes AS (
+      SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope, a.x AS x1,
+             b.x AS x2
+      FROM xy a JOIN xy b ON a.x < b.x
+    ), ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM xy) AS n_days,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           (MIN(slope) + MAX(slope)) / CAST(2 AS DOUBLE) AS slope_median
+    FROM ranked
+    WHERE rn = CAST(FLOOR((np + 1) / CAST(2 AS DOUBLE)) AS BIGINT)
+       OR rn = CAST(FLOOR((np + 2) / CAST(2 AS DOUBLE)) AS BIGINT)
+    """,
+    covers=["A-extended", "W-extended"],
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of the daily-revenue series: the
+    MEDIAN of all pairwise slopes — up to ~29% outlier-contaminated
+    days cannot move it (an OLS slope is moved by one bad day), the
+    robust companion to `ols_spend_trend` and the magnitude estimate
+    the Mann–Kendall test doesn't give.
+
+    Exactness: each pairwise slope is one exact IEEE subtraction over
+    one correctly-rounded division (integer day gap); the median is
+    selected by ORDER (value ties are harmless to a value median;
+    row_number gets pair tiebreaks anyway) and an even count takes
+    (lo+hi)/2 — one rounded addition, exact halving: the
+    weighted-median idiom.
+
+    Scale: same law as `mann_kendall_trend` — collapse to the
+    day grid first, O(D²) only on the bounded calendar grid, pair
+    generation against the broadcast grid copy."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value"), "total"))
+        .localCheckpoint(eager=True)
+    )
+    xy = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("x"),
+        F.col("total").alias("y"),
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    w_all = Window.orderBy("slope", "x1", "x2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w_all).alias("rn"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("np"),
+    )
+    n_days = xy.agg(F.count("*").cast("bigint").alias("n_days"))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    ).agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("slope_median"),
+    )
+    return n_days.crossJoin(F.broadcast(mid)).select(
+        "n_days", "n_pairs", "slope_median"
+    )

@@ -2047,3 +2047,123 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("center", "context", "n_cooccur", "neg_1", "neg_2")
         .orderBy(F.desc("n_cooccur"), "center", "context")
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id, lang, ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+            FROM documents),
+           UNNEST(generate_series(1, len(ws) - 1)) t(i)
+    ), hashed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(bigram), 1, 8))::BIGINT % 1024 AS bucket
+      FROM big
+    ), dist AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt,
+             CAST(COUNT(*) AS BIGINT) AS r_cnt
+      FROM hashed GROUP BY bucket
+    ), n AS (
+      SELECT CAST(SUM(t_cnt) AS BIGINT) AS n_tgt,
+             CAST(SUM(r_cnt) AS BIGINT) AS n_raw
+      FROM dist
+    ), ratio AS (
+      SELECT bucket,
+             CAST((t_cnt + 1) * n.n_raw AS DOUBLE)
+               / ((r_cnt + 1) * n.n_tgt) AS w
+      FROM dist, n
+    ), scored AS (
+      SELECT h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(CAST(SUM(CAST(r.w AS DECIMAL(18,8))) AS VARCHAR)
+                  AS DOUBLE) AS importance
+      FROM hashed h JOIN ratio r USING (bucket)
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           importance / n_bigrams AS mean_importance
+    FROM scored
+    ORDER BY importance / n_bigrams DESC, doc_id LIMIT 50
+    """,
+    covers=["LLM-curation", "M6-text", "A-extended"],
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, public): score every raw document by how target-like its
+    hashed-bigram distribution is, where the target here is the 'en'
+    slice.  Production use: point the target at a trusted high-quality
+    corpus and keep the top-scoring raw docs — the importance-weighted
+    upgrade over binary quality filters.
+
+    Deviation from the paper, for the no-libm discipline: the paper
+    sums log(p_tgt/p_raw) per feature; this ranks by the MEAN RATIO
+    instead — each bucket weight is (t+1)·N_raw / ((r+1)·N_tgt), exact
+    bigint products with ONE correctly-rounded division (add-1
+    smoothing keeps empty buckets finite), summed per doc on the
+    decimal grid.  Monotone agreement with the log form is
+    per-feature, not exact — it is a ranking heuristic of the same
+    family, and bit-exactly reproducible.
+
+    Scale: bigrams hash into 1024 buckets (the paper's hashed n-gram
+    trick — vocabulary-independent state), so the "model" is a
+    1024-row broadcast; scoring is one explode + broadcast join +
+    doc-keyed decimal sum; top-50 under a total order.  One corpus
+    scan builds the model, one scores — both map-side combinable."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - F.lit(1)),
+        F.slice(words, 2, n - F.lit(1)),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    hashed = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("bigram")), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(1024),
+        ).alias("bucket"),
+    )
+    dist = hashed.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("t_cnt"),
+        F.count("*").cast("bigint").alias("r_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("t_cnt").cast("bigint").alias("n_tgt"),
+        F.sum("r_cnt").cast("bigint").alias("n_raw"),
+    )
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            ((F.col("t_cnt") + 1) * F.col("n_raw")).cast("double")
+            / ((F.col("r_cnt") + 1) * F.col("n_tgt"))
+        ).alias("w"),
+    )
+    scored = (
+        hashed.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("w").cast("decimal(18,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("importance"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("importance") / F.col("n_bigrams")).alias("mean_importance"),
+        )
+        .orderBy(F.desc("mean_importance"), "doc_id")
+        .limit(50)
+    )

@@ -962,3 +962,192 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wsum") / F.col("wtot").cast("double")).alias("ewma_value"),
         "latest_value",
     ).orderBy("user_id")
+
+
+@query(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) AS t_first,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT MAX(ts) AS h FROM events
+    ), obs AS (
+      SELECT CASE WHEN t_purch IS NOT NULL
+                  THEN date_diff('day', CAST(t_first AS DATE),
+                                 CAST(t_purch AS DATE))
+                  ELSE date_diff('day', CAST(t_first AS DATE),
+                                 CAST(horizon.h AS DATE)) END AS t,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user, horizon
+    ), grid AS (
+      SELECT t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+      FROM obs GROUP BY t
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM obs
+    ), risk AS (
+      SELECT t, d, c,
+             n.total - COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_at_risk
+      FROM grid, n
+    ), fac AS (
+      SELECT t, d, c, n_at_risk,
+             CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor
+      FROM risk
+    ), km AS (
+      SELECT t AS time_days, n_at_risk, d AS n_events_at,
+             c AS n_censored_at,
+             list_reduce(list(factor) OVER (ORDER BY t
+                           ROWS UNBOUNDED PRECEDING),
+                         (a, b) -> a * b) AS survival
+      FROM fac
+    )
+    SELECT * FROM km WHERE n_events_at > 0 ORDER BY time_days
+    """,
+    covers=["A-extended", "W-extended", "LLM-eval"],
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of time-to-first-purchase
+    per user, with REAL right-censoring: users who never purchase are
+    censored at the observation horizon (global max event time), at a
+    censor time that varies per user -- the survival curve ("what
+    fraction of users are still unconverted after t days?") a growth /
+    SLA monitor publishes, and the censoring-aware statistic none of
+    the moment-based summaries can substitute (dropping never-buyers
+    biases conversion fast, counting them as converted biases it up).
+    The reference has no survival surface; this extends the temporal
+    family (SURVEY.md section 2.3 extensions).
+
+    Exactness, per the no-libm discipline: each hazard factor
+    (n_i-d_i)/n_i is ONE correctly-rounded division of exact integers
+    (risk set = total minus cumulative prior events+censorings, all
+    bigint); the survival product folds those factors in time order
+    via a LEFT FOLD over an ordered list -- `F.aggregate(collect_list
+    OVER (ORDER BY t), 1.0, acc*x)` here, `list_reduce(list() OVER)`
+    in the oracle -- the identical multiplication sequence, so the
+    curve is bit-identical (1.0*x1 == x1 exactly; IEEE multiply is
+    deterministic).
+
+    Scale: one user-keyed combinable aggregate collapses the corpus
+    to per-user (first event, first purchase) rows, then to a
+    calendar-day grid bounded by the observation span (~30 rows) --
+    the cumulative risk and product windows run on that constant-size
+    grid, never on data.  10x the events is the same grid."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purch"),
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    has = F.col("t_purch").isNotNull()
+    obs = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            has, F.datediff(F.to_date("t_purch"), F.to_date("t_first"))
+        )
+        .otherwise(F.datediff(F.to_date("h"), F.to_date("t_first")))
+        .alias("t"),
+        has.cast("int").alias("ev"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    total = obs.count()
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.withColumn(
+        "n_at_risk",
+        F.lit(total)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
+    )
+    factor = (
+        (F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk")
+    )
+    return (
+        risk.withColumn("factor", factor)
+        .withColumn(
+            "survival",
+            F.aggregate(
+                F.collect_list("factor").over(w_cum),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("time_days"),
+            "n_at_risk",
+            F.col("d").alias("n_events_at"),
+            F.col("c").alias("n_censored_at"),
+            "survival",
+        )
+        .orderBy("time_days")
+    )
+
+
+@query(
+    "asof_tolerance_enrich",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+           o_orderdate AS asof_orderdate,
+           o_orderkey IS NOT NULL AS matched
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+       AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+    ) WHERE rn = 1
+    """,
+    covers=["J-extended", "W-extended"],
+)
+def asof_tolerance_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS TOLERANCE — the feature-store
+    `max_staleness` semantic: each event takes the latest order
+    at-or-before it, but only if that order is ≤30 days old at event
+    time; older matches surface as NULL (stale features must not leak
+    into training rows — a silent 9-month-old "latest order" is worse
+    than none).  Composes the linear union+window `asof_join` (no
+    range-join candidate blowup) with a post-pick tolerance mask —
+    equivalent to restricting the join window, because if the LATEST
+    match is stale every earlier one is staler.
+
+    Scale: identical to `asof_latest_order_per_event` (one hash
+    shuffle on the key); the mask is a codegen'd comparison, free."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    joined = asof_join(
+        ev, od, key="user_id", time="ts",
+        payload=["o_orderkey", "o_orderdate"], tiebreak="o_orderkey",
+    )
+    fresh = F.col("asof_o_orderdate") >= F.col("ts") - F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof_o_orderkey")).alias("asof_orderkey"),
+        F.when(fresh, F.col("asof_o_orderdate")).alias("asof_orderdate"),
+        F.coalesce(fresh, F.lit(False)).alias("matched"),
+    )

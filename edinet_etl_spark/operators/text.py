@@ -1022,3 +1022,69 @@ def doc_top_token_arrayonly(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["tok"].alias("top_token"),
         best["cnt"].alias("top_count"),
     ).orderBy("doc_id")
+
+
+@query(
+    "token_gini_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           1 - CAST(sum_c2 AS DOUBLE) / (n_tokens * n_tokens)
+             AS gini_diversity,
+           1 - CAST(sum_c2 AS DOUBLE) / (n_tokens * n_tokens) < 0.5
+             AS low_diversity
+    FROM per_doc ORDER BY doc_id
+    """,
+    covers=["M6-text", "LLM-quality"],
+)
+def token_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Gini impurity per document — the libm-free
+    stand-in for token ENTROPY in a quality ladder: 1 − Σ pᵢ² over the
+    document's token distribution.  Near 0 ⇒ the doc is one token
+    repeated (spam, boilerplate, keyword stuffing); near 1 ⇒ diverse
+    vocabulary.  Catches the same degenerate docs an entropy filter
+    catches (both are Rényi diversities — order 2 vs order 1) without
+    ln(): Σ pᵢ² = Σ cᵢ² / N², so the whole score is ONE division of
+    exact integers.  The `low_diversity` flag (<0.5 ⇒ effective
+    vocabulary under 2 tokens) is the curation-filter readout.
+
+    Scale: explode → (doc, token) count → per-doc integer moments; all
+    map-side combinable, doc-keyed, no joins.  Same plan family as
+    `repetition_scores`, orthogonal signal (repetition looks at ngram
+    re-occurrence, this at distribution concentration)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    gini = 1 - F.col("sum_c2").cast("double") / (
+        F.col("n_tokens") * F.col("n_tokens")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        gini.alias("gini_diversity"),
+        (gini < 0.5).alias("low_diversity"),
+    ).orderBy("doc_id")

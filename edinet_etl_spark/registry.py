@@ -132,6 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "nation_revenue_rank_shift", "daily_new_vs_returning",
     "session_eventtype_lift",
     # ---- round-5 additions (queue behind all never-tested names) ----
+    "kaplan_meier_conversion", "asof_tolerance_enrich",
+    "poisson_bootstrap_mean_ci", "ece_calibration_bins",
+    "mann_kendall_trend", "theil_sen_slope",
+    "token_gini_diversity", "dsir_importance_weights",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
