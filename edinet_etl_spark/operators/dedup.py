@@ -1635,8 +1635,18 @@ _PF_DEN = 5
 @query(
     "prefix_filter_jaccard_join",
     oracle=f"""
-    WITH shd AS (
-      SELECT DISTINCT doc_id, sh FROM ({_SQL_SHINGLES})
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM canon),
+    shd AS (
+      SELECT DISTINCT doc_id,
+             w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS sh
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) t(i)
     ),
     sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM shd GROUP BY doc_id
@@ -1651,13 +1661,14 @@ _PF_DEN = 5
       FROM shd s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id
     ),
     prefix AS (
-      SELECT doc_id, sh FROM ranked
+      SELECT doc_id, sh, m FROM ranked
       WHERE rn <= m - CAST(FLOOR(({_PF_NUM} * m + {_PF_DEN - 1}) / {_PF_DEN})
                            AS BIGINT) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       AND {_PF_DEN} * LEAST(a.m, b.m) >= {_PF_NUM} * GREATEST(a.m, b.m)
     ),
     inter AS (
       SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -1680,9 +1691,21 @@ _PF_DEN = 5
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-threshold set-similarity self-join (PPJoin-style prefix
-    filtering): every document pair whose DISTINCT-5-char-shingle
+    filtering): every document pair whose DISTINCT WORD-3-SHINGLE
     Jaccard is >= 0.6, with NO false negatives — the guarantee the
     approximate LSH path (`minhash_lsh_candidates`) cannot give.
+
+    The element unit is the scale decision, measured twice: 5-char
+    shingles (~300/doc, dense buckets) went quadratic — sf0.1 alone
+    took 345 s and the 10x probe blew a 900 s budget; single word
+    tokens collapse into this corpus's 31-word vocabulary, where EVERY
+    prefix bucket is thousands wide (88.5M candidates — the true
+    all-similar workload, not an algorithmic failure).  Word
+    3-shingles give a 27k universe with max df 25: prefix buckets stay
+    narrow, candidates drop 450x to ~190k, and the operator is
+    CPU-linear.  The general rule for exact similarity joins: pick the
+    element universe large enough that rare-first prefixes are
+    actually rare; char-shingle semantics belong to MinHash banding.
 
     Prefix-filter theorem: order the element universe by ascending
     document frequency (rarest first, ties by value).  If
@@ -1702,12 +1725,39 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact; the output jaccard is a single correctly-rounded
     division.  At 100 TB: df is one map-side-combined agg; the
     per-doc rank window shuffles on doc_id; candidate + verify joins
-    are shingle/pair-keyed hash joins.  The reference's only dedup is
+    are token/pair-keyed hash joins, with the PPJoin LENGTH filter
+    (t*max(|A|,|B|) <= min, cross-multiplied integers) pruning
+    cross-size candidates inside the prefix join.  Runs over CANONICAL
+    docs (exact-dup collapse first — pairs are over canonical ids),
+    per the pair-generator rule: byte-equal copies inflate prefix
+    buckets k-fold and candidates k-squared.  The reference's only dedup is
     exact row-level `drop_duplicates` (/root/reference/src/transform.py:109-145);
     this is the scalable superset a lake-scale curation pipeline needs."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    shd = _shingles(docs).select("doc_id", "sh").distinct()
+    # canonical collapse FIRST (the pair-generator checklist rule):
+    # byte-equal copies share the whole shingle set, so raw-doc prefix
+    # joins grow candidates k-squared per duplicate group; the 16-byte
+    # groupBy absorbs that before any shingle leaves the scan
+    w_c = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = F.split(F.col("text"), " ")
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    shd = canon.select(
+        "doc_id", F.explode(trigrams).alias("sh")
+    ).distinct()
     sizes = shd.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
     df = shd.groupBy("sh").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
@@ -1723,12 +1773,19 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= p).select("doc_id", "sh")
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "sh")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "sh")
+    prefix = ranked.filter(F.col("rn") <= p).select("doc_id", "sh", "m")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "sh", F.col("m").alias("ma"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "sh", F.col("m").alias("mb"))
     cand = (
         pa.join(pb, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # PPJoin length filter: J >= t forces t*max(|A|,|B|) <= min
+            & (
+                _PF_DEN * F.least(F.col("ma"), F.col("mb"))
+                >= _PF_NUM * F.greatest(F.col("ma"), F.col("mb"))
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
