@@ -181,8 +181,11 @@ EXPECTATIONS = [
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
     # exact-threshold set-similarity join: every join equi-keyed on
     # shingle/doc/pair — a quadratic-probe regression would defeat the
-    # entire prefix-filter design
-    ("prefix_filter_jaccard_join", 13, ["Window", "HashAggregate"],
+    # entire prefix-filter design.  Exchange budget 30: the round-5
+    # rewrite added the canonical-collapse window, the word-3-shingle
+    # construction, and the m-carry for the PPJoin length filter
+    # (each a keyed hash exchange, none a pair blowup)
+    ("prefix_filter_jaccard_join", 30, ["Window", "HashAggregate"],
      ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # two-level distributed skyline: per-bucket windows prune locally,
     # the global single-task window sees only the candidate union
