@@ -3156,3 +3156,105 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_days.crossJoin(F.broadcast(mid)).select(
         "n_days", "n_pairs", "slope_median"
     )
+
+
+@query(
+    "epsilon_greedy_allocation",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    ), assigned AS (
+      SELECT e.user_id,
+             ('0x' || substr(md5('mab:' || CAST(e.user_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 4 AS arm,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts < f.t0 + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY e.user_id
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+      FROM assigned GROUP BY arm
+    ), best AS (
+      SELECT arm AS best_arm FROM arms
+      ORDER BY conv_rate DESC, arm LIMIT 1
+    )
+    SELECT a.arm, a.n_users, a.n_converted, a.conv_rate,
+           a.arm = b.best_arm AS is_best,
+           CAST(CASE WHEN a.arm = b.best_arm THEN 0.85 ELSE 0.05 END
+                AS DOUBLE) AS next_allocation
+    FROM arms a, best b ORDER BY a.arm
+    """,
+    covers=["A-extended", "LLM-eval"],
+)
+def epsilon_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-greedy bandit REALLOCATION — the decision rung that
+    closes the experimentation ladder (SRM validates the assignment →
+    CUPED/DiD estimate the effect → this operator allocates the next
+    traffic batch): users hash into 4 arms, each arm's user-level
+    7-DAY conversion rate (purchase within 7 days of the user's first
+    event — a bounded-window metric, so the readout discriminates
+    instead of saturating at "eventually everyone buys") is measured, and the next-batch split gives the
+    empirical best arm 1−ε+ε/K = 0.85 and every other arm ε/K = 0.05
+    (ε=0.2, K=4 — exact decimal literals, no RNG at query time: the
+    exploration randomness is the same deterministic user-hash that
+    assigned the arms).
+
+    Exactness: assignment is integer md5 arithmetic; conversion rates
+    are one integer ratio; the argmax is totally ordered (rate DESC,
+    arm ASC); allocations are literals.
+
+    Scale: one user-keyed shuffle (the first-event window and the
+    conversion MAX share it) → a 4-row arm grid; the best-arm pick and allocation math are constant-size.
+    The same shape serves any K at 100 TB."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mab:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(4),
+    )
+    w_u = Window.partitionBy("user_id")
+    assigned = (
+        ev.withColumn("t0", F.min("ts").over(w_u))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAYS")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
+    )
+    best = arms.orderBy(F.desc("conv_rate"), "arm").limit(1).select(
+        F.col("arm").alias("best_arm")
+    )
+    return (
+        arms.crossJoin(F.broadcast(best))
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            "conv_rate",
+            (F.col("arm") == F.col("best_arm")).alias("is_best"),
+            F.when(F.col("arm") == F.col("best_arm"), F.lit(0.85))
+            .otherwise(F.lit(0.05))
+            .alias("next_allocation"),
+        )
+        .orderBy("arm")
+    )

@@ -2167,3 +2167,70 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_importance"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "quality_quantile_normalize",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(n_chars AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, score,
+             PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY score, doc_id) AS pr
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE pr >= 0.8) AS BIGINT) AS n_kept,
+           MIN(score) FILTER (WHERE pr >= 0.8) AS min_kept_score,
+           MAX(score) AS max_score
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    covers=["LLM-curation", "W-extended"],
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE NORMALIZATION of a quality score before a
+    global keep threshold — the curation step that fixes the classic
+    mixing bug: a raw score cut (length, LM perplexity, classifier
+    margin) applied across heterogeneous sources keeps whole easy
+    sources and drops whole hard ones, because score DISTRIBUTIONS
+    differ by source even when quality doesn't.  Mapping each doc to
+    its within-source percent-rank makes "top 20%" mean the same thing
+    in every source (the per-source analogue of the global
+    `length_rebalance_sample`); the readout is each source's kept
+    count and the raw-score boundary that rank-cut implies — per
+    source, as it should be.
+
+    The score here is mean token length (n_chars / n_tokens, one
+    correctly-rounded division) — a stand-in with real variance; any
+    score column plugs into the same shape.  percent_rank is
+    (rank−1)/(n−1), identical integer ratios in both engines, under a
+    total order (score, doc_id).
+
+    Scale: one source-keyed window (the only shuffle) + one source
+    aggregate; sources ≪ docs, and a skewed giant source is exactly
+    what the rank cut handles — the window is per-source sorted, the
+    standard partitioned-sort shape."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    score = F.col("n_chars").cast("double") / F.size(
+        F.split(F.col("text"), " ")
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    kept = F.col("pr") >= 0.8
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.min(F.when(kept, F.col("score"))).alias("min_kept_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("source")
+    )

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "poisson_bootstrap_mean_ci", "ece_calibration_bins",
     "mann_kendall_trend", "theil_sen_slope",
     "token_gini_diversity", "dsir_importance_weights",
+    "epsilon_greedy_allocation", "quality_quantile_normalize",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
