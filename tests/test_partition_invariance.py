@@ -65,6 +65,20 @@ CASES = [
     "target_encoding_loo",
     "split_conformal_coverage",
     "knn_label_accuracy",
+    # round-5 float-bearing additions: ordered left-fold products (KM
+    # survival), integer-weight decimal sums (Poisson bootstrap),
+    # integer-ratio chains (ECE, Gini, epsilon-greedy), day-grid pair
+    # math on dsum'd series (MK / Theil-Sen), decimal sums of single
+    # divisions (DSIR), within-partition percent_rank (quantile norm)
+    "kaplan_meier_conversion",
+    "poisson_bootstrap_mean_ci",
+    "ece_calibration_bins",
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "token_gini_diversity",
+    "dsir_importance_weights",
+    "epsilon_greedy_allocation",
+    "quality_quantile_normalize",
 ]
 
 
