@@ -987,14 +987,12 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(ev) AS BIGINT) AS d,
              CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
       FROM obs GROUP BY t
-    ), n AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM obs
     ), risk AS (
       SELECT t, d, c,
-             n.total - COALESCE(SUM(d + c) OVER (
-               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING), 0) AS n_at_risk
-      FROM grid, n
+             SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_at_risk
+      FROM grid
     ), fac AS (
       SELECT t, d, c, n_at_risk,
              CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor
@@ -1060,15 +1058,17 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("bigint").alias("d"),
         (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
     )
-    total = obs.count()
-    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # risk set = observations at-or-after t, as a suffix sum over the
+    # grid itself — no separate count() action (which would re-run the
+    # per-user aggregation: the corpus_drift_report lesson)
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
     w_cum = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     risk = grid.withColumn(
-        "n_at_risk",
-        F.lit(total)
-        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_suffix)
     )
     factor = (
         (F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk")
