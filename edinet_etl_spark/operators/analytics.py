@@ -2936,11 +2936,14 @@ def ece_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("n_pos"),
         )
     )
-    tot = agg.agg(F.sum("n").cast("bigint").alias("total"))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     conf = F.col("sum_h").cast("double") / (F.col("n") * F.lit(16777216))
     acc = F.col("n_pos").cast("double") / F.col("n")
     return (
-        agg.crossJoin(F.broadcast(tot))
+        # N via a window over the 10-row grid — the scan runs once
+        agg.withColumn("total", F.sum("n").over(w_all).cast("bigint"))
         .select(
             "bin",
             "n",
@@ -3240,7 +3243,7 @@ def epsilon_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
-    )
+    ).localCheckpoint(eager=True)  # 4 rows; argmax branch must not rescan
     best = arms.orderBy(F.desc("conv_rate"), "arm").limit(1).select(
         F.col("arm").alias("best_arm")
     )

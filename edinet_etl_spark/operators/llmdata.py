@@ -2135,7 +2135,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = hashed.groupBy("bucket").agg(
         F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("t_cnt"),
         F.count("*").cast("bigint").alias("r_cnt"),
-    )
+    ).localCheckpoint(eager=True)  # 1024 rows; totals + ratio read this,
+    # so the model pass explodes the corpus exactly once
     totals = dist.agg(
         F.sum("t_cnt").cast("bigint").alias("n_tgt"),
         F.sum("r_cnt").cast("bigint").alias("n_raw"),
