@@ -99,6 +99,9 @@ HEADLINE = [
     "containment_verify_candidates",
     "knn_label_accuracy",
     "skipgram_training_pairs",
+    # round-5 representatives (survival + importance-selection families)
+    "kaplan_meier_conversion",
+    "dsir_importance_weights",
 ]
 
 
