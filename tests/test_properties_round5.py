@@ -103,6 +103,38 @@ def test_kaplan_meier_invariants(spark):
     assert all(a > b for a, b in zip(risk, risk[1:]))
 
 
+def test_km_random_inputs_hold_invariants():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 1)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(obs):
+        surv = _km_python(obs)
+        vals = [surv[t] for t in sorted(surv)]
+        assert all(0.0 <= s <= 1.0 for s in vals)
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        # with every observation an event, KM equals 1 - ECDF
+        if all(ev == 1 for _, ev in obs):
+            n = len(obs)
+            for t, s in surv.items():
+                frac = sum(1 for tt, _ in obs if tt > t) / n
+                assert s == pytest.approx(frac, abs=1e-9)
+        # censoring can only RAISE the curve vs treating censored rows
+        # as events at the same time
+        as_events = _km_python([(t, 1) for t, _ in obs])
+        for t in surv:
+            assert surv[t] >= as_events[t] - 1e-9
+
+    run()
+
+
 def test_km_no_censoring_equals_empirical_survivor():
     # all-event observations: KM == 1 - ECDF at each event time
     obs = [(t, 1) for t in [1, 1, 2, 3, 3, 3, 7]]
