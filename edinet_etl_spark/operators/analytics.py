@@ -2743,16 +2743,23 @@ def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) CDF thresholds as 6-hex-digit literals (floor(P(X<=k)·16^6)
+# Poisson(1) CDF thresholds as 4-hex-digit literals (floor(P(X<=k)·16^4)
 # for k=0..4; weights cap at 5).  Hardcoded so BOTH engines compare the
-# same lowercase-hex md5 prefix against the same string literals — no
-# exp() at query time, no libm in any compared column.
-_POIS_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+# same lowercase-hex md5 slice against the same string literals — no
+# exp() at query time, no libm in any compared column.  4 hex digits =
+# 65536 CDF levels (threshold quantization ≤ 1.5e-5 — statistically
+# invisible for resample weights) so ONE 32-hex md5 yields EIGHT
+# independent draws (disjoint bit ranges of a cryptographic hash):
+# 16 resamples cost 2 md5 calls per row, not 16 — measured 8× less
+# per-row hashing on the bootstrap scan.
+_POIS_HEX = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
 _BOOT_B = 16
 
 
 def _sql_pois_w(b: int) -> str:
-    u = f"substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 6)"
+    tag = "bootA" if b < 8 else "bootB"
+    pos = 1 + 4 * (b % 8)
+    u = f"substr(md5('{tag}:' || CAST(event_id AS VARCHAR)), {pos}, 4)"
     cases = " ".join(
         f"WHEN {u} < '{t}' THEN {k}" for k, t in enumerate(_POIS_HEX)
     )
@@ -2804,10 +2811,12 @@ def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resample is one scan, embarrassingly parallel; the classical
     multinomial bootstrap needs a global draw).
 
-    Determinism without libm: the per-(row, b) weight compares a 6-hex
-    md5 prefix against HARDCODED Poisson-CDF hex literals (`_POIS_HEX`)
+    Determinism without libm: the per-(row, b) weight compares a 4-hex
+    md5 SLICE against HARDCODED Poisson-CDF hex literals (`_POIS_HEX`)
     — both engines do identical string comparisons; exp(-1) never runs
-    at query time.  Weighted sums are decimal-native (integer weight ×
+    at query time.  Eight draws share one md5 (disjoint slices of a
+    cryptographic hash are independent), so the 16-resample scan pays
+    2 hashes per row instead of 16.  Weighted sums are decimal-native (integer weight ×
     DECIMAL(18,8) value — the EWMA idiom), so each resample mean is one
     correctly-rounded division of an exact sum.
 
@@ -2819,9 +2828,10 @@ def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "value")
 
     def w(b: int):
+        tag = "bootA" if b < 8 else "bootB"
         u = F.substring(
-            F.md5(F.concat(F.lit(f"boot{b}:"), F.col("event_id").cast("string"))),
-            1, 6,
+            F.md5(F.concat(F.lit(f"{tag}:"), F.col("event_id").cast("string"))),
+            1 + 4 * (b % 8), 4,
         )
         expr = F.lit(5)
         for k in reversed(range(len(_POIS_HEX))):

@@ -9,8 +9,9 @@ oracle-checked math against a third implementation).
 - KM invariants: survival non-increasing in time, in (0, 1], and with
   ZERO censoring equals the plain empirical survivor function.
 - Poisson bootstrap weights: the hardcoded `_POIS_HEX` thresholds are
-  exactly floor(CDF(k)*16^6) for Poisson(1), and the empirical weight
-  distribution over the fixture matches the CDF to a 2% tolerance.
+  exactly floor(CDF(k)*16^4) for Poisson(1), and the empirical weight
+  distribution over the fixture matches the CDF to a 2% tolerance
+  (draws are disjoint 4-hex slices — 8 per md5).
 - Mann-Kendall on hand-built series: strictly increasing -> S =
   n(n-1)/2 and z > 0; constant -> S = 0, ties zero the variance.
 - Theil-Sen robustness: one arbitrarily corrupted day moves the
@@ -152,7 +153,7 @@ def test_pois_hex_thresholds_are_poisson1_cdf():
     cum = 0.0
     for k, lit in enumerate(_POIS_HEX):
         cum += math.exp(-1) / math.factorial(k)
-        assert lit == format(int(cum * 16**6), "06x")
+        assert lit == format(int(cum * 16**4), "04x")
 
 
 def test_bootstrap_weight_distribution_matches_cdf():
@@ -163,8 +164,11 @@ def test_bootstrap_weight_distribution_matches_cdf():
     counts: Counter[int] = Counter()
     n = 0
     for b in range(4):
+        tag = "bootA" if b < 8 else "bootB"
+        pos = 4 * (b % 8)
         for i in range(20_000):
-            u = hashlib.md5(f"boot{b}:{i}".encode()).hexdigest()[:6]
+            h = hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
+            u = h[pos:pos + 4]
             w = 5
             for k, t in enumerate(_POIS_HEX):
                 if u < t:
