@@ -1746,8 +1746,14 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     words = F.split(F.col("text"), " ")
+    # Guard: Spark's sequence(1, n-2) DESCENDS when n < 3 (DuckDB's
+    # generate_series is empty) — short docs must yield no shingles,
+    # not element_at(words, 0) errors
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.expr("array()").cast("array<int>"))
     trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
+        idx,
         lambda i: F.concat_ws(
             " ",
             F.element_at(words, i),
