@@ -71,7 +71,12 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, os_ = e.queries(), e.oracle_sql()
-    names = sys.argv[1:] or SAMPLE
+    # `--all` sweeps the whole registry in driver order (the close-of-
+    # round whole-registry driver-mirror run); names target a diff.
+    if sys.argv[1:] == ["--all"]:
+        names = list(qs)
+    else:
+        names = sys.argv[1:] or SAMPLE
     failed = []
     for name in names:
         sdf = qs[name](spark, sf_dir)
