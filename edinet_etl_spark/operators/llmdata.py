@@ -2072,8 +2072,8 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dist
     ), ratio AS (
       SELECT bucket,
-             CAST((t_cnt + 1) * n.n_raw AS DOUBLE)
-               / ((r_cnt + 1) * n.n_tgt) AS w
+             (CAST(t_cnt + 1 AS DOUBLE) * CAST(n.n_raw AS DOUBLE))
+               / (CAST(r_cnt + 1 AS DOUBLE) * CAST(n.n_tgt AS DOUBLE)) AS w
       FROM dist, n
     ), scored AS (
       SELECT h.doc_id,
@@ -2100,10 +2100,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deviation from the paper, for the no-libm discipline: the paper
     sums log(p_tgt/p_raw) per feature; this ranks by the MEAN RATIO
-    instead — each bucket weight is (t+1)·N_raw / ((r+1)·N_tgt), exact
-    bigint products with ONE correctly-rounded division (add-1
-    smoothing keeps empty buckets finite), summed per doc on the
-    decimal grid.  Monotone agreement with the log form is
+    instead — each bucket weight is (t+1)·N_raw / ((r+1)·N_tgt),
+    computed as correctly-rounded double products and ONE division
+    (factors cast to double FIRST so the products can't wrap int64 at
+    1e11+ bigrams; add-1 smoothing keeps empty buckets finite),
+    summed per doc on the decimal grid.  Monotone agreement with the log form is
     per-feature, not exact — it is a ranking heuristic of the same
     family, and bit-exactly reproducible.
 
@@ -2143,9 +2144,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = dist.crossJoin(F.broadcast(totals)).select(
         "bucket",
+        # each factor cast to double BEFORE the product: the bigint
+        # products (t+1)·N_raw / (r+1)·N_tgt overflow int64 near 1e11
+        # bigrams (100 TB scale) and Spark with ANSI off would wrap
+        # silently; double·double is correctly rounded and identical
+        # to the exact product at any scale both engines run.
         (
-            ((F.col("t_cnt") + 1) * F.col("n_raw")).cast("double")
-            / ((F.col("r_cnt") + 1) * F.col("n_tgt"))
+            ((F.col("t_cnt") + 1).cast("double") * F.col("n_raw").cast("double"))
+            / ((F.col("r_cnt") + 1).cast("double") * F.col("n_tgt").cast("double"))
         ).alias("w"),
     )
     scored = (

@@ -163,7 +163,7 @@ def test_bootstrap_weight_distribution_matches_cdf():
     # empirical distribution must track Poisson(1) within 2%
     counts: Counter[int] = Counter()
     n = 0
-    for b in range(4):
+    for b in range(16):
         tag = "bootA" if b < 8 else "bootB"
         pos = 4 * (b % 8)
         for i in range(20_000):
