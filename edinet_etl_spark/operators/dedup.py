@@ -226,6 +226,51 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_duplicate_mapping",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+             AS is_duplicate,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+    covers=["M6-dedup", "W-extended"],
+)
+def exact_duplicate_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc→canonical membership mapping for byte-identical content:
+    every document keyed to its keeper (lowest doc_id per content
+    fingerprint), duplicates flagged.  ``WHERE is_duplicate`` is the
+    exact-duplicate pair list (empty only when the corpus has no
+    byte-identical copies — true of the sf0.01 fixtures, so the full
+    mapping is emitted to keep the canonicalization value-verified at
+    every scale rather than vacuously green).
+
+    Companion to the canonical-collapse convention the near-dup
+    operators adopted in round 5 (`prefix_filter_jaccard_join` et al.
+    pair only canonical doc_ids, so J=1.0 exact-copy pairs and
+    non-canonical ids vanish from their output): joining any
+    canonical-domain pair set through this mapping restores the full
+    id domain.
+
+    Scale: the shuffle carries (doc_id, 16-byte md5), never document
+    text; one hash-partitioned window, no join."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    keeper = F.min("doc_id").over(w)
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            (F.col("doc_id") != keeper).alias("is_duplicate"),
+            "fingerprint",
+        )
+    )
+
+
+@query(
     "bag_of_words_dedup",
     oracle="""
     SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,

@@ -11,10 +11,13 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so
 bytes cross the JVM↔Python boundary in columnar batches, never row by
 row.
 
-The decode step itself is STUBBED here (no image/audio libs in this
-container): ``decode_image_stub`` tries Pillow and otherwise computes a
-deterministic fake feature from the bytes.  Everything around it — the
-schema, the batch signature, the partition sizing — is real and tested.
+Decode is REAL for PNG (round 6): ``edinet_etl_spark.png`` is a
+stdlib zlib+struct codec for 8-bit grayscale, and
+``png_roundtrip_decode_stats`` proves encode→decode end-to-end
+against an independent DuckDB recomputation of the pixels.  Other
+formats (JPEG etc. — codecs genuinely absent from this container)
+fall back to a deterministic byte-histogram feature so the plumbing
+stays exercised on any payload.
 """
 
 from __future__ import annotations
@@ -49,26 +52,31 @@ def _byte_counts(payload: bytes) -> list[int]:
 def decode_image_stub(payload: bytes, counts: list[int] | None = None) -> list[float]:
     """Decode + feature-extract one image payload.
 
-    Real path (requires Pillow, absent in this container): decode,
-    resize to a thumbnail, return pooled pixel features.  Stub path: a
-    deterministic byte-histogram feature so the plumbing is testable.
-    ``counts`` lets a caller that already histogrammed the payload (the
-    batch kernel shares one pass with the fingerprint) skip re-reading
-    every byte.
+    REAL path (round 6): payloads carrying the PNG signature decode
+    through the engine's own stdlib codec (`edinet_etl_spark.png`,
+    zlib+struct, all five scanline filters) and the feature is the
+    normalized histogram of actual PIXEL values mod FEATURE_DIM —
+    no Pillow needed.  Payloads in any other format fall back to the
+    original deterministic byte-histogram stand-in so the plumbing
+    stays testable on non-image bytes (the documents-as-payload
+    queries).  ``counts`` lets a caller that already histogrammed the
+    payload (the batch kernel shares one pass with the fingerprint)
+    skip re-reading every byte on the fallback path.
     """
-    try:  # pragma: no cover - image libs not installed here
-        from PIL import Image  # noqa: F401
+    from edinet_etl_spark.png import PNG_SIGNATURE, decode_png_gray
 
-        raise NotImplementedError(
-            "real image decode is intentionally not implemented in this "
-            "container; wire Image.open(io.BytesIO(payload)) here"
-        )
-    except ImportError:
-        # Deterministic fake: normalized counts of byte values mod FEATURE_DIM.
-        if counts is None:
-            counts = _byte_counts(payload)
-        total = max(1, len(payload))
-        return [c / total for c in counts]
+    if payload[:8] == PNG_SIGNATURE:
+        _, _, pixels = decode_png_gray(bytes(payload))
+        pc = [0] * FEATURE_DIM
+        for v in pixels:
+            pc[v % FEATURE_DIM] += 1
+        total = max(1, len(pixels))
+        return [c / total for c in pc]
+    # Non-PNG fallback: normalized counts of byte values mod FEATURE_DIM.
+    if counts is None:
+        counts = _byte_counts(payload)
+    total = max(1, len(payload))
+    return [c / total for c in counts]
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -412,4 +420,84 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         _resize_batches,
         schema="doc_id long, n_bytes bigint, block0_sum bigint, thumb_md5 string",
+    )
+
+
+def _png_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the PNG roundtrip: per doc, synthesize a
+    deterministic grayscale image, encode it with the stdlib codec
+    (cycling the per-row filter through all five predictor types so
+    every unfilter branch runs), decode it back, and report stats
+    computed FROM THE DECODED PIXELS — any codec defect lands in the
+    compared columns."""
+    import hashlib
+
+    from edinet_etl_spark.png import decode_png_gray, encode_png_gray
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [],
+               "pixel_sum": [], "pixel_md5": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 8 + d % 7
+            px = bytes(
+                (d * 7 + x * 13 + y * 31) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            data = encode_png_gray(w, h, px, [(d + y) % 5 for y in range(h)])
+            dw, dh, dpx = decode_png_gray(data)
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["pixel_sum"].append(sum(dpx))
+            out["pixel_md5"].append(
+                hashlib.md5(",".join(map(str, dpx)).encode()).hexdigest()
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "png_roundtrip_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + doc_id % 7 AS INT) AS height,
+           CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT)
+             AS pixel_sum,
+           md5(string_agg(CAST((doc_id * 7 + x * 13 + y * 31) % 256
+                               AS VARCHAR),
+                          ',' ORDER BY y, x)) AS pixel_md5
+    FROM documents,
+         UNNEST(generate_series(0, CAST(8 + doc_id % 7 AS BIGINT) - 1)) t1(y),
+         UNNEST(generate_series(0, CAST(8 + doc_id % 9 AS BIGINT) - 1)) t2(x)
+    GROUP BY doc_id
+    """,
+    covers=["M6-multimodal", "X1"],
+)
+def png_roundtrip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, proven end-to-end (round-6 graduation of the
+    multimodal ladder's last stub): per document, a deterministic
+    grayscale image pixel(x,y) = (doc_id·7 + x·13 + y·31) mod 256 is
+    encoded to an actual PNG byte stream by `edinet_etl_spark.png`
+    (stdlib zlib+struct; per-row filter (doc_id+y) mod 5 cycles all
+    five predictor filters), then DECODED by the same module's
+    spec-complete reader (signature, CRC-verified chunks, DEFLATE,
+    unfiltering).  Every output column is computed from the decoded
+    pixels; the DuckDB oracle recomputes the ground truth directly
+    from the generation formula — so a wrong filter inverse, CRC slip,
+    or dimension bug hash-mismatches instead of hiding.
+
+    Scale: one Arrow-batched Python island, per-doc work O(pixels),
+    zero shuffle (the group-by lives in the oracle only; the kernel
+    emits one row per doc).  Swapping the synthetic payload for a real
+    binary column changes the input select, not the plumbing."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _png_roundtrip_batches,
+        schema=(
+            "doc_id long, width int, height int, "
+            "pixel_sum bigint, pixel_md5 string"
+        ),
     )

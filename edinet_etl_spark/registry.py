@@ -79,42 +79,19 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-5 rotation: after r1..r4 the cumulative driver-tested union is
-# 199/282 (all green; CORRECTNESS_r0{1..4}.json).  The head below is 50
-# NEVER-driver-tested names — the 21 round-4 additions (experimentation
-# ladder, simhash near-pairs, containment verify, skip-gram, BPE apply,
-# conformal/kNN/DiD/RBO, streaming as-of) followed by 29 from the
-# staged round-4 queue — pushing the cumulative union to 249/282.
-# Positions 51-83 hold the remaining 33 never-tested names (round-6
-# closes the tail); new round-5 queries append after them.
+# Round-6 rotation (VERDICT r5 task 1): after r1..r5 the cumulative
+# driver-tested union is 249/292, all green.  The head below is the
+# COMPLETE remaining tail — the 33 staged names plus the 10 round-5
+# additions, none of which have ever had a driver CORRECTNESS row —
+# followed by the 3 queries whose semantics changed or were added in
+# round 6 (approx_distinct_parts graduated from HLL rows-only to a
+# deterministic KMV oracle; png_roundtrip_decode_stats and
+# exact_duplicate_mapping are new), and 4 long-proven heavies as
+# environment re-confirmation (the round-5 bench drift movers +
+# the slowest headliner).  A green 50-window closes cumulative
+# driver-proven coverage at 100% of the registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- head: 50 never-driver-tested names (round-5 window) ----
-    # round-4 additions (21)
-    "simhash_hamming_near_pairs", "containment_verify_candidates",
-    "did_estimator", "cuped_variance_reduction", "target_encoding_loo",
-    "split_conformal_coverage", "knn_label_accuracy",
-    "rank_biased_overlap_eval", "skipgram_training_pairs",
-    "bpe_apply_per_source", "streaming_asof_enrich",
-    "xml_roundtrip_stats", "ab_assignment_srm_check",
-    "value_anova_by_event_type", "vocab_coverage_oov_rate",
-    "embedding_top_pc_power_iteration", "embedding_label_outliers",
-    "l_diversity_audit", "ewma_user_value_halflife",
-    "retrieval_mrr_eval", "copurchase_link_prediction",
-    # staged queue (29)
-    "streaming_cms_heavy_hitters", "observed_scan_metrics",
-    "csv_corrupt_records_audit", "corpus_drift_report",
-    "value_distribution_ks", "copurchase_bfs_hops",
-    "value_cusum_changepoint", "length_rebalance_sample",
-    "gopher_repetition_flags", "prefix_filter_jaccard_join",
-    "pareto_frontier_orders", "bm25_retrieval_topk", "value_mad_outliers",
-    "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
-    "sorted_neighborhood_pairs", "linear_touch_attribution",
-    "weighted_median_price", "eventmix_chi2_drift", "nation_supplier_hhi",
-    "segment_spend_gini", "join_key_skew_profile",
-    "exact_group_percentiles", "embedding_centroid_drift",
-    "table_checksum_audit", "sample_budget_apportionment",
-    "cogrouped_asof_pandas", "pii_pseudonymize_customers",
-    # ---- positions 51-83: remaining 33 never-tested (round-6 queue) ----
+    # ---- 1-33: staged queue, never driver-tested ----
     "inverted_index_postings", "gapfill_linear_interp",
     "user_profile_snapshot", "compaction_bin_packing",
     "multimodal_resize", "duplicate_cluster_histogram",
@@ -131,12 +108,44 @@ _PRIORITY: tuple[str, ...] = (
     "doc_top_token_arrayonly", "peak_open_orders", "hourly_value_bands",
     "nation_revenue_rank_shift", "daily_new_vs_returning",
     "session_eventtype_lift",
-    # ---- round-5 additions (queue behind all never-tested names) ----
+    # ---- 34-43: round-5 additions, never driver-tested ----
     "kaplan_meier_conversion", "asof_tolerance_enrich",
     "poisson_bootstrap_mean_ci", "ece_calibration_bins",
     "mann_kendall_trend", "theil_sen_slope",
     "token_gini_diversity", "dsir_importance_weights",
     "epsilon_greedy_allocation", "quality_quantile_normalize",
+    # ---- 44-46: round-6 semantic changes / additions ----
+    "approx_distinct_parts", "png_roundtrip_decode_stats",
+    "exact_duplicate_mapping",
+    # ---- 47-50: driver-proven heavies, environment re-confirmation ----
+    "pricing_summary", "revenue_by_nation_year", "repetition_scores",
+    "lsh_recall_curve",
+    # ---- behind the window: round-5 head (all driver-proven in r5),
+    # kept in priority order so a wider sweep still front-loads one
+    # representative per family ----
+    "simhash_hamming_near_pairs", "containment_verify_candidates",
+    "did_estimator", "cuped_variance_reduction", "target_encoding_loo",
+    "split_conformal_coverage", "knn_label_accuracy",
+    "rank_biased_overlap_eval", "skipgram_training_pairs",
+    "bpe_apply_per_source", "streaming_asof_enrich",
+    "xml_roundtrip_stats", "ab_assignment_srm_check",
+    "value_anova_by_event_type", "vocab_coverage_oov_rate",
+    "embedding_top_pc_power_iteration", "embedding_label_outliers",
+    "l_diversity_audit", "ewma_user_value_halflife",
+    "retrieval_mrr_eval", "copurchase_link_prediction",
+    "streaming_cms_heavy_hitters", "observed_scan_metrics",
+    "csv_corrupt_records_audit", "corpus_drift_report",
+    "value_distribution_ks", "copurchase_bfs_hops",
+    "value_cusum_changepoint", "length_rebalance_sample",
+    "gopher_repetition_flags", "prefix_filter_jaccard_join",
+    "pareto_frontier_orders", "bm25_retrieval_topk", "value_mad_outliers",
+    "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
+    "sorted_neighborhood_pairs", "linear_touch_attribution",
+    "weighted_median_price", "eventmix_chi2_drift", "nation_supplier_hhi",
+    "segment_spend_gini", "join_key_skew_profile",
+    "exact_group_percentiles", "embedding_centroid_drift",
+    "table_checksum_audit", "sample_budget_apportionment",
+    "cogrouped_asof_pandas", "pii_pseudonymize_customers",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

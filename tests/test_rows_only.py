@@ -1,7 +1,9 @@
-"""Tightened checks for the two queries the DuckDB oracle cannot
-value-match (approximate / engine-internal results) — without these,
-their driver check is rows-only and a wrong-but-right-cardinality
-result would slip through."""
+"""Tightened checks for results the DuckDB oracle cannot (or could
+not) fully value-match: the float feature array riding the multimodal
+decode kernel, and — historically — approx_distinct_parts, which
+graduated to a full deterministic-KMV oracle in round 6 but keeps its
+estimator-quality bound here (bit-exact replay proves determinism,
+not that the estimate is any good)."""
 
 from __future__ import annotations
 
@@ -17,21 +19,25 @@ registry.load_all()
 
 
 def test_approx_distinct_within_error_bound(spark):
-    """HLL approx distinct counts must land within 5% of exact (HLL's
-    standard error at default precision is ~2.3%)."""
+    """KMV approx distinct counts must land within 3σ of exact
+    (k=64 ⇒ relative std error ≈ 1/√62 ≈ 12.7%).  Since round 6 the
+    query is full-oracle (hash-deterministic sketch), so the driver
+    already value-matches it; this pins the ESTIMATOR quality, which
+    a bit-exact replay alone can't."""
     rows = registry.QUERIES["approx_distinct_parts"](spark, SF_DIR).collect()
     assert rows, "approx query returned nothing"
     li = load(spark, SF_DIR, "lineitem")
     exact = {
-        r["l_returnflag"]: r["n"]
-        for r in li.groupBy("l_returnflag")
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.count_distinct("l_partkey").alias("n"))
         .collect()
     }
+    assert len(rows) == len(exact)
     for row in rows:
-        e = exact[row["l_returnflag"]]
-        assert abs(row["approx_parts"] - e) <= max(1, 0.05 * e), (
-            row["l_returnflag"], row["approx_parts"], e,
+        e = exact[(row["l_returnflag"], row["l_linestatus"])]
+        assert abs(row["approx_parts"] - e) <= max(1, 0.39 * e), (
+            row["l_returnflag"], row["l_linestatus"], row["approx_parts"], e,
         )
 
 
