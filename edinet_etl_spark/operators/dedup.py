@@ -2013,3 +2013,91 @@ def duplicate_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "edit_distance_near_pairs",
+    oracle=f"""
+    WITH canon AS (
+           SELECT doc_id, text, n_chars FROM (
+             SELECT doc_id, text, n_chars,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1
+         ),
+         sh AS ({_sql_shingles_from("canon")}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         salted AS ({_SQL_SALTED}),
+         cand AS ({_SQL_PAIRS})
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+           CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS BIGINT) AS max_len,
+           CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS DOUBLE)
+             AS rel_edit
+    FROM cand p
+    JOIN canon a ON a.doc_id = p.doc_a
+    JOIN canon b ON b.doc_id = p.doc_b
+    WHERE levenshtein(a.text, b.text) * 5
+          <= GREATEST(LENGTH(a.text), LENGTH(b.text))
+    """,
+    covers=["M6-dedup", "J-extended"],
+)
+def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by EDIT DISTANCE: LSH-blocked candidates verified
+    with exact Levenshtein at a relative threshold (dist ≤ 20% of the
+    longer string, integer cross-multiplied: ``d*5 <= max_len``).
+
+    The missing rung between token-set dedup (Jaccard ignores order:
+    two docs with shuffled sentences look identical) and byte-exact
+    dedup: edit distance is ORDER-SENSITIVE, the right verifier for
+    templated boilerplate where small in-place substitutions are the
+    only difference (the round-6 fuzzy record-linkage ask).
+
+    Plan shape = the production two-stage form throughout the family:
+    exact-collapse → MinHash/LSH band join generates candidates (never
+    all-pairs; salted buckets bound fan-out), then the O(n·m) DP runs
+    ONLY on candidate pairs — at sf0.01 that is 4.7k DPs over ~300-char
+    strings, and the count scales with near-dup density, not corpus².
+    At 100 TB the verifier becomes Spark's bounded-band
+    ``levenshtein(l, r, threshold)`` (O(d·n) per pair, early-exit -1
+    past the cut); the 2-arg form is used here so the DuckDB oracle
+    (classic full DP) mirrors it exactly.  ENGINE DIVERGENCE, measured:
+    Spark counts unit edits over unicode CODEPOINTS, DuckDB over UTF-8
+    BYTES ('日本語のテキスト'→'日本語テキスト' is 1 vs 3) — identical
+    on ASCII, which the test corpus is at every SF (asserted in
+    `test_levenshtein_cross_engine_parity`); a multilingual corpus
+    would need a byte-cast on the Spark side before hashing.
+    ``rel_edit`` adds one correctly-rounded division."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    bands = lsh_bands(minhash_signatures(canon))
+    cand = candidate_pairs(bands)
+    a = canon.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = canon.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b").cast("bigint")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_distance", dist)
+        .withColumn("max_len", max_len)
+        .filter(F.col("edit_distance") * 5 <= F.col("max_len"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_distance",
+            "max_len",
+            (
+                F.col("edit_distance").cast("double")
+                / F.col("max_len").cast("double")
+            ).alias("rel_edit"),
+        )
+    )

@@ -2349,3 +2349,179 @@ def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ----------------------------------------------------- MMR selection
+_MMR_QUERIES = 3  # query set: vec_id < 3
+_MMR_POOL = 8  # relevance-ranked candidate pool per query
+_MMR_K = 4  # greedy MMR rounds (docs selected per query)
+
+
+def _sql_mmr() -> str:
+    """Oracle for ``mmr_diversified_topk``: the greedy loop unrolled
+    into one chained CTE per round (sel1..sel_K), each picking the
+    arg-max MMR score over the not-yet-selected pool."""
+    cos = (
+        f"{_sql_dot('q.embedding', 'e.embedding')} / "
+        f"(sqrt({_sql_dot('q.embedding', 'q.embedding')}) * "
+        f"sqrt({_sql_dot('e.embedding', 'e.embedding')}))"
+    )
+    ctes = [
+        f"""pool AS (
+      SELECT query_id, cand_id, rel, emb FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+               {cos} AS rel, e.embedding AS emb,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < {_MMR_QUERIES} AND e.vec_id <> q.vec_id
+      ) WHERE rn <= {_MMR_POOL})""",
+        f"""sims AS (
+      SELECT a.query_id, a.cand_id AS cand_a, b.cand_id AS cand_b,
+             {_sql_dot('a.emb', 'b.emb')} /
+               (sqrt({_sql_dot('a.emb', 'a.emb')})
+                * sqrt({_sql_dot('b.emb', 'b.emb')})) AS sim
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id)""",
+        """sel1 AS (
+      SELECT query_id, cand_id, rel AS score, CAST(1 AS INT) AS round FROM (
+        SELECT query_id, cand_id, rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        FROM pool) WHERE rn = 1)""",
+    ]
+    mmr = "CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) * m.maxsim"
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM sel{i}" for i in range(1, r)
+        )
+        ctes.append(
+            f"""sel{r} AS (
+      SELECT query_id, cand_id, score, CAST({r} AS INT) AS round FROM (
+        SELECT p.query_id, p.cand_id, {mmr} AS score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {mmr} DESC, p.cand_id) AS rn
+        FROM pool p
+        JOIN (SELECT s.query_id, s.cand_a AS cand_id, MAX(s.sim) AS maxsim
+              FROM sims s
+              JOIN ({prev}) sel ON s.query_id = sel.query_id
+                               AND s.cand_b = sel.cand_id
+              GROUP BY s.query_id, s.cand_a) m
+          ON m.query_id = p.query_id AND m.cand_id = p.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM ({prev}) d
+                          WHERE d.query_id = p.query_id
+                            AND d.cand_id = p.cand_id)
+      ) WHERE rn = 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{r}" for r in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, round, cand_id, score AS mmr_score FROM ({union})"
+    )
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_sql_mmr(),
+    covers=["M6-similarity", "W-extended"],
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) —
+    DIVERSIFIED top-k retrieval, the selection rule curation pipelines
+    use to keep a retrieved/sampled batch from collapsing onto one
+    mode: greedily pick argmax of lambda*relevance −
+    (1−lambda)*max_sim_to_already_selected (lambda=0.7, k=4) from a
+    relevance-ranked pool (top-8 per query, 3 queries).
+
+    Plan shape for 100 TB: the ONLY corpus-sized stage is the
+    relevance scan that builds the pool (broadcast queries, window
+    top-k with WindowGroupLimit pushdown — identical to
+    `cosine_topk_bruteforce`; swap in the IVF probe to cut it to a
+    cell).  Everything after operates on the COLLAPSED pool
+    (queries × 8 rows, constant-size, localCheckpointed per CLAUDE
+    rule) — the greedy loop is K bounded rounds of anti-join +
+    max-aggregate + argmax window over that constant frame, never the
+    corpus.  Scores stay hash-exact: cosine = fixed-fold dot /
+    (sqrt·sqrt), the MMR combination is two literal products and one
+    subtraction, all correctly rounded identically in both engines."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("emb"))
+    rel = dot_exact(F.col("q_emb"), F.col("emb")) / (
+        F.sqrt(dot_exact(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_exact(F.col("emb"), F.col("emb")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    pool = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", rel.alias("rel"), "emb")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    pa = pool.select("query_id", F.col("cand_id").alias("cand_a"), F.col("emb").alias("emb_a"))
+    pb = pool.select("query_id", F.col("cand_id").alias("cand_b"), F.col("emb").alias("emb_b"))
+    sim = dot_exact(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot_exact(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot_exact(F.col("emb_b"), F.col("emb_b")))
+    )
+    sims = (
+        pa.join(pb, "query_id")
+        .filter(F.col("cand_a") != F.col("cand_b"))
+        .select("query_id", "cand_a", "cand_b", sim.alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    selected = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rel").alias("score"),
+            F.lit(1).cast("int").alias("round"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    for r in range(2, _MMR_K + 1):
+        chosen = selected.select("query_id", "cand_id")
+        maxsim = (
+            sims.join(
+                chosen.withColumnRenamed("cand_id", "cand_b"),
+                ["query_id", "cand_b"],
+            )
+            .groupBy("query_id", "cand_a")
+            .agg(F.max("sim").alias("maxsim"))
+            .withColumnRenamed("cand_a", "cand_id")
+        )
+        pick = (
+            pool.join(chosen, ["query_id", "cand_id"], "left_anti")
+            .join(maxsim, ["query_id", "cand_id"])
+            .withColumn(
+                "score",
+                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim"),
+            )
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "score",
+                F.lit(r).cast("int").alias("round"),
+            )
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id", "round", "cand_id", F.col("score").alias("mmr_score")
+    )

@@ -146,6 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "exact_group_percentiles", "embedding_centroid_drift",
     "table_checksum_audit", "sample_budget_apportionment",
     "cogrouped_asof_pandas", "pii_pseudonymize_customers",
+    # ---- round-6 net-new (staged for the r7 window head) ----
+    "edit_distance_near_pairs", "mmr_diversified_topk",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
