@@ -22,6 +22,8 @@ import pytest
 from edinet_etl_spark import registry
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
+
 registry.load_all()
 
 # float-heavy representatives across families (dsum, windows, fixed

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from edinet_etl_spark.numeric import dsum
 from edinet_etl_spark.operators.temporal import asof_join
 from edinet_etl_spark.pipeline.transform import select_best_filings
+import pytest
+
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
 
 _SETTINGS = dict(
     max_examples=12,

@@ -22,6 +22,9 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
+
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
 
 _SETTINGS = dict(
     max_examples=10,

@@ -29,6 +29,8 @@ from collections import Counter
 
 import pytest
 
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
+
 _SF = "/root/testdata/sf0.001"
 
 

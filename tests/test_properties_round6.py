@@ -15,6 +15,8 @@ import os
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
+
 _SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
@@ -95,8 +97,6 @@ def test_mmr_first_pick_is_pure_relevance(spark):
         if r["query_id"] < _MMR_QUERIES and r["query_id"] not in top1:
             top1[r["query_id"]] = r["neighbor_id"]
     # cosine_topk rows come back unordered; recompute rank-1 per query
-    import collections
-
     best: dict[int, tuple[float, int]] = {}
     for r in cosine_topk_bruteforce(spark, _SF).collect():
         q = r["query_id"]
