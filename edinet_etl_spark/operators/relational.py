@@ -97,13 +97,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY §7.1): the reference's final analytics shape —
     "revenue per company-year" (``src/transform.py:204-211``) transposed
-    to revenue per nation-year.  Fact table shuffles once on o_orderkey;
-    nation/region are true fixed-size dimensions and carry explicit
-    broadcast hints.  customer is NOT hinted: it grows with scale
-    (15 M rows at sf100 — far past any broadcast threshold at 100 TB),
-    so the orders⋈customer strategy is left to Catalyst/AQE, which
-    still picks broadcast at small SF and switches to shuffle-hash/
-    sort-merge when the dimension outgrows the threshold.
+    to revenue per nation-year.
+
+    Join order is DIMENSION-REDUCTION FIRST (round-6 rewrite, measured
+    3.3× at the 100× probe: 14.3→4.4 s at sf10): customer⋈nation⋈region
+    filters to ASIA (1/5 of customers) BEFORE any fact row is touched,
+    then orders joins the reduced customer set, and lineitem — the
+    100 TB table — joins last, against only ASIA orders.  Catalyst has
+    no CBO stats here and will not reorder joins on its own, so the
+    written order IS the executed order; the old fact-first order
+    joined every lineitem row to every customer and threw 4/5 of the
+    work away at the region filter.  nation/region carry explicit
+    broadcast hints (true fixed-size dims); customer is NOT hinted
+    (15 M rows at sf100 — past any broadcast threshold at 100 TB):
+    AQE broadcasts the reduced slice while it fits and switches to a
+    shuffle join when it outgrows the threshold.  The fact shuffles
+    once, on l_orderkey.
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -111,12 +120,19 @@ def revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, F.col("o_custkey") == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    cust_asia = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    ord_asia = orders.join(
+        cust_asia, orders.o_custkey == cust_asia.c_custkey
+    ).select("o_orderkey", "o_orderdate", "n_name")
+    return (
+        li.join(ord_asia, li.l_orderkey == ord_asia.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("order_year"),

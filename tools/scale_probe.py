@@ -19,8 +19,12 @@ import time
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sparkgraft_sf1"
-REPLICAS = 10
+# Default: the ×10 replica (sf1).  SPARK_GRAFT_PROBE_REPLICAS=100
+# builds the ×100 stretch replica instead (sf10, ~2.4 GB in /tmp) —
+# the 100×-over-bench-scale evidence rung; DST is derived so both
+# replicas can coexist cached.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
+DST = f"/tmp/sparkgraft_sf{REPLICAS // 10}"
 
 # table -> {column: stride-key table}  (FK shifts follow their PK)
 SHIFTS: dict[str, dict[str, str]] = {
@@ -130,12 +134,13 @@ def main() -> None:
         .getOrCreate()
     )
     names = sys.argv[1:] or PROBE
-    print(f"{'query':35s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
+    big = f"sf{REPLICAS // 10}"
+    print(f"{'query':35s} {'sf0.1':>7s} {big:>8s} {'ratio':>6s}")
     for n in names:
         fn = registry.QUERIES[n]
         fn(spark, "/root/testdata/sf0.001").collect()  # warm/JIT
         times = {}
-        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+        for label, d in (("sf0.1", SRC), (big, SRC if REPLICAS == 1 else DST)):
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -144,8 +149,8 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             times[label] = best
         print(
-            f"{n:35s} {times['sf0.1']:7.2f} {times['sf1']:8.2f}"
-            f" {times['sf1'] / times['sf0.1']:6.1f}×"
+            f"{n:35s} {times['sf0.1']:7.2f} {times[big]:8.2f}"
+            f" {times[big] / times['sf0.1']:6.1f}×"
         )
 
 
