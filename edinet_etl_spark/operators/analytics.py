@@ -3339,3 +3339,148 @@ def epsilon_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_Z_GRID_BITS = 16  # per-dimension grid resolution (gx, gy in [0, 65535])
+_Z_FILES = 32  # layout files = fixed-width z / key ranges
+
+
+def _morton(gx: str, gy: str, div: str) -> str:
+    """Bit-interleave SQL for two 16-bit grid keys: z = Σ bit_i(gx)·4^i
+    + bit_i(gy)·2·4^i, spelled with integer division/modulo only so the
+    same arithmetic runs in Spark (`DIV`) and DuckDB (`//`)."""
+    terms = []
+    for i in range(_Z_GRID_BITS):
+        terms.append(f"((({gx}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({gy}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_PREDS = [
+    (1, 0, 16383, 0, 65535),  # x-only quarter slice
+    (2, 0, 65535, 0, 16383),  # y-only quarter slice
+    (3, 0, 16383, 0, 16383),  # quarter x quarter box
+    (4, 16384, 32767, 32768, 49151),  # interior box
+    (5, 0, 4095, 0, 4095),  # small corner box
+]
+
+_Z_PRED_VALUES = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _Z_PREDS)
+
+
+@query(
+    "zorder_data_skipping_audit",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(o_custkey) AS mx,
+             MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS my
+      FROM orders
+    ), grid AS (
+      SELECT (o_custkey * 65536) // (mx + 1) AS gx,
+             (CAST(FLOOR(o_totalprice) AS BIGINT) * 65536) // (my + 1) AS gy
+      FROM orders, mx
+    ), files AS (
+      SELECT gx, gy,
+             ({_morton('gx', 'gy', '//')}) // {1 << (2 * _Z_GRID_BITS - 5)} AS file_z,
+             gx // {1 << (_Z_GRID_BITS - 5)} AS file_lin
+      FROM grid
+    ), stacked AS (
+      SELECT 'zorder' AS layout, file_z AS file_id, gx, gy FROM files
+      UNION ALL
+      SELECT 'linear' AS layout, file_lin AS file_id, gx, gy FROM files
+    ), stats AS (
+      SELECT layout, file_id,
+             MIN(gx) AS xmin, MAX(gx) AS xmax,
+             MIN(gy) AS ymin, MAX(gy) AS ymax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM stacked GROUP BY layout, file_id
+    ), hit AS (
+      SELECT s.layout, s.file_id, s.n_rows, p.pred_id
+      FROM stats s, (VALUES {_Z_PRED_VALUES}) p(pred_id, xlo, xhi, ylo, yhi)
+      WHERE NOT (p.xhi < s.xmin OR p.xlo > s.xmax
+                 OR p.yhi < s.ymin OR p.ylo > s.ymax)
+    )
+    SELECT CAST(pred_id AS INT) AS pred_id, layout,
+           CAST(COUNT(*) AS BIGINT) AS files_scanned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+    FROM hit GROUP BY pred_id, layout ORDER BY pred_id, layout
+    """,
+    covers=["SC-layout", "A-extended"],
+)
+def zorder_data_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout vs single-key linear layout,
+    scored by min/max data skipping — the lakehouse OPTIMIZE ZORDER BY
+    decision made measurable: grid-scale two order dimensions
+    (customer key, total price) to 16 bits, interleave the bits, cut
+    the keyspace into {_Z_FILES} fixed-width files per layout, and for
+    five representative predicate boxes count the files (and rows)
+    whose [min,max] footer stats survive pruning.  Z-order scans ~√F
+    files for a 2-D box where the linear layout scans all F (its
+    second dimension spans every file).
+
+    Exactness: grid scaling, bit interleave, and file cuts are pure
+    int64 division/modulo; footer stats and scan counts are integer
+    aggregates — no float anywhere.
+
+    Scale: file assignment is per-row arithmetic on a fixed-width
+    z-range (the deterministic stand-in for `repartitionByRange(z)` —
+    no sampling, no sort, no shuffle); footer stats are ONE map-side
+    combinable aggregate to 2·{_Z_FILES} rows; predicate evaluation
+    touches only that constant-size stats table against a broadcast
+    literal predicate set.  The single one-row max-aggregate feeding
+    the grid scale is catalog metadata at 100 TB."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.max("o_custkey").alias("mx"),
+        F.max(F.floor("o_totalprice").cast("bigint")).alias("my"),
+    )
+    grid = (
+        o.select(
+            F.col("o_custkey").alias("x"),
+            F.floor("o_totalprice").cast("bigint").alias("y"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(x * 65536) DIV (mx + 1)").alias("gx"),
+            F.expr("(y * 65536) DIV (my + 1)").alias("gy"),
+        )
+    )
+    files = grid.select(
+        "gx",
+        "gy",
+        F.expr(
+            f"({_morton('gx', 'gy', 'DIV')}) DIV {1 << (2 * _Z_GRID_BITS - 5)}"
+        ).alias("file_z"),
+        F.expr(f"gx DIV {1 << (_Z_GRID_BITS - 5)}").alias("file_lin"),
+    )
+    stacked = files.selectExpr(
+        "stack(2, 'zorder', file_z, 'linear', file_lin) AS (layout, file_id)",
+        "gx",
+        "gy",
+    )
+    stats = stacked.groupBy("layout", "file_id").agg(
+        F.min("gx").alias("xmin"),
+        F.max("gx").alias("xmax"),
+        F.min("gy").alias("ymin"),
+        F.max("gy").alias("ymax"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        _Z_PREDS, "pred_id int, xlo bigint, xhi bigint, ylo bigint, yhi bigint"
+    )
+    hit = stats.crossJoin(F.broadcast(preds)).filter(
+        ~(
+            (F.col("xhi") < F.col("xmin"))
+            | (F.col("xlo") > F.col("xmax"))
+            | (F.col("yhi") < F.col("ymin"))
+            | (F.col("ylo") > F.col("ymax"))
+        )
+    )
+    return (
+        hit.groupBy("pred_id", "layout")
+        .agg(
+            F.count("*").cast("bigint").alias("files_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+        )
+        .orderBy("pred_id", "layout")
+    )

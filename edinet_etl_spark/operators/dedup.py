@@ -2039,7 +2039,9 @@ def duplicate_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand p
     JOIN canon a ON a.doc_id = p.doc_a
     JOIN canon b ON b.doc_id = p.doc_b
-    WHERE levenshtein(a.text, b.text) * 5
+    WHERE ABS(LENGTH(a.text) - LENGTH(b.text)) * 5
+          <= GREATEST(LENGTH(a.text), LENGTH(b.text))
+      AND levenshtein(a.text, b.text) * 5
           <= GREATEST(LENGTH(a.text), LENGTH(b.text))
     """,
     covers=["M6-dedup", "J-extended"],
@@ -2057,13 +2059,17 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape = the production two-stage form throughout the family:
     exact-collapse → MinHash/LSH band join generates candidates (never
-    all-pairs; salted buckets bound fan-out), then the O(n·m) DP runs
-    ONLY on candidate pairs — at sf0.01 that is 4.7k DPs over ~300-char
-    strings, and the count scales with near-dup density, not corpus².
-    At 100 TB the verifier becomes Spark's bounded-band
-    ``levenshtein(l, r, threshold)`` (O(d·n) per pair, early-exit -1
-    past the cut); the 2-arg form is used here so the DuckDB oracle
-    (classic full DP) mirrors it exactly.  ENGINE DIVERGENCE, measured:
+    all-pairs; salted buckets bound fan-out), then the DP runs ONLY on
+    candidate pairs, twice guarded: a LENGTH-GAP prefilter (edit
+    distance ≥ |len_a − len_b|, so a gap past the cut can never pass —
+    pure int arithmetic, no DP) and Spark's bounded-band
+    ``levenshtein(l, r, threshold)`` (O(d·n) per pair, early-exit −1
+    past the cut) with ``threshold = max_len DIV 5``.  The bounded form
+    returns the EXACT distance whenever it is ≤ threshold, i.e. for
+    every surviving pair, so the DuckDB oracle's classic full DP
+    mirrors the output bit-for-bit while Spark never pays full O(n·m)
+    on the ~90% of candidates that fail the cut (measured at sf0.1:
+    122.6 s → 13.7 s for the two guards together).  ENGINE DIVERGENCE, measured:
     Spark counts unit edits over unicode CODEPOINTS, DuckDB over UTF-8
     BYTES ('日本語のテキスト'→'日本語テキスト' is 1 vs 3) — identical
     on ASCII, which the test corpus is at every SF (asserted in
@@ -2082,14 +2088,23 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pairs(bands)
     a = canon.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     b = canon.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    dist = F.levenshtein("text_a", "text_b").cast("bigint")
     max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
+    dist = F.expr(
+        "levenshtein(text_a, text_b, CAST(max_len DIV 5 AS INT))"
+    ).cast("bigint")
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("edit_distance", dist)
         .withColumn("max_len", max_len)
-        .filter(F.col("edit_distance") * 5 <= F.col("max_len"))
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) * 5
+            <= F.col("max_len")
+        )
+        .withColumn("edit_distance", dist)
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") * 5 <= F.col("max_len"))
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -2525,3 +2525,101 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "query_id", "round", "cand_id", F.col("score").alias("mmr_score")
     )
+
+
+_KCENTER_K = 8  # selected centers (after the min-vec_id seed)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-point SQL (K chained CTE rounds)."""
+
+    def sq(a: str, b: str) -> str:
+        z = f"list_zip({a}, {b})"
+        d = f"list_transform({z}, p -> p[1] - p[2])"
+        return f"list_dot_product({d}, {d})"
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        "c0 AS (SELECT emb AS cemb FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+        f"d0 AS (SELECT e.vec_id, e.emb, {sq('e.emb', 'c0.cemb')} AS mind FROM e, c0)",
+    ]
+    for r in range(1, _KCENTER_K + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, emb, mind FROM d{r - 1}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"r{r} AS (SELECT {r} AS round, vec_id AS center_id,"
+            f" mind AS radius2 FROM s{r})"
+        )
+        if r < _KCENTER_K:
+            nd = sq("d.emb", "s.emb")
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.emb,"
+                f" CASE WHEN {nd} < d.mind THEN {nd} ELSE d.mind END AS mind"
+                f" FROM d{r - 1} d, s{r} s)"
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, _KCENTER_K + 1))
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT CAST(round AS INT) AS round,"
+        f" center_id, radius2 FROM ({union}) ORDER BY round"
+    )
+
+
+@query(
+    "kcenter_coreset_selection",
+    oracle=_kcenter_oracle(),
+    covers=["M6-similarity", "X-iterative", "M6-curation"],
+)
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus — the classic 2-approximation for max-coverage
+    data selection: seed at the min vec_id, then K rounds of "add the
+    point farthest from every selected center".  The emitted
+    (round, center_id, radius2) sequence is the coverage-radius decay
+    curve a curation pipeline reads to pick its coreset size.
+
+    Exactness: squared L2 is the fixed left-fold of (x-y)² (identical
+    in both engines, see `embedding_label_outliers`); the running
+    min-distance uses least/CASE on bit-identical doubles, and every
+    argmax breaks ties by vec_id, so the selection path is fully
+    deterministic.
+
+    Scale: each round is ONE linear scan — the K-1 previously-selected
+    centers never re-enter the distance kernel because the running
+    min-distance column carries all prior rounds; the argmax is a
+    TakeOrdered (no global sort), and the per-round one-row collect is
+    the bounded-round loop idiom (`kmeans_train_step`).  K scans of
+    the corpus with array-local codegen math and zero shuffles is the
+    plan you'd run at 100 TB (K is fixed, cost is K·n·dims flops)."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def sqdist(center: Column) -> Column:
+        diff = F.zip_with(
+            F.col("embedding"), center, lambda a, b: a.cast("double") - b
+        )
+        return dot_exact(diff, diff)
+
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    cur = emb.select(
+        "vec_id", "embedding", sqdist(lit_vec(seed.embedding)).alias("mind")
+    ).localCheckpoint(eager=True)
+    out = []
+    for r in range(1, _KCENTER_K + 1):
+        pick = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        out.append((r, pick.vec_id, pick.mind))
+        if r < _KCENTER_K:
+            cur = cur.select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("mind"), sqdist(lit_vec(pick.embedding))
+                ).alias("mind"),
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round int, center_id bigint, radius2 double"
+    ).orderBy("round")

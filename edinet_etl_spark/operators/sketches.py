@@ -1529,3 +1529,126 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("u", "v", "common_capped", "ra_score").orderBy(
         F.desc("ra_score"), "u", "v"
     ).limit(_RA_TOPK)
+
+
+_BLOOM_M = 96  # filter bits (fixed demo dial; size M ~ 10x member keys)
+_BLOOM_K = 2  # hash functions
+
+
+@query(
+    "bloom_semijoin_prefilter_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
+    ), pos AS (
+      SELECT DISTINCT
+        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom0")} % {_BLOOM_M} AS p
+      FROM members
+      UNION
+      SELECT DISTINCT
+        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom1")} % {_BLOOM_M} AS p
+      FROM members
+    ), bloom AS (
+      SELECT list(p ORDER BY p) AS bits FROM pos
+    ), fact AS (
+      SELECT l_suppkey,
+             CASE WHEN l_suppkey IN (SELECT s_suppkey FROM members)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM lineitem
+    ), checked AS (
+      SELECT f.is_member,
+             CASE WHEN list_contains(b.bits,
+                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom0")} % {_BLOOM_M})
+                   AND list_contains(b.bits,
+                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom1")} % {_BLOOM_M})
+                  THEN 1 ELSE 0 END AS pass
+      FROM fact f, bloom b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_member) AS BIGINT) AS n_member_rows,
+           CAST(SUM(pass) AS BIGINT) AS n_pass_rows,
+           CAST(SUM(CASE WHEN pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(COUNT(*) - SUM(is_member) AS DOUBLE) AS fp_rate,
+           CAST(SUM(pass) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+    FROM checked
+    """,
+    covers=["M6-sketches", "J-extended", "SC-layout"],
+)
+def bloom_semijoin_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter audit: build a Bloom filter over a dimension key
+    set (suppliers from 5 nations) and measure how well it pre-filters
+    the fact side BEFORE the real join — rows kept, true members,
+    false positives, and the achieved fp/pass rates.  This is the
+    semi-join reduction every 100 TB join wants: ship an M-bit filter
+    to the fact scan instead of shuffling fact rows that can never
+    match.
+
+    Determinism: positions are md5-derived 32-bit hashes mod M
+    (engine-portable, `_hash32`); the filter is a sorted distinct
+    position array; rates are single correctly-rounded divisions.
+
+    Scale: the filter build aggregates the (small) dim side to ONE
+    constant-size row (≤ M positions) broadcast onto the fact scan —
+    the membership test is array_contains in whole-stage codegen, no
+    shuffle, no join; the final audit is one map-side-combinable
+    aggregate.  M is a fixed demo dial sized ~10× the sf0.01 member
+    count, so the sf0.1 run also demonstrates the UNDERSIZED-filter
+    regime (fill → 1, fp_rate → 1) an operator sizing its real filter
+    must avoid."""
+    prep(spark)
+    members = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+        .distinct()
+    )
+
+    def pos(col: Column, i: int) -> Column:
+        return _hash32(col.cast("string"), f"bloom{i}") % _BLOOM_M
+
+    bloom = (
+        members.select(
+            F.explode(
+                F.array(*[pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    fact = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey")
+        .join(
+            F.broadcast(members.withColumnRenamed("s_suppkey", "l_suppkey"))
+            .withColumn("m", F.lit(1)),
+            "l_suppkey",
+            "left",
+        )
+        .select("l_suppkey", F.coalesce(F.col("m"), F.lit(0)).alias("is_member"))
+    )
+    checked = fact.crossJoin(F.broadcast(bloom)).select(
+        "is_member",
+        F.when(
+            F.array_contains(F.col("bits"), pos(F.col("l_suppkey"), 0))
+            & F.array_contains(F.col("bits"), pos(F.col("l_suppkey"), 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass"),
+    )
+    fp = F.sum(F.when((F.col("pass") == 1) & (F.col("is_member") == 0), 1).otherwise(0))
+    return checked.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("is_member").cast("bigint").alias("n_member_rows"),
+        F.sum("pass").cast("bigint").alias("n_pass_rows"),
+        fp.cast("bigint").alias("n_false_pos"),
+        (
+            fp.cast("double")
+            / (F.count("*") - F.sum("is_member")).cast("double")
+        ).alias("fp_rate"),
+        (F.sum("pass").cast("double") / F.count("*").cast("double")).alias(
+            "pass_rate"
+        ),
+    )

@@ -148,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "cogrouped_asof_pandas", "pii_pseudonymize_customers",
     # ---- round-6 net-new (staged for the r7 window head) ----
     "edit_distance_near_pairs", "mmr_diversified_topk",
+    "kcenter_coreset_selection", "bloom_semijoin_prefilter_audit",
+    "zorder_data_skipping_audit",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families

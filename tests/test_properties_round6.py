@@ -211,3 +211,100 @@ def test_edit_distance_pairs_invariants(spark):
         assert r["max_len"] == max(
             len(texts[r["doc_a"]]), len(texts[r["doc_b"]])
         )
+
+
+# ------------------------------------------- k-center coreset
+def _sqdist(a, b):
+    # same left-to-right fold as dot_exact over the zip_with diff
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def test_kcenter_matches_pure_python_greedy(spark):
+    from edinet_etl_spark.operators.similarity import (
+        _KCENTER_K,
+        kcenter_coreset_selection,
+    )
+
+    got = [
+        (r["round"], r["center_id"], r["radius2"])
+        for r in kcenter_coreset_selection(spark, _SF).collect()
+    ]
+    assert len(got) == _KCENTER_K
+
+    emb = dict(
+        duckdb.connect()
+        .execute(f"SELECT vec_id, embedding FROM '{_SF}/embeddings.parquet'")
+        .fetchall()
+    )
+    seed = min(emb)
+    mind = {vid: _sqdist(v, emb[seed]) for vid, v in emb.items()}
+    expected = []
+    for r in range(1, _KCENTER_K + 1):
+        pick = max(mind, key=lambda vid: (mind[vid], -vid))
+        expected.append((r, pick, mind[pick]))
+        for vid, v in emb.items():
+            d = _sqdist(v, emb[pick])
+            if d < mind[vid]:
+                mind[vid] = d
+    assert got == expected
+
+
+def test_kcenter_radius_non_increasing(spark):
+    from edinet_etl_spark.operators.similarity import kcenter_coreset_selection
+
+    radii = [
+        r["radius2"]
+        for r in kcenter_coreset_selection(spark, _SF).orderBy("round").collect()
+    ]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(r > 0 for r in radii)
+
+
+# ------------------------------------------- bloom prefilter
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom filters may pass non-members but must NEVER drop a member:
+    every member row passes, so pass = members + false positives."""
+    from edinet_etl_spark.operators.sketches import bloom_semijoin_prefilter_audit
+
+    row = bloom_semijoin_prefilter_audit(spark, _SF).collect()[0]
+    assert row["n_pass_rows"] == row["n_member_rows"] + row["n_false_pos"]
+    assert 0 < row["n_member_rows"] < row["n_rows"]
+    assert 0.0 <= row["fp_rate"] < 1.0
+
+
+# ------------------------------------------- z-order layout
+def test_morton_interleave_matches_python_model():
+    from edinet_etl_spark.operators.analytics import _Z_GRID_BITS, _morton
+
+    def model(x, y):
+        z = 0
+        for i in range(_Z_GRID_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    for x, y in cases:
+        got = con.execute(f"SELECT {_morton(str(x), str(y), '//')}").fetchone()[0]
+        assert got == model(x, y), (x, y)
+
+
+def test_zorder_skips_more_than_linear_on_2d_boxes(spark):
+    """The operator's whole point: for predicates constraining BOTH
+    dimensions (3, 5) and for y-only ones (2), the z-order layout must
+    scan no more files than the linear layout — strictly fewer for the
+    quarter box at this data size."""
+    from edinet_etl_spark.operators.analytics import zorder_data_skipping_audit
+
+    rows = {
+        (r["pred_id"], r["layout"]): r["files_scanned"]
+        for r in zorder_data_skipping_audit(spark, _SF).collect()
+    }
+    for pred in (2, 3, 5):
+        assert rows[(pred, "zorder")] <= rows[(pred, "linear")]
+    assert rows[(3, "zorder")] < rows[(3, "linear")]
