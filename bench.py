@@ -49,8 +49,6 @@ HEADLINE = [
     "tumbling_hourly_stats",
     "user_sessions",
     "minhash_lsh_candidates",
-    "simhash_signatures",
-    "cosine_topk_bruteforce",
     "lsh_hyperplane_buckets",
     "ivf_ann_topk",
     "token_count_estimate",
@@ -89,7 +87,6 @@ HEADLINE = [
     "hashed_tf_cosine_topk",
     "ivf_partitioned_index_topk",
     "fuzzy_name_linkage",
-    "value_distribution_ks_binned",
     "weighted_median_price",
     "inverted_index_postings",
     # round-4 representatives (swapped in round 5 for 4 cheap
@@ -102,6 +99,12 @@ HEADLINE = [
     # round-5 representatives (survival + importance-selection families)
     "kaplan_meier_conversion",
     "dsir_importance_weights",
+    # round-6 representatives (layout-skipping + coreset-selection
+    # families; swapped in for simhash_signatures / cosine_topk_bruteforce
+    # / value_distribution_ks_binned to hold the 1900 B line budget —
+    # signature, similarity, and sketch families stay covered 2-4×)
+    "zorder_data_skipping_audit",
+    "kcenter_coreset_selection",
 ]
 
 
