@@ -1531,8 +1531,8 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_RA_TOPK)
 
 
-_BLOOM_M = 96  # filter bits (fixed demo dial; size M ~ 10x member keys)
-_BLOOM_K = 2  # hash functions
+_PREFILTER_M = 96  # filter bits (fixed demo dial; size M ~ 10x member keys)
+_PREFILTER_K = 2  # hash functions
 
 
 @query(
@@ -1542,11 +1542,11 @@ _BLOOM_K = 2  # hash functions
       SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
     ), pos AS (
       SELECT DISTINCT
-        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom0")} % {_BLOOM_M} AS p
+        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom0")} % {_PREFILTER_M} AS p
       FROM members
       UNION
       SELECT DISTINCT
-        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom1")} % {_BLOOM_M} AS p
+        {_sql_hash32("CAST(s_suppkey AS VARCHAR)", "bloom1")} % {_PREFILTER_M} AS p
       FROM members
     ), bloom AS (
       SELECT list(p ORDER BY p) AS bits FROM pos
@@ -1558,9 +1558,9 @@ _BLOOM_K = 2  # hash functions
     ), checked AS (
       SELECT f.is_member,
              CASE WHEN list_contains(b.bits,
-                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom0")} % {_BLOOM_M})
+                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom0")} % {_PREFILTER_M})
                    AND list_contains(b.bits,
-                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom1")} % {_BLOOM_M})
+                    {_sql_hash32("CAST(f.l_suppkey AS VARCHAR)", "bloom1")} % {_PREFILTER_M})
                   THEN 1 ELSE 0 END AS pass
       FROM fact f, bloom b
     )
@@ -1607,12 +1607,12 @@ def bloom_semijoin_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def pos(col: Column, i: int) -> Column:
-        return _hash32(col.cast("string"), f"bloom{i}") % _BLOOM_M
+        return _hash32(col.cast("string"), f"bloom{i}") % _PREFILTER_M
 
     bloom = (
         members.select(
             F.explode(
-                F.array(*[pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
+                F.array(*[pos(F.col("s_suppkey"), i) for i in range(_PREFILTER_K)])
             ).alias("p")
         )
         .agg(F.array_sort(F.collect_set("p")).alias("bits"))
