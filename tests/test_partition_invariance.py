@@ -81,6 +81,14 @@ CASES = [
     "dsir_importance_weights",
     "epsilon_greedy_allocation",
     "quality_quantile_normalize",
+    # round-6 float-bearing additions: fixed-fold squared distances
+    # with per-round argmax (k-center), greedy λ-blend of fixed-fold
+    # cosines (MMR), single-division rates (Bloom audit), bounded-band
+    # DP distance ratio (edit distance)
+    "kcenter_coreset_selection",
+    "mmr_diversified_topk",
+    "bloom_semijoin_prefilter_audit",
+    "edit_distance_near_pairs",
 ]
 
 
