@@ -35,6 +35,10 @@ SAMPLE = [
     "streaming_tumbling_hourly",
     "streaming_quality_monitor",
     "kmv_distinct_estimate",
+    # round-6 family representatives
+    "edit_distance_near_pairs",
+    "kcenter_coreset_selection",
+    "zorder_data_skipping_audit",
 ]
 
 
