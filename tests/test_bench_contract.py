@@ -30,3 +30,13 @@ def test_bench_headline_names_registered():
     missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_registry_has_no_rows_only_queries():
+    """Round-6 guarantee: every registered query carries a full-value
+    DuckDB oracle (the driver's strongest signal). A new rows-only
+    registration silently weakens the correctness gate — fail here
+    instead."""
+    registry.load_all()
+    rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+    assert not rows_only, f"rows-only queries reintroduced: {sorted(rows_only)}"
