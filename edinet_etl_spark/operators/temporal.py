@@ -967,7 +967,7 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kaplan_meier_conversion",
     oracle="""
-    WITH per_user AS (
+    WITH RECURSIVE per_user AS (
       SELECT user_id,
              MIN(ts) AS t_first,
              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
@@ -995,17 +995,21 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid
     ), fac AS (
       SELECT t, d, c, n_at_risk,
-             CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor
+             CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
       FROM risk
     ), km AS (
-      SELECT t AS time_days, n_at_risk, d AS n_events_at,
-             c AS n_censored_at,
-             list_reduce(list(factor) OVER (ORDER BY t
-                           ROWS UNBOUNDED PRECEDING),
-                         (a, b) -> a * b) AS survival
-      FROM fac
+      SELECT rn, t, d, c, n_at_risk,
+             CAST(1.0 AS DOUBLE) * factor AS survival
+      FROM fac WHERE rn = 1
+      UNION ALL
+      SELECT f.rn, f.t, f.d, f.c, f.n_at_risk,
+             k.survival * f.factor
+      FROM km k JOIN fac f ON f.rn = k.rn + 1
     )
-    SELECT * FROM km WHERE n_events_at > 0 ORDER BY time_days
+    SELECT t AS time_days, n_at_risk, d AS n_events_at,
+           c AS n_censored_at, survival
+    FROM km WHERE d > 0 ORDER BY time_days
     """,
     covers=["A-extended", "W-extended", "LLM-eval"],
 )
@@ -1024,12 +1028,16 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness, per the no-libm discipline: each hazard factor
     (n_i-d_i)/n_i is ONE correctly-rounded division of exact integers
     (risk set = total minus cumulative prior events+censorings, all
-    bigint); the survival product folds those factors in time order
-    via a LEFT FOLD over an ordered list -- `F.aggregate(collect_list
-    OVER (ORDER BY t), 1.0, acc*x)` here, `list_reduce(list() OVER)`
-    in the oracle -- the identical multiplication sequence, so the
-    curve is bit-identical (1.0*x1 == x1 exactly; IEEE multiply is
-    deterministic).
+    bigint); the survival product is ORDER-PINNED BY CONSTRUCTION on
+    both sides (round-7 fix for the r06 driver-red): the oracle walks
+    a recursive CTE (survival_1 = 1.0*factor_1, survival_t =
+    survival_{t-1}*factor_t over ROW_NUMBER-ranked grid rows -- the
+    `sql_recursive_paydown`-proven portable construct, replacing the
+    engine-version-sensitive `list_reduce(list() OVER)` fold), and
+    Spark left-folds an `array_sort`ed (t, factor) struct array with
+    an explicit 1.0 seed -- the identical ascending-t multiplication
+    sequence, so the curve is bit-identical (1.0*x1 == x1 exactly;
+    IEEE multiply is deterministic, association pinned left).
 
     Scale: one user-keyed combinable aggregate collapses the corpus
     to per-user (first event, first purchase) rows, then to a
@@ -1077,8 +1085,18 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.withColumn("factor", factor)
         .withColumn(
             "survival",
+            # array_sort on (t, factor) structs pins ascending-t fold
+            # order regardless of collect_list accumulation order;
+            # F.aggregate is a documented left fold with explicit seed.
             F.aggregate(
-                F.collect_list("factor").over(w_cum),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("t"), F.col("factor"))
+                        ).over(w_cum)
+                    ),
+                    lambda s: s["factor"],
+                ),
                 F.lit(1.0),
                 lambda acc, x: acc * x,
             ),

@@ -79,19 +79,27 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-6 rotation (VERDICT r5 task 1): after r1..r5 the cumulative
-# driver-tested union is 249/292, all green.  The head below is the
-# COMPLETE remaining tail — the 33 staged names plus the 10 round-5
-# additions, none of which have ever had a driver CORRECTNESS row —
-# followed by the 3 queries whose semantics changed or were added in
-# round 6 (approx_distinct_parts graduated from HLL rows-only to a
-# deterministic KMV oracle; png_roundtrip_decode_stats and
-# exact_duplicate_mapping are new), and 4 long-proven heavies as
-# environment re-confirmation (the round-5 bench drift movers +
-# the slowest headliner).  A green 50-window closes cumulative
-# driver-proven coverage at 100% of the registry.
+# Round-7 rotation (VERDICT r6 tasks 1+3): after r1..r6 the cumulative
+# driver-tested union is 293/299 green plus ONE red
+# (kaplan_meier_conversion, r06 hash-mismatch — oracle rewritten this
+# round to an order-pinned recursive CTE).  The head below front-loads
+# the 6 hard-signal names: the KM re-proof plus the 5 round-6 net-new
+# queries that postdate the r06 window staging and have never had a
+# driver row.  Round-7 net-new queries slot directly after (each needs
+# a driver row this round), and driver-proven heavies backfill the
+# 50-slot window as environment re-confirmation.  A green 50-window
+# closes cumulative driver-proven coverage at 100% of the registry.
 _PRIORITY: tuple[str, ...] = (
-    # ---- 1-33: staged queue, never driver-tested ----
+    # ---- 1-6: hard-signal — KM re-proof + round-6 net-new ----
+    "kaplan_meier_conversion",
+    "bloom_semijoin_prefilter_audit", "edit_distance_near_pairs",
+    "kcenter_coreset_selection", "mmr_diversified_topk",
+    "zorder_data_skipping_audit",
+    # ---- round-7 net-new queries (insert here as added) ----
+    # ---- backfill: driver-proven, environment re-confirmation ----
+    "pricing_summary", "revenue_by_nation_year", "repetition_scores",
+    "lsh_recall_curve", "exact_duplicate_mapping",
+    "approx_distinct_parts", "png_roundtrip_decode_stats",
     "inverted_index_postings", "gapfill_linear_interp",
     "user_profile_snapshot", "compaction_bin_packing",
     "multimodal_resize", "duplicate_cluster_histogram",
@@ -108,18 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_top_token_arrayonly", "peak_open_orders", "hourly_value_bands",
     "nation_revenue_rank_shift", "daily_new_vs_returning",
     "session_eventtype_lift",
-    # ---- 34-43: round-5 additions, never driver-tested ----
-    "kaplan_meier_conversion", "asof_tolerance_enrich",
+    "asof_tolerance_enrich",
     "poisson_bootstrap_mean_ci", "ece_calibration_bins",
     "mann_kendall_trend", "theil_sen_slope",
     "token_gini_diversity", "dsir_importance_weights",
     "epsilon_greedy_allocation", "quality_quantile_normalize",
-    # ---- 44-46: round-6 semantic changes / additions ----
-    "approx_distinct_parts", "png_roundtrip_decode_stats",
-    "exact_duplicate_mapping",
-    # ---- 47-50: driver-proven heavies, environment re-confirmation ----
-    "pricing_summary", "revenue_by_nation_year", "repetition_scores",
-    "lsh_recall_curve",
     # ---- behind the window: round-5 head (all driver-proven in r5),
     # kept in priority order so a wider sweep still front-loads one
     # representative per family ----
@@ -146,10 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_group_percentiles", "embedding_centroid_drift",
     "table_checksum_audit", "sample_budget_apportionment",
     "cogrouped_asof_pandas", "pii_pseudonymize_customers",
-    # ---- round-6 net-new (staged for the r7 window head) ----
-    "edit_distance_near_pairs", "mmr_diversified_topk",
-    "kcenter_coreset_selection", "bloom_semijoin_prefilter_audit",
-    "zorder_data_skipping_audit",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
