@@ -3342,7 +3342,13 @@ def epsilon_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Z_GRID_BITS = 16  # per-dimension grid resolution (gx, gy in [0, 65535])
-_Z_FILES = 32  # layout files = fixed-width z / key ranges
+_Z_FILES = 32  # layout files = fixed-width z / key ranges (power of 2)
+# Derived (ADVICE r6): every use below reads these, so changing either
+# dial cannot desync docstring, oracle, and plan.
+_Z_GRID_SCALE = 1 << _Z_GRID_BITS
+_Z_FILE_BITS = _Z_FILES.bit_length() - 1
+_Z_SHIFT_Z = 1 << (2 * _Z_GRID_BITS - _Z_FILE_BITS)  # z-range width per file
+_Z_SHIFT_LIN = 1 << (_Z_GRID_BITS - _Z_FILE_BITS)  # gx-range width per file
 
 
 def _morton(gx: str, gy: str, div: str) -> str:
@@ -3375,13 +3381,13 @@ _Z_PRED_VALUES = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _Z_
              MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS my
       FROM orders
     ), grid AS (
-      SELECT (o_custkey * 65536) // (mx + 1) AS gx,
-             (CAST(FLOOR(o_totalprice) AS BIGINT) * 65536) // (my + 1) AS gy
+      SELECT (o_custkey * {_Z_GRID_SCALE}) // (mx + 1) AS gx,
+             (CAST(FLOOR(o_totalprice) AS BIGINT) * {_Z_GRID_SCALE}) // (my + 1) AS gy
       FROM orders, mx
     ), files AS (
       SELECT gx, gy,
-             ({_morton('gx', 'gy', '//')}) // {1 << (2 * _Z_GRID_BITS - 5)} AS file_z,
-             gx // {1 << (_Z_GRID_BITS - 5)} AS file_lin
+             ({_morton('gx', 'gy', '//')}) // {_Z_SHIFT_Z} AS file_z,
+             gx // {_Z_SHIFT_LIN} AS file_lin
       FROM grid
     ), stacked AS (
       SELECT 'zorder' AS layout, file_z AS file_id, gx, gy FROM files
@@ -3441,17 +3447,17 @@ def zorder_data_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(mx))
         .select(
-            F.expr("(x * 65536) DIV (mx + 1)").alias("gx"),
-            F.expr("(y * 65536) DIV (my + 1)").alias("gy"),
+            F.expr(f"(x * {_Z_GRID_SCALE}) DIV (mx + 1)").alias("gx"),
+            F.expr(f"(y * {_Z_GRID_SCALE}) DIV (my + 1)").alias("gy"),
         )
     )
     files = grid.select(
         "gx",
         "gy",
         F.expr(
-            f"({_morton('gx', 'gy', 'DIV')}) DIV {1 << (2 * _Z_GRID_BITS - 5)}"
+            f"({_morton('gx', 'gy', 'DIV')}) DIV {_Z_SHIFT_Z}"
         ).alias("file_z"),
-        F.expr(f"gx DIV {1 << (_Z_GRID_BITS - 5)}").alias("file_lin"),
+        F.expr(f"gx DIV {_Z_SHIFT_LIN}").alias("file_lin"),
     )
     stacked = files.selectExpr(
         "stack(2, 'zorder', file_z, 'linear', file_lin) AS (layout, file_id)",

@@ -1571,7 +1571,7 @@ _PREFILTER_K = 2  # hash functions
                 AS BIGINT) AS n_false_pos,
            CAST(SUM(CASE WHEN pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
                 AS DOUBLE)
-             / CAST(COUNT(*) - SUM(is_member) AS DOUBLE) AS fp_rate,
+             / CAST(NULLIF(COUNT(*) - SUM(is_member), 0) AS DOUBLE) AS fp_rate,
            CAST(SUM(pass) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
     FROM checked
     """,
@@ -1646,7 +1646,10 @@ def bloom_semijoin_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFram
         fp.cast("bigint").alias("n_false_pos"),
         (
             fp.cast("double")
-            / (F.count("*") - F.sum("is_member")).cast("double")
+            # NULLIF guard (ADVICE r6): if every fact row were a member
+            # the denominator is 0 — DuckDB double division yields inf,
+            # Spark yields NULL; pin both engines to NULL.
+            / F.nullif((F.count("*") - F.sum("is_member")).cast("double"), F.lit(0.0))
         ).alias("fp_rate"),
         (F.sum("pass").cast("double") / F.count("*").cast("double")).alias(
             "pass_rate"
