@@ -2585,41 +2585,73 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax breaks ties by vec_id, so the selection path is fully
     deterministic.
 
-    Scale: each round is ONE linear scan — the K-1 previously-selected
-    centers never re-enter the distance kernel because the running
-    min-distance column carries all prior rounds; the argmax is a
-    TakeOrdered (no global sort), and the per-round one-row collect is
-    the bounded-round loop idiom (`kmeans_train_step`).  K scans of
-    the corpus with array-local codegen math and zero shuffles is the
-    plan you'd run at 100 TB (K is fixed, cost is K·n·dims flops)."""
+    Scale: each round is ONE linear scan AND one materializing action —
+    the per-round argmax is folded into the same job as the
+    min-distance update (a broadcast 1-row TakeOrdered cross-joined
+    onto the frame, carried as constant c_id/c_mind columns), so the
+    round's pick is read back with a free ``first()`` on the
+    checkpointed blocks instead of a separate collect job (the r06
+    10x probe's 2.2x was exactly those collect round-trips).  The K-1
+    previously-selected centers never re-enter the distance kernel
+    because the running min-distance column carries all prior rounds;
+    K scans of the corpus with array-local codegen math and zero
+    data shuffles is the plan you'd run at 100 TB (K is fixed, cost
+    is K·n·dims flops)."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
 
-    def lit_vec(vals: list[float]) -> Column:
-        return F.array(*[F.lit(float(v)) for v in vals])
-
     def sqdist(center: Column) -> Column:
         diff = F.zip_with(
-            F.col("embedding"), center, lambda a, b: a.cast("double") - b
+            F.col("embedding"),
+            center,
+            lambda a, b: a.cast("double") - b.cast("double"),
         )
         return dot_exact(diff, diff)
 
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
-    cur = emb.select(
-        "vec_id", "embedding", sqdist(lit_vec(seed.embedding)).alias("mind")
-    ).localCheckpoint(eager=True)
+    # seed fold: the min-vec_id row rides a broadcast into the first
+    # materialization instead of a driver collect
+    seedf = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("c_emb"))
+    )
+    cur = (
+        emb.crossJoin(F.broadcast(seedf))
+        .select("vec_id", "embedding", sqdist(F.col("c_emb")).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
     out = []
-    for r in range(1, _KCENTER_K + 1):
-        pick = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
-        out.append((r, pick.vec_id, pick.mind))
-        if r < _KCENTER_K:
-            cur = cur.select(
+    for r in range(1, _KCENTER_K):
+        best = (
+            cur.orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("mind").alias("c_mind"),
+            )
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
                 "vec_id",
                 "embedding",
-                F.least(
-                    F.col("mind"), sqdist(lit_vec(pick.embedding))
-                ).alias("mind"),
-            ).localCheckpoint(eager=True)
+                F.least(F.col("mind"), sqdist(F.col("c_emb"))).alias("mind"),
+                "c_id",
+                "c_mind",
+            )
+            .localCheckpoint(eager=True)
+        )
+        pick = nxt.select("c_id", "c_mind").first()
+        out.append((r, pick.c_id, pick.c_mind))
+        cur = nxt.select("vec_id", "embedding", "mind")
+    last = (
+        cur.select("vec_id", "mind")
+        .orderBy(F.desc("mind"), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    out.append((_KCENTER_K, last.vec_id, last.mind))
     return spark.createDataFrame(
         out, "round int, center_id bigint, radius2 double"
     ).orderBy("round")
