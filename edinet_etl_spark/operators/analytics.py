@@ -3490,3 +3490,275 @@ def zorder_data_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_id", "layout")
     )
+
+
+# ANALYZE-style column statistics: equi-depth histogram buckets plus
+# NDV / null-count / most-common-value per column — the footer/catalog
+# stats a cost-based optimizer (and this repo's data-skipping audits)
+# consume.  Dials prefixed per CLAUDE.md.
+_COLSTATS_B = 8  # equi-depth buckets per column
+_COLSTATS_COLS = ("l_discount", "l_extendedprice", "l_quantity")
+
+_COLSTATS_STACK_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, {c} AS v FROM lineitem" for c in _COLSTATS_COLS
+)
+
+
+@query(
+    "column_stats_histogram",
+    oracle=f"""
+    WITH stacked AS (
+      {_COLSTATS_STACK_SQL}
+    ), nulls AS (
+      SELECT col_name,
+             CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+      FROM stacked GROUP BY col_name
+    ), grid AS (
+      SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM stacked WHERE v IS NOT NULL GROUP BY col_name, v
+    ), ranked AS (
+      SELECT col_name, v, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY col_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             SUM(cnt) OVER (PARTITION BY col_name) AS n,
+             COUNT(*) OVER (PARTITION BY col_name) AS ndv,
+             ROW_NUMBER() OVER (PARTITION BY col_name
+                                ORDER BY cnt DESC, v) AS rn
+      FROM grid
+    ), buckets AS (
+      SELECT col_name,
+             CAST((cum_before * {_COLSTATS_B}) // n AS INT) AS bucket_id,
+             MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM ranked GROUP BY col_name, (cum_before * {_COLSTATS_B}) // n
+    ), colstats AS (
+      SELECT r.col_name, CAST(r.ndv AS BIGINT) AS ndv, u.n_nulls,
+             r.v AS mcv_value, r.cnt AS mcv_count
+      FROM ranked r JOIN nulls u USING (col_name) WHERE r.rn = 1
+    )
+    SELECT b.col_name, b.bucket_id, b.lo, b.hi, b.n_rows,
+           c.ndv, c.n_nulls, c.mcv_value, c.mcv_count
+    FROM buckets b JOIN colstats c USING (col_name)
+    ORDER BY b.col_name, b.bucket_id
+    """,
+    covers=["A-extended", "SC-layout", "W-extended"],
+)
+def column_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics for the fact table's
+    numeric columns: {_COLSTATS_B}-bucket EQUI-DEPTH histogram
+    (bucket = floor(cum_rank_before * B / n) over the sorted distinct-
+    value grid, so a heavily-tied value lands wholly in one bucket),
+    plus NDV, null count, and the most-common value with its
+    frequency — the catalog stats a cost-based optimizer feeds into
+    selectivity estimates, computed exactly.
+
+    Exactness: everything is integer counting over exact input values
+    (lo/hi/mcv are untouched doubles; bucket ids are pure integer
+    division) — nothing to round, bit-identical by construction.
+
+    Scale: the expensive collapse is ONE map-side-combinable groupBy
+    to the per-column distinct-value grid; the rank/bucket windows
+    then run per column over grid rows only (ndv per column, not row
+    count — l_quantity's grid is ~50 rows at any corpus size).  For a
+    column whose NDV itself is data-sized, production ANALYZE runs
+    this same plan over a deterministic hash-sample (the repo's
+    `priority_weighted_sample` discipline) — the shape is unchanged."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    stacked = li.selectExpr(
+        f"stack({len(_COLSTATS_COLS)}, "
+        + ", ".join(f"'{c}', {c}" for c in _COLSTATS_COLS)
+        + ") AS (col_name, v)"
+    )
+    nulls = stacked.groupBy("col_name").agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls")
+    )
+    grid = (
+        stacked.filter(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_col = Window.partitionBy("col_name")
+    w_ord = w_col.orderBy("v")
+    ranked = grid.select(
+        "col_name",
+        "v",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("cnt").over(w_col).alias("n"),
+        F.count("*").over(w_col).alias("ndv"),
+        F.row_number()
+        .over(w_col.orderBy(F.desc("cnt"), "v"))
+        .alias("rn"),
+    )
+    buckets = (
+        ranked.withColumn(
+            "bucket_id",
+            F.expr(f"(cum_before * {_COLSTATS_B}) DIV n").cast("int"),
+        )
+        .groupBy("col_name", "bucket_id")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+        )
+    )
+    colstats = (
+        ranked.filter(F.col("rn") == 1)
+        .join(nulls, "col_name")
+        .select(
+            "col_name",
+            F.col("ndv").cast("bigint").alias("ndv"),
+            "n_nulls",
+            F.col("v").alias("mcv_value"),
+            F.col("cnt").alias("mcv_count"),
+        )
+    )
+    return buckets.join(colstats, "col_name").select(
+        "col_name", "bucket_id", "lo", "hi", "n_rows",
+        "ndv", "n_nulls", "mcv_value", "mcv_count",
+    ).orderBy("col_name", "bucket_id")
+
+
+# Decile lift/gains table (direct-marketing model evaluation): rank
+# the population by a predicted score, cut into B equal-depth tiers
+# over the distinct-score grid, and compare each tier's realized
+# conversion rate to the base rate.  Dials prefixed per CLAUDE.md.
+_GAINS_B = 10  # tiers (deciles)
+_GAINS_HIST_END = "1999-01-01 00:00:00"  # score window: orders before
+_GAINS_FUT_START = "2000-01-01 00:00:00"  # outcome window: orders at/after
+
+
+@query(
+    "decile_lift_table",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_GAINS_HIST_END}'
+      GROUP BY o_custkey
+    ), fut AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_GAINS_FUT_START}'
+    ), cust AS (
+      SELECT c.c_custkey,
+             COALESCE(h.spend, CAST(0 AS DECIMAL(18,8))) AS spend,
+             CASE WHEN f.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM customer c
+      LEFT JOIN hist h ON h.o_custkey = c.c_custkey
+      LEFT JOIN fut f ON f.o_custkey = c.c_custkey
+    ), grid AS (
+      SELECT spend, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM cust GROUP BY spend
+    ), ranked AS (
+      SELECT spend, n_c, n_conv,
+             COALESCE(SUM(n_c) OVER (ORDER BY spend DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n_c) OVER () AS n,
+             SUM(n_conv) OVER () AS tot_conv
+      FROM grid
+    ), tiers AS (
+      SELECT CAST((cum_before * {_GAINS_B}) // n AS INT) AS decile,
+             n_c, n_conv, n, tot_conv
+      FROM ranked
+    )
+    SELECT decile,
+           CAST(SUM(n_c) AS BIGINT) AS n_customers,
+           CAST(SUM(n_conv) AS BIGINT) AS n_converters,
+           CAST(SUM(n_conv) AS DOUBLE) / SUM(n_c) AS conv_rate,
+           CAST(MAX(tot_conv) AS DOUBLE) / MAX(n) AS overall_rate,
+           (CAST(SUM(n_conv) AS DOUBLE) / SUM(n_c))
+             / NULLIF(CAST(MAX(tot_conv) AS DOUBLE) / MAX(n), 0) AS lift
+    FROM tiers GROUP BY decile ORDER BY decile
+    """,
+    covers=["A-extended", "W-extended", "LLM-eval"],
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the direct-marketing / churn-model
+    acceptance report: score every customer by historical spend
+    (orders before {_GAINS_HIST_END[:10]}), cut the population into
+    {_GAINS_B} equal-depth tiers (top spenders = decile 0), and
+    compare each tier's future-purchase rate (an order at/after
+    {_GAINS_FUT_START[:10]}) against the overall base rate.  A useful
+    score shows lift > 1 in the top deciles; this is the evaluation a
+    targeting model ships with.
+
+    Exactness: scores are exact DECIMAL sums (associative — grouping
+    and ordering keys never touch floats); tier cuts are pure integer
+    division over the distinct-score grid's cumulative counts (a
+    whole tied score lands in one tier, same as
+    `column_stats_histogram`); rates and lift are fixed-order
+    correctly-rounded divisions, NULLIF-guarded.
+
+    Scale: spend and outcome are map-side-combinable per-customer
+    aggregates (one shuffle each on custkey); the ranking window runs
+    on the collapsed distinct-spend grid, and the final rollup is
+    {_GAINS_B} rows.  When the score grid is itself data-sized,
+    production cuts tiers from a deterministic hash-sample of the
+    grid — the plan shape is unchanged."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    hist = (
+        orders.filter(
+            F.col("o_orderdate") < F.to_timestamp(F.lit(_GAINS_HIST_END))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("spend"))
+    )
+    fut = (
+        orders.filter(
+            F.col("o_orderdate") >= F.to_timestamp(F.lit(_GAINS_FUT_START))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    scored = (
+        cust.join(hist, "c_custkey", "left")
+        .join(fut, "c_custkey", "left")
+        .select(
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,8)")).alias(
+                "spend"
+            ),
+            F.coalesce(F.col("conv"), F.lit(0)).alias("conv"),
+        )
+    )
+    grid = scored.groupBy("spend").agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    w_ord = Window.orderBy(F.desc("spend"))
+    w_all = Window.partitionBy()
+    ranked = grid.select(
+        "n_c",
+        "n_conv",
+        F.coalesce(
+            F.sum("n_c").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("n_c").over(w_all).alias("n"),
+        F.sum("n_conv").over(w_all).alias("tot_conv"),
+    )
+    tiers = ranked.withColumn(
+        "decile", F.expr(f"(cum_before * {_GAINS_B}) DIV n").cast("int")
+    )
+    conv_rate = F.sum("n_conv").cast("double") / F.sum("n_c")
+    overall = F.max("tot_conv").cast("double") / F.max("n")
+    return (
+        tiers.groupBy("decile")
+        .agg(
+            F.sum("n_c").cast("bigint").alias("n_customers"),
+            F.sum("n_conv").cast("bigint").alias("n_converters"),
+            conv_rate.alias("conv_rate"),
+            overall.alias("overall_rate"),
+            (conv_rate / F.nullif(overall, F.lit(0.0))).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
-from edinet_etl_spark.numeric import dec, dsum
+from edinet_etl_spark.numeric import _dec_to_double, dec, dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -2655,3 +2655,282 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, center_id bigint, radius2 double"
     ).orderBy("round")
+
+
+# Reciprocal-rank fusion of two retrieval arms (Cormack et al. 2009):
+# score(d) = sum over arms of 1/(k + rank_arm(d)).  Dials prefixed per
+# CLAUDE.md.
+_RRF_C = 60  # the standard RRF smoothing constant
+_RRF_DEPTH = 20  # candidates fetched per arm
+_RRF_TOP = 10  # fused results returned per query
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Squared L2 between two float-array columns, double fold (the
+    `kcenter` oracle kernel)."""
+    z = f"list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    d = f"list_transform({z}, p -> p[1] - p[2])"
+    return f"list_dot_product({d}, {d})"
+
+
+def _sql_sqdist_prefix(a: str, b: str) -> str:
+    z = (
+        f"list_zip(CAST({a}[1:{_MRL_DIMS}] AS DOUBLE[]),"
+        f" CAST({b}[1:{_MRL_DIMS}] AS DOUBLE[]))"
+    )
+    d = f"list_transform({z}, p -> p[1] - p[2])"
+    return f"list_dot_product({d}, {d})"
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH arm_full AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_sqdist('q.embedding', 'n.embedding')}, n.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= {_RRF_DEPTH}
+    ), arm_prefix AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_sqdist_prefix('q.embedding', 'n.embedding')},
+                          n.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= {_RRF_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+             CAST(a.rn AS INT) AS rank_full,
+             CAST(b.rn AS INT) AS rank_prefix,
+             COALESCE(1.0 / ({_RRF_C} + a.rn), 0.0)
+               + COALESCE(1.0 / ({_RRF_C} + b.rn), 0.0) AS rrf_score
+      FROM arm_full a FULL JOIN arm_prefix b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_full, rank_prefix, rrf_score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS fr
+      FROM fused
+    ) WHERE fr <= {_RRF_TOP} ORDER BY query_id, rank_full NULLS LAST,
+                                      rank_prefix NULLS LAST, neighbor_id
+    """,
+    covers=["M6-similarity", "W-extended", "LLM-eval"],
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    retrieval arms — the exact full-dimension ranker and the cheap
+    {_MRL_DIMS}-dim matryoshka-prefix scout — into one fused top-{_RRF_TOP}
+    per query: score = Σ_arms 1/({_RRF_C} + rank).  RRF is the
+    rank-only ensemble every hybrid search stack (lexical + dense,
+    cheap + exact) ships because it needs no score calibration between
+    arms; a candidate missed by an arm simply contributes nothing.
+
+    Exactness: both arms rank by squared-L2 (the exact array left-fold
+    — no sqrt, no cosine), ties to neighbor_id; the fused score is TWO
+    fixed-order correctly-rounded divisions and one add, so it is
+    bit-identical cross-engine, and the fused ordering tie-breaks by
+    neighbor_id.
+
+    Scale: each arm is the broadcast-queries-scan-corpus pattern (one
+    pass, TakeOrdered per query); the fusion itself joins two
+    Q×{_RRF_DEPTH}-row rank lists — constant-size work after the
+    scans.  The prefix arm exists because at 100 TB you'd run IT over
+    the full corpus and the exact arm only over its candidates
+    (`matryoshka_prefix_recall` closes that loop); fusing both ranks
+    hedges the scout's misses."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def diff2(a: Column, b: Column) -> Column:
+        d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+        return F.aggregate(
+            F.zip_with(d, d, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def arm(dist: Column, name: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(dist, "neighbor_id")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RRF_DEPTH)
+            .select("query_id", "neighbor_id", F.col("rn").alias(name))
+        )
+
+    full = arm(diff2(F.col("q_emb"), F.col("n_emb")), "ra")
+    prefix = arm(
+        diff2(
+            F.slice(F.col("q_emb"), 1, _MRL_DIMS),
+            F.slice(F.col("n_emb"), 1, _MRL_DIMS),
+        ),
+        "rb",
+    )
+    fused = full.join(prefix, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.col("ra").cast("int").alias("rank_full"),
+        F.col("rb").cast("int").alias("rank_prefix"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "neighbor_id"
+    )
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .filter(F.col("fr") <= _RRF_TOP)
+        .select("query_id", "neighbor_id", "rank_full", "rank_prefix", "rrf_score")
+        .orderBy(
+            "query_id",
+            F.col("rank_full").asc_nulls_last(),
+            F.col("rank_prefix").asc_nulls_last(),
+            "neighbor_id",
+        )
+    )
+
+
+# Exact covariance/correlation matrix over an embedding prefix — the
+# one-pass second-moment aggregate a whitening / PCA / feature-audit
+# pipeline runs.  Dials prefixed per CLAUDE.md.
+_COVM_DIMS = 16  # leading dims covered (full 64-d would be 2080 rows)
+_COVM_PAIRS = [
+    (i, j) for i in range(1, _COVM_DIMS + 1) for j in range(i, _COVM_DIMS + 1)
+]
+
+
+def _covm_oracle() -> str:
+    s_exprs = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(18,8))) AS s_{i}"
+        for i in range(1, _COVM_DIMS + 1)
+    )
+    p_exprs = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)"
+        f" AS DECIMAL(18,8))) AS p_{i}_{j}"
+        for i, j in _COVM_PAIRS
+    )
+    d_s = ", ".join(
+        f"CAST(CAST(s_{i} AS VARCHAR) AS DOUBLE) AS s_{i}"
+        for i in range(1, _COVM_DIMS + 1)
+    )
+    d_p = ", ".join(
+        f"CAST(CAST(p_{i}_{j} AS VARCHAR) AS DOUBLE) AS p_{i}_{j}"
+        for i, j in _COVM_PAIRS
+    )
+
+    def cov(i: int, j: int) -> str:
+        return (
+            f"(p_{i}_{j} - s_{i} * s_{j} / CAST(n AS DOUBLE))"
+            f" / CAST(n AS DOUBLE)"
+        )
+
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, n, {cov(i, j)} AS cov,"
+        f" ({cov(i, j)}) / NULLIF(sqrt({cov(i, i)}) * sqrt({cov(j, j)}), 0)"
+        f" AS corr FROM d"
+        for i, j in _COVM_PAIRS
+    )
+    return (
+        f"WITH sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {s_exprs},"
+        f" {p_exprs} FROM embeddings),"
+        f" d AS (SELECT n, {d_s}, {d_p} FROM sums)"
+        f" SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,"
+        f" n, cov, corr FROM ({selects}) ORDER BY dim_i, dim_j"
+    )
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=_covm_oracle(),
+    covers=["M6-similarity", "A-extended"],
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance + correlation matrix of the leading
+    {_COVM_DIMS} embedding dimensions (upper triangle, diagonal
+    included) — the second-moment statistics a whitening, PCA-audit,
+    or feature-drift monitor materializes.  Complements
+    `embedding_top_pc_power_iteration`, which deliberately AVOIDS
+    materializing this matrix for the top-PC-only question; when the
+    full (sub)matrix is the deliverable, this one-pass aggregate is
+    the right plan.
+
+    Exactness: every sum (per-dim and per-pair products) goes through
+    the DECIMAL(18,8) discipline (`numeric.dsum`), so the reduction is
+    order-independent; cov = (Σxy − Σx·Σy/n)/n and corr = cov/(√vi·√vj)
+    are fixed-order IEEE expressions (sqrt and division correctly
+    rounded), mirrored token-for-token in the oracle.
+
+    Scale: ONE map-side-combinable aggregate produces all
+    {_COVM_DIMS}+{len(_COVM_PAIRS)}+1 sums in a single pass — the
+    shuffle carries exactly one partial row per task regardless of
+    corpus size; the pair fan-out happens AFTER reduction, on a 1-row
+    frame.  d²-in-the-aggregate (not d²-per-row explode) is what keeps
+    the 100 TB covariance within one scan."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+
+    def x(i: int) -> Column:
+        return F.element_at("embedding", i).cast("double")
+
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    aggs += [F.sum(dec(x(i))).alias(f"s_{i}") for i in range(1, _COVM_DIMS + 1)]
+    aggs += [F.sum(dec(x(i) * x(j))).alias(f"p_{i}_{j}") for i, j in _COVM_PAIRS]
+    sums = emb.agg(*aggs)
+    d = sums.select(
+        "n",
+        *[
+            _dec_to_double(F.col(f"s_{i}")).alias(f"s_{i}")
+            for i in range(1, _COVM_DIMS + 1)
+        ],
+        *[
+            _dec_to_double(F.col(f"p_{i}_{j}")).alias(f"p_{i}_{j}")
+            for i, j in _COVM_PAIRS
+        ],
+    )
+    nD = F.col("n").cast("double")
+
+    def cov(i: int, j: int) -> Column:
+        return (F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}") / nD) / nD
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim_i"),
+                F.lit(j).alias("dim_j"),
+                cov(i, j).alias("cov"),
+                (
+                    cov(i, j)
+                    / F.nullif(F.sqrt(cov(i, i)) * F.sqrt(cov(j, j)), F.lit(0.0))
+                ).alias("corr"),
+            )
+            for i, j in _COVM_PAIRS
+        ]
+    )
+    return (
+        d.select("n", F.explode(pairs).alias("pr"))
+        .select(
+            F.col("pr.dim_i").cast("int").alias("dim_i"),
+            F.col("pr.dim_j").cast("int").alias("dim_j"),
+            "n",
+            F.col("pr.cov").alias("cov"),
+            F.col("pr.corr").alias("corr"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )

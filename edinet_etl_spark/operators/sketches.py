@@ -1655,3 +1655,4 @@ def bloom_semijoin_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFram
             "pass_rate"
         ),
     )
+

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from edinet_etl_spark.numeric import dec
+from edinet_etl_spark.numeric import _dec_to_double, dec
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -1168,4 +1168,112 @@ def asof_tolerance_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_o_orderkey")).alias("asof_orderkey"),
         F.when(fresh, F.col("asof_o_orderdate")).alias("asof_orderdate"),
         F.coalesce(fresh, F.lit(False)).alias("matched"),
+    )
+
+
+@query(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN CAST(value AS DECIMAL(18,8))
+                      ELSE -CAST(value AS DECIMAL(18,8)) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS bal
+      FROM events
+    ), peaks AS (
+      SELECT user_id, event_id, ts, bal,
+             MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM seq
+    ), ranked AS (
+      SELECT user_id, event_id, bal, peak, peak - bal AS ddv,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY peak - bal DESC, ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ev,
+             FIRST_VALUE(bal) OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS fin,
+             MAX(peak) OVER (PARTITION BY user_id) AS pk
+      FROM peaks
+    )
+    SELECT user_id, CAST(n_ev AS BIGINT) AS n_events,
+           CAST(CAST(fin AS VARCHAR) AS DOUBLE) AS final_balance,
+           CAST(CAST(pk AS VARCHAR) AS DOUBLE) AS peak_balance,
+           CAST(CAST(ddv AS VARCHAR) AS DOUBLE) AS max_drawdown,
+           event_id AS trough_event_id
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    covers=["W-extended", "A-extended", "EV-timeseries"],
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's running net-flow balance — the
+    peak-to-trough risk statistic every portfolio/engagement monitor
+    publishes: credits (purchase, signup values) raise the balance,
+    debits (view/click/error values) lower it; the drawdown at time t
+    is the gap between the running peak and the current balance, and
+    the max over t is the worst excursion.  Emits the trough event id
+    (deepest point, earliest such row on ties) alongside final and
+    peak balances.
+
+    Exactness: the running balance is a cumulative SUM of DECIMAL(18,8)
+    values — exact and associative, so the engine's window-accumulation
+    strategy (incremental vs segment-tree) cannot perturb it; running
+    peak and drawdown stay in decimal, and each output converts once
+    via the string hop (`numeric._dec_to_double`).  The argmax row is
+    pinned by (drawdown DESC, ts, event_id).
+
+    Scale: ONE hash shuffle on user_id; three window passes over the
+    same (user_id, ts, event_id) sort order — Spark reuses the single
+    sort for all of them (one Exchange, one Sort in the plan); no
+    driver loops, no self-joins.  Per-user state is O(1) per row."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"), dec(F.col("value"))
+    ).otherwise(-dec(F.col("value")))
+    w_seq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_last = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_user = Window.partitionBy("user_id")
+    seq = ev.withColumn("bal", F.sum(signed).over(w_seq))
+    peaks = seq.withColumn("peak", F.max("bal").over(w_seq))
+    ddv = F.col("peak") - F.col("bal")
+    ranked = peaks.select(
+        "user_id",
+        "event_id",
+        ddv.alias("ddv"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                ddv.desc(), "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(w_user).alias("n_ev"),
+        F.first("bal").over(w_last).alias("fin"),
+        F.max("peak").over(w_user).alias("pk"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_ev").cast("bigint").alias("n_events"),
+            _dec_to_double(F.col("fin")).alias("final_balance"),
+            _dec_to_double(F.col("pk")).alias("peak_balance"),
+            _dec_to_double(F.col("ddv")).alias("max_drawdown"),
+            F.col("event_id").alias("trough_event_id"),
+        )
+        .orderBy("user_id")
     )

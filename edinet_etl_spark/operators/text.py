@@ -1088,3 +1088,162 @@ def token_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini.alias("gini_diversity"),
         (gini < 0.5).alias("low_diversity"),
     ).orderBy("doc_id")
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken 2003 "local algorithms for
+# document fingerprinting"): k-word shingles hashed, then one
+# fingerprint selected per sliding window of w consecutive hashes —
+# the MIN hash, ties to the RIGHTMOST position.  Guarantees any shared
+# run of >= k + w - 1 words produces a shared fingerprint, with ~2/(w+1)
+# selection density.  Dials prefixed per CLAUDE.md.
+_WINNOW_K = 4  # shingle width (words)
+_WINNOW_W = 5  # winnowing window (consecutive shingle hashes)
+_WINNOW_POSM = 1 << 20  # position encoding base (> max shingles/doc)
+
+
+def _sql_winnow_kgram() -> str:
+    return " || ' ' || ".join(f"ws[t.i + {j}]" for j in range(_WINNOW_K))
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), kg AS (
+      SELECT doc_id, t.i AS i,
+             ('0x' || substr(md5('winnow:' || {_sql_winnow_kgram()}), 1, 8))::BIGINT AS h
+      FROM words, UNNEST(generate_series(1, len(ws) - {_WINNOW_K - 1})) t(i)
+    ), keys AS (
+      SELECT doc_id, i,
+             h * {_WINNOW_POSM} + ({_WINNOW_POSM} - i) AS key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM kg
+    ), winmin AS (
+      SELECT doc_id, i, m,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS skey
+      FROM keys
+    ), sel AS (
+      SELECT DISTINCT doc_id, skey FROM winmin
+      WHERE i <= GREATEST(m - {_WINNOW_W - 1}, 1)
+    ), fps AS (
+      SELECT doc_id, skey, skey // {_WINNOW_POSM} AS fph FROM sel
+    ), shared AS (
+      SELECT fph FROM (SELECT fph, COUNT(DISTINCT doc_id) AS c
+                       FROM fps GROUP BY fph) WHERE c >= 2
+    ), per_doc AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(COUNT(DISTINCT CASE WHEN s.fph IS NOT NULL THEN f.fph END)
+                  AS BIGINT) AS n_shared_fp
+      FROM fps f LEFT JOIN shared s ON s.fph = f.fph
+      GROUP BY f.doc_id
+    ), sizes AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(ws) - {_WINNOW_K - 1}, 0) AS BIGINT) AS n_kgrams
+      FROM words
+    )
+    SELECT z.doc_id, z.n_kgrams,
+           COALESCE(p.n_selected, 0) AS n_selected,
+           COALESCE(p.n_shared_fp, 0) AS n_shared_fp,
+           CAST(COALESCE(p.n_selected, 0) AS DOUBLE)
+             / NULLIF(CAST(CASE WHEN z.n_kgrams >= 1
+                                THEN GREATEST(z.n_kgrams - {_WINNOW_W - 1}, 1)
+                                ELSE 0 END AS DOUBLE), 0) AS winnow_density
+    FROM sizes z LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY z.doc_id
+    """,
+    covers=["M6-text", "M6-dedup"],
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer et al. 2003 —
+    the MOSS algorithm): hash every {_WINNOW_K}-word shingle, slide a
+    window of {_WINNOW_W} consecutive hashes, and select each window's
+    minimum (ties to the rightmost position).  Any copied passage of
+    >= k+w-1 words between two documents is GUARANTEED to share a
+    selected fingerprint — the coverage guarantee MinHash sampling
+    lacks — at ~2/(w+1) storage density.  Emits per doc the shingle
+    count, selected-fingerprint count, how many of its fingerprints
+    are shared with other documents, and the selection density.
+
+    Exactness: hashes are the portable md5-prefix bigint
+    (`sketches._hash32` scheme); min-with-rightmost-tie-break is
+    encoded into ONE integer key (hash * 2^20 + (2^20 - pos), so
+    integer MIN picks min hash then max pos) — order-independent
+    integer aggregation, nothing float but the final density division.
+
+    Scale: selection is ARRAY-LOCAL (one `transform` over window
+    starts taking `array_min` of a slice — no shuffle, no explode
+    until the already-thinned fingerprint set); the shared-fingerprint
+    arm is one groupBy on the fingerprint hash with map-side combine,
+    ~2/(w+1) of shingle volume.  The oracle states the same selection
+    relationally via a frame MIN (integer, portable — no list-order
+    constructs, per the oracle-portability lint)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    ws = F.split(F.col("text"), " ")
+    kg = _ngram_array(ws, _WINNOW_K)
+    hashes = F.transform(
+        kg,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("winnow:"), g)), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    keys = F.transform(
+        hashes,
+        lambda x, i: x * F.lit(_WINNOW_POSM)
+        + (F.lit(_WINNOW_POSM) - (i + F.lit(1))),
+    )
+    m = F.size(kg)
+    starts = F.when(
+        m >= 1,
+        F.sequence(F.lit(1), F.greatest(m - F.lit(_WINNOW_W - 1), F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
+    sel = F.array_distinct(
+        F.transform(starts, lambda p: F.array_min(F.slice(keys, p, _WINNOW_W)))
+    )
+    base = docs.select(
+        "doc_id", m.cast("bigint").alias("n_kgrams"), sel.alias("sel")
+    )
+    fps = base.select("doc_id", F.explode("sel").alias("skey")).withColumn(
+        "fph", F.expr(f"skey DIV {_WINNOW_POSM}")
+    )
+    shared = (
+        fps.groupBy("fph")
+        .agg(F.count_distinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fph", F.lit(1).alias("sh"))
+    )
+    per_doc = (
+        fps.join(shared, "fph", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.count_distinct(F.when(F.col("sh") == 1, F.col("fph")))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    n_windows = F.when(
+        F.col("n_kgrams") >= 1,
+        F.greatest(F.col("n_kgrams") - F.lit(_WINNOW_W - 1), F.lit(1)),
+    ).otherwise(F.lit(0))
+    return (
+        base.select("doc_id", "n_kgrams")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("bigint").alias("n_shared_fp"),
+            (
+                F.coalesce("n_selected", F.lit(0)).cast("double")
+                / F.nullif(n_windows.cast("double"), F.lit(0.0))
+            ).alias("winnow_density"),
+        )
+        .orderBy("doc_id")
+    )

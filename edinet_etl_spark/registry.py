@@ -95,7 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_semijoin_prefilter_audit", "edit_distance_near_pairs",
     "kcenter_coreset_selection", "mmr_diversified_topk",
     "zorder_data_skipping_audit",
-    # ---- round-7 net-new queries (insert here as added) ----
+    # ---- round-7 net-new queries (each needs a driver row) ----
+    "winnowing_fingerprints", "column_stats_histogram",
+    "rrf_fusion_topk", "embedding_covariance_matrix",
+    "decile_lift_table", "max_drawdown_per_user",
     # ---- backfill: driver-proven, environment re-confirmation ----
     "pricing_summary", "revenue_by_nation_year", "repetition_scores",
     "lsh_recall_curve", "exact_duplicate_mapping",
