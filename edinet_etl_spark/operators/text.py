@@ -1174,43 +1174,60 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MIN picks min hash then max pos) — order-independent
     integer aggregation, nothing float but the final density division.
 
-    Scale: selection is ARRAY-LOCAL (one `transform` over window
-    starts taking `array_min` of a slice — no shuffle, no explode
-    until the already-thinned fingerprint set); the shared-fingerprint
-    arm is one groupBy on the fingerprint hash with map-side combine,
-    ~2/(w+1) of shingle volume.  The oracle states the same selection
-    relationally via a frame MIN (integer, portable — no list-order
-    constructs, per the oracle-portability lint)."""
+    Scale: the shingle fan-out is one partition-local posexplode (docs
+    pre-hashed on doc_id, so the selection window's sort reuses the
+    same partitioning — ONE shuffle total before the thinned
+    fingerprint set); selection itself is a per-doc integer frame MIN,
+    and the shared-fingerprint arm is one groupBy on the fingerprint
+    hash with map-side combine over ~2/(w+1) of shingle volume.
+    Engineering note (measured round 7): the tempting array-local form
+    — `transform(window_starts, p -> array_min(slice(keys, p, w)))` —
+    is O(shingles²) per doc, because Catalyst inlines the free `keys`
+    array expression into the lambda and re-evaluates EVERY hash per
+    window start; the sf1 probe ran >10 min before the relational
+    rewrite brought it back to seconds.  Nested array lambdas over a
+    free-variable array are a re-evaluation trap; explode + frame
+    aggregate is the scalable spelling (mirrors the oracle exactly)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents").repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
     )
     ws = F.split(F.col("text"), " ")
     kg = _ngram_array(ws, _WINNOW_K)
-    hashes = F.transform(
-        kg,
-        lambda g: F.conv(
-            F.substring(F.md5(F.concat(F.lit("winnow:"), g)), 1, 8), 16, 10
-        ).cast("bigint"),
+    base = docs.select("doc_id", kg.alias("kg"))
+    pos1 = F.col("i0") + 1
+    kgr = base.select(
+        "doc_id", F.posexplode("kg").alias("i0", "g")
+    ).select(
+        "doc_id",
+        pos1.alias("i"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("winnow:"), F.col("g"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            * F.lit(_WINNOW_POSM)
+            + (F.lit(_WINNOW_POSM) - pos1)
+        ).alias("key"),
     )
-    keys = F.transform(
-        hashes,
-        lambda x, i: x * F.lit(_WINNOW_POSM)
-        + (F.lit(_WINNOW_POSM) - (i + F.lit(1))),
+    w_doc = Window.partitionBy("doc_id")
+    winmin = kgr.select(
+        "doc_id",
+        "i",
+        F.count("*").over(w_doc).alias("m"),
+        F.min("key")
+        .over(w_doc.orderBy("i").rowsBetween(0, _WINNOW_W - 1))
+        .alias("skey"),
     )
-    m = F.size(kg)
-    starts = F.when(
-        m >= 1,
-        F.sequence(F.lit(1), F.greatest(m - F.lit(_WINNOW_W - 1), F.lit(1))),
-    ).otherwise(F.array().cast("array<int>"))
-    sel = F.array_distinct(
-        F.transform(starts, lambda p: F.array_min(F.slice(keys, p, _WINNOW_W)))
-    )
-    base = docs.select(
-        "doc_id", m.cast("bigint").alias("n_kgrams"), sel.alias("sel")
-    )
-    fps = base.select("doc_id", F.explode("sel").alias("skey")).withColumn(
-        "fph", F.expr(f"skey DIV {_WINNOW_POSM}")
+    fps = (
+        winmin.filter(
+            F.col("i")
+            <= F.greatest(F.col("m") - F.lit(_WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "skey")
+        .distinct()
+        .withColumn("fph", F.expr(f"skey DIV {_WINNOW_POSM}"))
     )
     shared = (
         fps.groupBy("fph")
@@ -1233,7 +1250,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("n_kgrams") - F.lit(_WINNOW_W - 1), F.lit(1)),
     ).otherwise(F.lit(0))
     return (
-        base.select("doc_id", "n_kgrams")
+        base.select(
+            "doc_id", F.size("kg").cast("bigint").alias("n_kgrams")
+        )
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
