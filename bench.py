@@ -51,7 +51,9 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "lsh_hyperplane_buckets",
     "ivf_ann_topk",
-    "token_count_estimate",
+    # token_count_estimate swapped out round 7 for the line budget
+    # (text family still covered 5x: tfidf/doc_rarity/repetition/
+    # corpus_common_ngrams/boilerplate)
     "asof_latest_order_per_event",
     "part_price_band_join",
     "salted_returnflag_totals",
@@ -105,6 +107,11 @@ HEADLINE = [
     # signature, similarity, and sketch families stay covered 2-4×)
     "zorder_data_skipping_audit",
     "kcenter_coreset_selection",
+    # round-7 representatives (rank-fusion + model-eval gains families;
+    # the two cheapest of the six additions — winnowing/covariance are
+    # probe-tracked in SCALE.md to protect the line and time budget)
+    "rrf_fusion_topk",
+    "decile_lift_table",
 ]
 
 
