@@ -1189,11 +1189,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     free-variable array are a re-evaluation trap; explode + frame
     aggregate is the scalable spelling (mirrors the oracle exactly)."""
     prep(spark)
-    docs = load(spark, sf_dir, "documents").repartition(
+    # split BEFORE the repartition: the exchange materializes the words
+    # array, so `_ngram_array`'s lambda reads a bound column instead of
+    # re-evaluating split(text) per position (the same re-evaluation
+    # trap as the selection rewrite, one level down — measured ~2x on
+    # the kgram build)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
     )
-    ws = F.split(F.col("text"), " ")
-    kg = _ngram_array(ws, _WINNOW_K)
+    kg = _ngram_array(F.col("ws"), _WINNOW_K)
     base = docs.select("doc_id", kg.alias("kg"))
     pos1 = F.col("i0") + 1
     kgr = base.select(
@@ -1229,18 +1235,31 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("fph", F.expr(f"skey DIV {_WINNOW_POSM}"))
     )
+    # (doc, fph) grain carries everything both downstream arms need:
+    # n_sel (position-distinct selections of this hash in this doc) for
+    # n_selected, and the grain itself for doc-frequency.  Checkpointed
+    # because BOTH arms consume it — without this the full explode +
+    # window + distinct pipeline runs twice (the CLAUDE.md two-consumer
+    # rule; ~2x wall measured).  The frame is the ~2/(w+1)-thinned
+    # fingerprint set collapsed to (doc, hash) — the same bounded
+    # intermediate the iterative dedup ops checkpoint.
+    g = (
+        fps.groupBy("doc_id", "fph")
+        .agg(F.count("*").alias("n_sel"))
+        .localCheckpoint(eager=True)
+    )
     shared = (
-        fps.groupBy("fph")
-        .agg(F.count_distinct("doc_id").alias("c"))
+        g.groupBy("fph")
+        .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("fph", F.lit(1).alias("sh"))
     )
     per_doc = (
-        fps.join(shared, "fph", "left")
+        g.join(shared, "fph", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_selected"),
-            F.count_distinct(F.when(F.col("sh") == 1, F.col("fph")))
+            F.sum("n_sel").cast("bigint").alias("n_selected"),
+            F.count(F.when(F.col("sh") == 1, F.col("fph")))
             .cast("bigint")
             .alias("n_shared_fp"),
         )
