@@ -2934,3 +2934,112 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_i", "dim_j")
     )
+
+
+# Mutual nearest-neighbor matching (dataset alignment): pair records
+# of two corpora where each is the other's nearest neighbor — the
+# high-precision alignment primitive (bitext mining, cross-snapshot
+# entity alignment, dedup across sources).  Blocked by hyperplane LSH
+# so no corpus-level all-pairs is ever formed.  Dials per CLAUDE.md.
+_MNN_PLANES = 4  # 16 blocks at this SF; planes grow with corpus size
+
+
+@query(
+    "mutual_nn_matching",
+    oracle=(
+        "WITH buckets AS (SELECT vec_id, embedding, vec_id % 2 AS side, "
+        + " || ".join(
+            f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN '1' ELSE '0' END)"
+            for p in range(_MNN_PLANES)
+        )
+        + f""" AS bucket FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {_sql_sqdist('a.embedding', 'b.embedding')} AS dist2
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+      WHERE a.side = 0 AND b.side = 1
+    ), ranked AS (
+      SELECT a_id, b_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist2, b_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY dist2, a_id) AS rn_b
+      FROM pairs
+    )
+    SELECT a_id, b_id, dist2 FROM ranked
+    WHERE rn_a = 1 AND rn_b = 1 ORDER BY a_id
+    """
+    ),
+    covers=["M6-similarity", "M6-dedup", "J-extended"],
+)
+def mutual_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor matching between two corpora (even
+    vec_ids vs odd vec_ids, standing in for two sources): keep the
+    pairs where each side is the other's closest record — the
+    high-precision alignment rule bitext mining and cross-source
+    entity alignment use, because one-directional NN pairs anything
+    while MUTUAL agreement is rare under mismatch.
+
+    One-pass trick: a pair is mutual iff it is rank-1 in BOTH
+    per-side windows, so both ROW_NUMBERs are computed on the single
+    blocked-pairs frame and filtered together — no double-argmin
+    self-join, no second pass over the pairs.
+
+    Exactness: squared-L2 by the exact array fold; both ranks tie-
+    break on the partner id; output distances are the fold's doubles.
+
+    Scale: candidates come from a hyperplane-LSH block equi-join
+    (2^{_MNN_PLANES} blocks here; plane count grows with the corpus so
+    the per-block quadratic stays bounded — the `lsh_bucket_ann`
+    discipline), then ONE shuffle per ranking side over the blocked
+    pairs.  The corpus-level all-pairs matrix is never formed."""
+    prep(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(
+            dot_exact(F.col("embedding"), _plane_array(p)) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in range(_MNN_PLANES)
+    ]
+    buckets = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 2).alias("side"),
+        F.concat(*bits).alias("bucket"),
+    )
+    a = buckets.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    b = buckets.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    diff = F.zip_with(
+        F.col("a_emb"), F.col("b_emb"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    pairs = a.join(b, "bucket").select(
+        "a_id",
+        "b_id",
+        F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    ranked = pairs.select(
+        "a_id",
+        "b_id",
+        "dist2",
+        F.row_number()
+        .over(Window.partitionBy("a_id").orderBy("dist2", "b_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(Window.partitionBy("b_id").orderBy("dist2", "a_id"))
+        .alias("rn_b"),
+    )
+    return (
+        ranked.filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
+        .select("a_id", "b_id", "dist2")
+        .orderBy("a_id")
+    )

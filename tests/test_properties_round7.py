@@ -161,3 +161,18 @@ def test_max_drawdown_invariants(spark):
         assert r["max_drawdown"] >= 0.0
         assert r["peak_balance"] >= r["final_balance"] - 1e-9
         assert r["n_events"] >= 1
+
+
+def test_mutual_nn_matching_is_one_to_one(spark):
+    """Mutual-NN output is a partial matching: every a_id and b_id
+    appears at most once, sides are disjoint parities, distances
+    nonnegative."""
+    rows = _rows(spark, "mutual_nn_matching")
+    assert rows
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    for r in rows:
+        assert r["a_id"] % 2 == 0 and r["b_id"] % 2 == 1
+        assert r["dist2"] >= 0.0
