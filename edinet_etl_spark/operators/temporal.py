@@ -1277,3 +1277,93 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Seasonal-naive rolling backtest: the forecasting-eval harness every
+# capacity/demand pipeline runs before trusting a model — score the
+# naive baselines (y_hat(t) = y(t - season)) over every rolling
+# origin, because a model that cannot beat seasonal-naive MAE is
+# noise.  Dials prefixed per CLAUDE.md.
+_SNB_SEASONS = ((24, "naive_24h"), (168, "naive_168h"))
+
+
+def _snb_arm_sql(lag_h: int, label: str) -> str:
+    return f"""
+      SELECT '{label}' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(CAST(SUM(CASE WHEN a.v >= b.v THEN a.v - b.v
+                                ELSE b.v - a.v END) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mae,
+             CAST(CAST(SUM(a.v - b.v) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS bias
+      FROM grid a JOIN grid b ON b.h = a.h - {lag_h} * 3600
+    """
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(18,8))) AS v
+      FROM events GROUP BY 1
+    )
+    """
+    + " UNION ALL ".join(_snb_arm_sql(lag, label) for lag, label in _SNB_SEASONS)
+    + " ORDER BY method",
+    covers=["EV-timeseries", "A-extended", "LLM-eval"],
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two seasonal-naive forecasters
+    (daily and weekly lag) over the hourly value series: for every
+    hour with a reference observation one season earlier, the
+    forecast error is y(t) − y(t−season); emits per method the number
+    of scored origins, MAE, and signed bias — the baseline scorecard
+    any real forecasting model must beat, and the drift alarm when a
+    pipeline's seasonality assumption breaks.
+
+    Exactness: the hourly series is an exact DECIMAL sum; errors and
+    their sums stay in decimal (|a−b| via a CASE on exact decimals, so
+    no float subtraction ever reorders), and each output is ONE
+    string-hop conversion then ONE division.  The season join is on
+    integer epoch-hours — gaps in the grid exclude origins on both
+    engines identically (no positional lag that would misalign on
+    gaps).
+
+    Scale: one map-side-combinable collapse to the hour grid (constant
+    size per day of data), then two self-equi-joins ON THE GRID — the
+    fact table is scanned once; everything after is grid-sized."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(F.sum(dec(F.col("value"))).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    arms = []
+    for lag_h, label in _SNB_SEASONS:
+        b = grid.select(
+            (F.col("h") + F.lit(lag_h * 3600)).alias("h"),
+            F.col("v").alias("vb"),
+        )
+        j = grid.join(b, "h")
+        err = F.col("v") - F.col("vb")
+        abs_err = F.when(F.col("v") >= F.col("vb"), F.col("v") - F.col("vb")).otherwise(
+            F.col("vb") - F.col("v")
+        )
+        arms.append(
+            j.agg(
+                F.lit(label).alias("method"),
+                F.count("*").cast("bigint").alias("n_points"),
+                (_dec_to_double(F.sum(abs_err)) / F.count("*")).alias("mae"),
+                (_dec_to_double(F.sum(err)) / F.count("*")).alias("bias"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("method")

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "rrf_fusion_topk", "embedding_covariance_matrix",
     "decile_lift_table", "max_drawdown_per_user",
     "incremental_join_maintenance", "mutual_nn_matching",
+    "seasonal_naive_backtest",
     # ---- backfill: driver-proven, environment re-confirmation ----
     "pricing_summary", "revenue_by_nation_year", "repetition_scores",
     "lsh_recall_curve", "exact_duplicate_mapping",
