@@ -2663,6 +2663,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_C = 60  # the standard RRF smoothing constant
 _RRF_DEPTH = 20  # candidates fetched per arm
 _RRF_TOP = 10  # fused results returned per query
+_RRF_QUERIES = 5  # query-set bound (vec_id < this), same as ANN ops
 
 
 def _sql_sqdist(a: str, b: str) -> str:
@@ -2693,7 +2694,7 @@ def _sql_sqdist_prefix(a: str, b: str) -> str:
                  ORDER BY {_sql_sqdist('q.embedding', 'n.embedding')}, n.vec_id
                ) AS rn
         FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < {_RRF_QUERIES}
       ) WHERE rn <= {_RRF_DEPTH}
     ), arm_prefix AS (
       SELECT query_id, neighbor_id, rn FROM (
@@ -2704,7 +2705,7 @@ def _sql_sqdist_prefix(a: str, b: str) -> str:
                           n.vec_id
                ) AS rn
         FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < {_RRF_QUERIES}
       ) WHERE rn <= {_RRF_DEPTH}
     ), fused AS (
       SELECT COALESCE(a.query_id, b.query_id) AS query_id,
@@ -2749,7 +2750,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hedges the scout's misses."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < _RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     e = emb.select(

@@ -1114,6 +1114,7 @@ def _sql_winnow_kgram() -> str:
       SELECT doc_id, t.i AS i,
              ('0x' || substr(md5('winnow:' || {_sql_winnow_kgram()}), 1, 8))::BIGINT AS h
       FROM words, UNNEST(generate_series(1, len(ws) - {_WINNOW_K - 1})) t(i)
+      WHERE t.i < {_WINNOW_POSM}
     ), keys AS (
       SELECT doc_id, i,
              h * {_WINNOW_POSM} + ({_WINNOW_POSM} - i) AS key,
@@ -1202,9 +1203,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _ngram_array(F.col("ws"), _WINNOW_K)
     base = docs.select("doc_id", kg.alias("kg"))
     pos1 = F.col("i0") + 1
+    # positions are capped at _WINNOW_POSM - 1 on BOTH sides: the
+    # combined key h*POSM + (POSM - i) only keeps min-hash-then-
+    # rightmost ordering while 1 <= i < POSM (beyond it the position
+    # term underflows into the next hash block and, for h = 0, goes
+    # negative — where Spark DIV truncates but DuckDB // floors).
+    # Docs longer than 2^20 shingles (~4 M words) are fingerprinted on
+    # their first 2^20 shingles; production would split such docs.
     kgr = base.select(
         "doc_id", F.posexplode("kg").alias("i0", "g")
-    ).select(
+    ).filter(pos1 < _WINNOW_POSM).select(
         "doc_id",
         pos1.alias("i"),
         (

@@ -297,6 +297,13 @@ EXPECTATIONS = [
     ("embedding_centroid_drift", 5, ["HashAggregate", "BroadcastHashJoin"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin",
       "BroadcastNestedLoopJoin"]),
+    # decile lift (r8 plan pin, VERDICT r7 task 3): union-aggregate
+    # scoring — NO join node anywhere, so AQE has no strategy choice
+    # to flip run-to-run (the prior cust⋈hist⋈fut form was the one
+    # unstable hash of 57 in the r7 audit); union + custkey shuffle +
+    # spend-grid shuffle + single-partition window/rollup
+    ("decile_lift_table", 3, ["Union", "HashAggregate"],
+     ["Join", "CartesianProduct", "PythonUDF"]),
 ]
 
 
