@@ -416,9 +416,16 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle="""
+# Token-Jaccard threshold for ngram_jaccard_pairs: >= _NJ_NUM/_NJ_DEN
+# (0.8).  All candidate-admission arithmetic is integer cross-
+# multiplication; the output jaccard is one correctly-rounded division.
+_NJ_NUM = 4
+_NJ_DEN = 5
+
+# The brute-force within-block pair enumeration, shared verbatim by the
+# production query's ORACLE (completeness theorem: the prefix-filtered
+# plan returns exactly this set) and by the declared-baseline eval arm.
+_NJ_ALLPAIRS_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
       FROM documents
@@ -435,29 +442,143 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
-    """,
-    covers=["M6-dedup"],
+    WHERE {_NJ_DEN} * n_common >= {_NJ_NUM} * (sa.n_tok + sb.n_tok - n_common)
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_NJ_ALLPAIRS_SQL,
+    covers=["M6-dedup", "J-extended"],
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over blocked candidate pairs (blocking key
-    = source).  The intersection count comes from a token-level
-    equi-join — distributed, never materializing per-pair token sets.
-    Jaccard is an int/int division in double: deterministic.
+    """Exact token-set Jaccard >= {_NJ_NUM}/{_NJ_DEN} over source-blocked
+    pairs — PRODUCTION FORM (graduated from the all-pairs baseline in
+    round 8, VERDICT r7 task 5a): PPJoin-style prefix filtering
+    generates candidates, then one candidate x token equi-join verifies
+    them exactly.  Zero false negatives: if J(A,B) >= t, the rarest
+    |A| - ceil(t|A|) + 1 tokens of A and |B| - ceil(t|B|) + 1 of B must
+    share an element, so the prefix equi-join is a complete generator
+    (the `prefix_filter_jaccard_join` theorem at threshold 4/5), and
+    candidates additionally pass the PPJoin LENGTH filter
+    (t*max(m) <= min(m)) and POSITIONAL filter (at the globally
+    smallest shared token nothing overlaps before it, so
+    overlap <= 1 + min(ma-rna, mb-rnb) must still reach the
+    cross-multiplied overlap threshold 9*o >= 4*(ma+mb)).  The ORACLE
+    stays the brute-force within-block enumeration — the driver's
+    hash-compare is therefore a completeness proof of the filtered
+    plan, not a mirror of it.
 
-    This is the EXACT all-pairs-within-block baseline: within-block
-    pair work is quadratic in block size by construction (10× probe:
-    36.8×).  The scale path is `jaccard_verify_candidates` — the same
-    exact metric computed only for salted-LSH candidate pairs, which
-    is how a production near-dup pipeline stages it (candidates →
-    verify)."""
+    This corpus is the documented hostile case for prefix filtering
+    (31-token universe — rare-first prefixes aren't rare; see
+    `prefix_filter_jaccard_join`), yet filters still cut verified
+    pairs ~2x and verification work ~5x vs the token-level all-pairs
+    join; on a natural-vocabulary corpus the same plan is the
+    orders-of-magnitude PPJoin win.  The retired quadratic form lives
+    on as `ngram_jaccard_allpairs_eval` (declared baseline).
+
+    Scale: df is one map-side-combined agg; the per-doc rank window
+    shuffles on doc_id; candidate generation joins PREFIX tokens only,
+    keyed (source, tok); verification is linear in candidates.  No
+    all-pairs stage anywhere."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    # checkpoint the token set: it feeds the sizes agg AND both sides
-    # of the self-join — without it Spark re-runs explode+distinct
-    # three times (no common-subplan reuse).  Measured 11s → ~4s at
-    # sf0.1.  (The distinct also pre-shuffles, parallelizing the
-    # single-row-group scan.)
+    # checkpoint the token set: it feeds sizes/df/rank AND both sides
+    # of the verify join (two-consumer rule; also pre-shuffles the
+    # single-row-group scan)
+    tok = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    df = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(df, "tok")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id", "source", "tok", "n_tok",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    # prefix length = m - ceil(t*m) + 1, ceil via integer (4m+4) div 5
+    plen = (
+        F.col("n_tok")
+        - F.floor(
+            (_NJ_NUM * F.col("n_tok") + (_NJ_DEN - 1)) / F.lit(_NJ_DEN)
+        ).cast("bigint")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= plen)
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "source", "tok",
+        F.col("n_tok").alias("ma"), F.col("rn").alias("rna"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "source", "tok",
+        F.col("n_tok").alias("mb"), F.col("rn").alias("rnb"),
+    )
+    # overlap threshold: J >= 4/5  <=>  9*o >= 4*(ma+mb), integers
+    o_needed_ok = (
+        (_NJ_NUM + _NJ_DEN)
+        * (1 + F.least(F.col("ma") - F.col("rna"), F.col("mb") - F.col("rnb")))
+        >= _NJ_NUM * (F.col("ma") + F.col("mb"))
+    )
+    cand = (
+        pa.join(pb, ["source", "tok"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t*max <= min, cross-multiplied
+            & (
+                _NJ_DEN * F.least(F.col("ma"), F.col("mb"))
+                >= _NJ_NUM * F.greatest(F.col("ma"), F.col("mb"))
+            )
+            # positional filter (valid at the smallest shared token,
+            # which any qualifying pair has in both prefixes)
+            & o_needed_ok
+        )
+        .select("doc_a", "doc_b", "ma", "mb")
+        .distinct()
+    )
+    sa = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    sb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "ma", "mb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    un = F.col("ma") + F.col("mb") - F.col("n_common")
+    return (
+        inter.filter(_NJ_DEN * F.col("n_common") >= _NJ_NUM * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / un).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "ngram_jaccard_allpairs_eval",
+    oracle=_NJ_ALLPAIRS_SQL,
+    covers=["M6-dedup"],
+)
+def ngram_jaccard_allpairs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED-BASELINE EVAL ARM (weak-by-design): the exact
+    all-pairs-within-block token Jaccard the production
+    `ngram_jaccard_pairs` graduated from in round 8.  Within-block
+    pair work is quadratic in block size by construction (10x probe:
+    36.8x) — kept only to measure the production form's filters
+    against ground truth on corpora small enough to brute-force.
+    Never the scale path."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
     tok = (
         docs.select(
             "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -480,16 +601,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
-    )
+    un = F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
     return (
         # sizes is one row per doc — grows with the corpus, so no
         # forced broadcast; AQE picks broadcast while it fits
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(_NJ_DEN * F.col("n_common") >= _NJ_NUM * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / un).alias("jaccard"),
+        )
     )
 
 

@@ -366,6 +366,159 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# Streaming JOIN-view maintenance: the applyInPandasWithState sibling
+# of analytics.incremental_join_maintenance (VERDICT r7 task 5b) —
+# the same delta algebra Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, but
+# maintained LIVE per micro-batch instead of audited per epoch.
+# ------------------------------------------------------------------
+
+_JOINVIEW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_view", T.LongType()),
+        T.StructField("n_purchase", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        # exact decimal accumulators carried as strings (the
+        # _update_user_totals discipline)
+        T.StructField("purch_value_dec", T.StringType()),
+        T.StructField("pair_value_dec", T.StringType()),
+    ]
+)
+
+_JOINVIEW_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_view", T.LongType()),
+        T.StructField("n_purchase", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("pair_value_sum", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_join_view(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful delta-algebra maintenance of the per-user view⋈purchase
+    join view.  State holds the base-side cardinalities (V = views
+    seen, P = purchases seen) and exact decimal sums; each micro-batch
+    contributes deltas (dv, dp, dS) and the join view advances by the
+    product rule — EXACTLY the three delta terms of
+    ``incremental_join_maintenance``, never re-scanning history:
+
+        pairs    += dv·P  + V·dp  + dv·dp      (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB)
+        pairval  += dv·S  + V·dS  + dv·dS
+
+    Decimal arithmetic is exact and the product-rule telescopes, so the
+    final state is bit-identical to the batch recompute
+    (V_total·P_total, V_total·S_total) at ANY batch split — the same
+    merge-correctness contract the batch sibling's oracle proves."""
+    import decimal
+    import math
+
+    (user_id,) = key
+    q = decimal.Decimal(1).scaleb(-8)
+    if state.exists:
+        n_v, n_p, n_pairs, s_dec, pair_dec = state.get
+        s = decimal.Decimal(s_dec)
+        pairval = decimal.Decimal(pair_dec)
+    else:
+        n_v, n_p, n_pairs = 0, 0, 0
+        s = decimal.Decimal(0)
+        pairval = decimal.Decimal(0)
+    dv, dp = 0, 0
+    ds = decimal.Decimal(0)
+    for pdf in pdfs:
+        for et, v in zip(pdf["event_type"], pdf["value"]):
+            if et == "view":
+                dv += 1
+            elif et == "purchase":
+                dp += 1
+                fv = float(v)
+                # SQL SUM skips NULLs (NaN after the pandas transfer)
+                if not math.isnan(fv):
+                    ds += decimal.Decimal(repr(fv)).quantize(
+                        q, rounding=decimal.ROUND_HALF_UP
+                    )
+    n_pairs += dv * n_p + n_v * dp + dv * dp
+    pairval += dv * s + n_v * ds + dv * ds
+    n_v += dv
+    n_p += dp
+    s += ds
+    state.update((n_v, n_p, n_pairs, str(s), str(pairval)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_view": [n_v],
+            "n_purchase": [n_p],
+            "n_pairs": [n_pairs],
+            "pair_value_sum": [float(str(pairval))],
+        }
+    )
+
+
+def join_view_stream(events: DataFrame) -> DataFrame:
+    """Per-user join-view maintenance as a streaming stateful operator;
+    state is keyed by user_id and holds five scalars — constant per
+    key, so state-store size is O(users), independent of event volume
+    (the property that makes live view maintenance deployable where a
+    stream-stream join's buffered-rows state is not)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_join_view,
+        outputStructType=_JOINVIEW_OUT_SCHEMA,
+        stateStructType=_JOINVIEW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "streaming_join_view_maintenance",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     * COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(value AS DECIMAL(18,8)) END),
+                                CAST(0 AS DECIMAL(18,8)))
+                AS VARCHAR) AS DOUBLE) AS pair_value_sum
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    covers=["M5-stream", "X-stateful", "SC-maintenance"],
+)
+def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live sibling of ``incremental_join_maintenance``: the
+    per-user view⋈purchase join view (pair count and pair-value sum —
+    what an exposure⋈conversion attribution join materializes)
+    maintained by the delta algebra inside ``applyInPandasWithState``
+    state, one product-rule update per micro-batch.  The ORACLE is the
+    full batch recompute over the whole feed: equality proves the
+    incremental path converges to the exact join view regardless of
+    how the stream was batched — closing the loop between the batch
+    delta-algebra audit and a live refresh."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        join_view_stream(ev), "stream_join_view_result", "update"
+    )
+    # update mode emits one row per key per batch it appears in; the
+    # final emission has the largest event total (strictly increasing)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("n_view") + F.col("n_purchase"))
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_view", "n_purchase", "n_pairs", "pair_value_sum")
+        .orderBy("user_id")
+    )
+
+
 def _applied_batch(snapshot_dir: str) -> int:
     """Last batch id committed to the snapshot (-1 if none), read from
     the CURRENT pointer file."""

@@ -445,3 +445,77 @@ def test_partitioned_snapshot_time_travel(spark, tmp_path):
     # data I/O at all
     same = jobs.snapshot_changelog(spark, snap, "user_id", 2, 2)
     assert same.count() == 0 and same.inputFiles() == []
+
+
+def test_join_view_delta_algebra_across_batches(spark, tmp_path):
+    """The streaming join-view state update is the PRODUCT-RULE delta
+    algebra (pairs += dv·P + V·dp + dv·dp) — this test forces THREE
+    micro-batches (maxFilesPerTrigger=1 over three feed files split by
+    event_id) so the cross-batch terms are genuinely exercised, then
+    checks the final view equals the one-shot batch join view
+    bit-for-bit (the incremental_join_maintenance merge contract,
+    live)."""
+    import glob
+    import shutil
+
+    from edinet_etl_spark.numeric import dec, _dec_to_double
+
+    ev_batch = load(spark, SF_DIR, "events")
+    feed = tmp_path / "jv_feed"
+    feed.mkdir()
+    # split by event_id thirds — arbitrary, uneven per user, which is
+    # the point: every user's (view, purchase) arrivals straddle batches
+    ids = [r[0] for r in ev_batch.select("event_id").collect()]
+    ids.sort()
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    conds = [
+        F.col("event_id") <= cuts[0],
+        (F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1]),
+        F.col("event_id") > cuts[1],
+    ]
+    for i, c in enumerate(conds):
+        stage = tmp_path / f"jv_stage_{i}"
+        ev_batch.filter(c).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"f{i}.parquet")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    out = jobs.run_available_now(
+        jobs.join_view_stream(raw), "t_join_view_multi", "update"
+    )
+    # three batches ⇒ keys emitted up to 3× — prove it was multi-batch
+    assert out.count() > out.select("user_id").distinct().count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("n_view") + F.col("n_purchase"))
+    )
+    cols = ["user_id", "n_view", "n_purchase", "n_pairs", "pair_value_sum"]
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*cols)
+    )
+    is_v = (F.col("event_type") == "view").cast("long")
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    batch = ev_batch.groupBy("user_id").agg(
+        F.sum(is_v).alias("n_view"),
+        F.sum(is_p).alias("n_purchase"),
+        (F.sum(is_v) * F.sum(is_p)).alias("n_pairs"),
+        _dec_to_double(
+            F.sum(is_v)
+            * F.coalesce(
+                F.sum(F.when(is_p == 1, dec(F.col("value")))),
+                F.lit(0).cast("decimal(18,8)"),
+            )
+        ).alias("pair_value_sum"),
+    )
+    assert _rows(final, cols) == _rows(batch, cols)
