@@ -3034,6 +3034,139 @@ def ece_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Isotonic regression (PAV) over the calibration grid.  Dials prefixed
+# per CLAUDE.md; _ISO_B matches ece_calibration_bins's decile grid so
+# the two reliability readouts line up bin-for-bin.
+_ISO_B = 10
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+                             1, 6))::BIGINT AS h,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), agg AS (
+      SELECT (h * {_ISO_B}) // 16777216 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    ), pre AS (
+      SELECT bin, n, n_pos,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(n_pos) OVER (ORDER BY bin) AS cp
+      FROM agg
+    ), seg AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cp - j.cp + j.n_pos AS DOUBLE)
+               / (k.cn - j.cn + j.n) AS seg_rate
+      FROM pre j JOIN pre k ON k.bin >= j.bin
+    ), minned AS (
+      SELECT p.bin AS i, s.j, MIN(s.seg_rate) AS min_rate
+      FROM pre p JOIN seg s ON s.j <= p.bin AND s.k >= p.bin
+      GROUP BY p.bin, s.j
+    ), fit AS (
+      SELECT i AS bin, MAX(min_rate) AS isotonic_rate
+      FROM minned GROUP BY i
+    )
+    SELECT a.bin, a.n, a.n_pos,
+           CAST(a.n_pos AS DOUBLE) / a.n AS raw_rate,
+           f.isotonic_rate
+    FROM agg a JOIN fit f ON f.bin = a.bin
+    ORDER BY a.bin
+    """,
+    covers=["A-extended", "W-extended", "LLM-eval"],
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) over the same
+    hash-score/purchase-outcome grid as `ece_calibration_bins` — the
+    fit every probability calibrator (Platt's nonparametric rival,
+    sklearn's IsotonicRegression) ships: the best monotone
+    NON-DECREASING rates under squared error.  PAV's iterative pooling
+    has the closed minimax form fit_i = max_(j<=i) min_(k>=i)
+    avg(y[j..k]), which this query evaluates RELATIONALLY over the
+    collapsed {_ISO_B}-bin grid — no iteration, no driver loop.
+
+    Exactness: every segment rate is ONE correctly-rounded division of
+    exact BIGINT prefix sums (identical doubles cross-engine), and
+    MIN/MAX over identical double sets are deterministic — no chained
+    float arithmetic anywhere.
+
+    Scale: one combinable scan collapses the corpus to the bin grid;
+    the j x k segment enumeration and the minimax joins are
+    O(bins^3) = 1000 rows on CONSTANT-size frames (broadcast,
+    checkpointed once) — the same cost at any corpus size."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("event_id").cast("string"))),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("bigint")
+    grid = (
+        ev.select(
+            h.alias("h"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+        .withColumn("bin", F.expr(f"(h * {_ISO_B}) div 16777216"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        # constant-size ({_ISO_B} rows) and consumed by four downstream
+        # branches — checkpoint per the two-consumer rule
+        .localCheckpoint(eager=True)
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = grid.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n_pos").over(w_cum).alias("cp"),
+    )
+    pj = pre.select(
+        F.col("bin").alias("j"), F.col("n").alias("jn"),
+        F.col("n_pos").alias("jp"), F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    pk = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    seg = pj.join(F.broadcast(pk), F.col("k") >= F.col("j")).select(
+        "j", "k",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+        ).alias("seg_rate"),
+    )
+    minned = (
+        pre.select(F.col("bin").alias("i"))
+        .join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("seg_rate").alias("min_rate"))
+    )
+    fit = minned.groupBy("i").agg(F.max("min_rate").alias("isotonic_rate"))
+    return (
+        grid.join(F.broadcast(fit), grid.bin == fit.i)
+        .select(
+            "bin", "n", "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n")).alias("raw_rate"),
+            "isotonic_rate",
+        )
+        .orderBy("bin")
+    )
+
+
 _DAILY_REVENUE_SQL = """
       SELECT CAST(ts AS DATE) AS day,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS VARCHAR)
@@ -3873,3 +4006,79 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from_delta",
         _dec_to_double(F.col("rev_merged")).alias("revenue"),
     ).orderBy("o_orderpriority")
+
+
+# Bucketed co-located join audit.  Dials prefixed per CLAUDE.md.
+_BKT_PREFIX = "edinet_bucketed_audit"
+
+
+@query(
+    "bucketed_colocated_join_audit",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum(SQL_REVENUE, 'revenue')},
+           CAST(0 AS BIGINT) AS n_exchanges_under_join
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    covers=["M6-layout", "J-extended", "A-extended"],
+)
+def bucketed_colocated_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof that bucketing removes the fact-fact join
+    shuffle: writes orders and lineitem as bucketed EXTERNAL tables
+    (`layout.write_bucketed_join_tables`, `layout.N_BUCKETS` buckets
+    on the join key), joins the bucketed tables, and publishes BOTH the join's
+    data result (priority-level revenue, decimal-exact) AND the
+    measured Exchange count under the join — which the oracle pins to
+    ZERO.  A planner or layout regression that reintroduces a shuffle
+    flips the audit column and the driver row goes red; the data
+    columns prove the co-located plan computes the same answer as the
+    oracle's plain join.
+
+    The Exchange count is read from the STATIC plan (AQE and
+    auto-broadcast disabled for the inspection only, then restored) so
+    the zero is a property of the bucketed layout, not of a runtime
+    conversion.  At 100 TB this is the difference between re-shuffling
+    the lake per query and reading co-located buckets; the bucket
+    count is the write-time parallelism dial (`layout.N_BUCKETS`)."""
+    prep(spark)
+    import hashlib
+    import os
+    import tempfile
+
+    from edinet_etl_spark import layout
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"{_BKT_PREFIX}_{tag}")
+    db = f"{_BKT_PREFIX}_{tag}"
+    layout.write_bucketed_join_tables(spark, sf_dir, out, db=db)
+    li = spark.table(f"{db}.lineitem_bucketed").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = spark.table(f"{db}.orders_bucketed").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = li.join(od, li.l_orderkey == od.o_orderkey)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    n_exchanges = plan.count("Exchange")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(revenue(), "revenue"),
+        )
+        .withColumn(
+            "n_exchanges_under_join", F.lit(n_exchanges).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )

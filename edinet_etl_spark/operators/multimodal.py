@@ -501,3 +501,191 @@ def png_roundtrip_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum bigint, pixel_md5 string"
         ),
     )
+
+
+# Perceptual-hash near-duplicate detection over DECODED images.
+# Dials prefixed per CLAUDE.md.
+_AHASH_GROUPS = 50  # docs per near-dup family = |docs| / groups
+_AHASH_BANDS = 4  # 64-bit hash split into 4 x 16-bit LSH bands
+_AHASH_MAXHAM = 8  # verified Hamming radius
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: synthesize each doc's grayscale image (the
+    group pattern + a single per-doc +1 pixel perturbation), round-trip
+    it through the REAL stdlib PNG codec, and compute the 8x8 average
+    hash FROM THE DECODED PIXELS — bit k set iff its block mean >= the
+    global mean, compared as exact integers (blocksum * w*h >= total *
+    block_area).  Emitted as four 16-bit band values (BIGINT-safe; the
+    bands are also the LSH candidate keys)."""
+    from edinet_etl_spark.png import decode_png_gray, encode_png_gray
+
+    for pdf in batches:
+        out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            g = d % _AHASH_GROUPS
+            w, h = 8 + g % 9, 8 + g % 7
+            idx = (d // _AHASH_GROUPS) % (w * h)
+            px = bytes(
+                (g * 7 + x * 13 + y * 31 + (1 if y * w + x == idx else 0))
+                % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            data = encode_png_gray(w, h, px, [(g + y) % 5 for y in range(h)])
+            dw, dh, dpx = decode_png_gray(data)
+            bs = [[0] * 8 for _ in range(8)]
+            area = [[0] * 8 for _ in range(8)]
+            for y in range(dh):
+                for x in range(dw):
+                    bs[(y * 8) // dh][(x * 8) // dw] += dpx[y * dw + x]
+                    area[(y * 8) // dh][(x * 8) // dw] += 1
+            total = sum(dpx)
+            bands = [0] * _AHASH_BANDS
+            for by in range(8):
+                for bx in range(8):
+                    k = by * 8 + bx
+                    if bs[by][bx] * (dw * dh) >= total * area[by][bx]:
+                        bands[k // 16] |= 1 << (k % 16)
+            out["doc_id"].append(d)
+            for i in range(_AHASH_BANDS):
+                out[f"b{i}"].append(bands[i])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "image_ahash_neardup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % {_AHASH_GROUPS} AS g,
+             8 + (doc_id % {_AHASH_GROUPS}) % 9 AS w,
+             8 + (doc_id % {_AHASH_GROUPS}) % 7 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, x, y,
+             (g*7 + x*13 + y*31
+              + CASE WHEN y*w + x = (doc_id // {_AHASH_GROUPS}) % (w*h)
+                     THEN 1 ELSE 0 END) % 256 AS p
+      FROM dims,
+           UNNEST(generate_series(0, h - 1)) t1(y),
+           UNNEST(generate_series(0, w - 1)) t2(x)
+    ), blocks AS (
+      SELECT doc_id, (y*8)//h AS by, (x*8)//w AS bx,
+             CAST(SUM(p) AS BIGINT) AS bs,
+             CAST(COUNT(*) AS BIGINT) AS area,
+             CAST(MAX(w*h) AS BIGINT) AS wh
+      FROM px GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS total, MAX(wh) AS wh
+      FROM blocks GROUP BY 1
+    ), bits AS (
+      SELECT b.doc_id, b.by*8 + b.bx AS k,
+             CASE WHEN b.bs * t.wh >= t.total * b.area
+                  THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)
+    ), bands AS (
+      SELECT doc_id, k // 16 AS bi,
+             CAST(SUM(bit * (1::BIGINT << (k % 16))) AS BIGINT) AS bv
+      FROM bits GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+      FROM bands GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+              + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+        <= {_AHASH_MAXHAM}
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    covers=["M6-multimodal", "M6-dedup", "X1"],
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via the 8x8 AVERAGE HASH (aHash)
+    over REAL decoded pixels — the multimodal twin of the text dedup
+    ladder: every doc's image (a per-group pattern plus a one-pixel
+    per-doc perturbation, so each group of {_AHASH_GROUPS}-strided
+    docs is a true near-dup family) is encoded to an actual PNG byte
+    stream and DECODED back by `edinet_etl_spark.png`; the hash is
+    computed from the decoded pixels, so a codec defect corrupts the
+    pairs and the driver row goes red.  Blocks use the exact integer
+    boundary rule ((i*8) div n — `multimodal_resize`'s downsampler)
+    and each bit compares block mean vs global mean as cross-
+    multiplied INTEGERS — no float touches the hash.
+
+    Candidates are LSH-banded, never all-pairs: the 64-bit hash splits
+    into {_AHASH_BANDS} x 16-bit bands and only pairs sharing an EXACT
+    band are verified (guaranteed recall at Hamming < {_AHASH_BANDS},
+    the standard banding trade above that), with verification a
+    constant-time popcount over the band XORs — `bit_count` both
+    engines compute identically.
+
+    Scale: one Arrow-batched Python island (O(pixels) per doc), one
+    groupBy on (band, value) for buckets, pair fan-out bounded by real
+    near-dup families (the within-bucket quadratic IS the workload),
+    O(1) verify per pair.  Swapping the synthetic image for a real
+    binary payload column changes the kernel's input line only."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sig = docs.mapInPandas(
+        _ahash_batches,
+        schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+    ).localCheckpoint(eager=True)  # feeds the bucket explode AND both
+    # sides of the verify join (two-consumer rule; also caps the
+    # Python island at one run)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
+                )
+                for i in range(_AHASH_BANDS)
+            ])
+        ).alias("s"),
+    ).select("doc_id", "s.bi", "s.bv")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bi", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "bi", "bv")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_AHASH_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_AHASH_BANDS)],
+    )
+    ham = None
+    for i in range(_AHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _AHASH_MAXHAM)
+        .orderBy("doc_a", "doc_b")
+    )

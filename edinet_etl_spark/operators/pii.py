@@ -21,7 +21,7 @@ removal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.registry import query
@@ -328,8 +328,6 @@ def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
     )
-    from pyspark.sql import Window
-
     return tok.select(
         "c_custkey",
         "name_token",
@@ -472,4 +470,142 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("meets_l"),
+    ).orderBy("nation", "segment")
+
+
+# t-closeness (Li/Li/Venkatasubramanian 2007): the rung above
+# l-diversity — a cell's SENSITIVE-value distribution must stay within
+# EMD t of the global distribution.  Dials prefixed per CLAUDE.md;
+# the sensitive attribute reuses the l-diversity acctbal banding.
+_TCLOSE_T_NUM = 1  # threshold t = 1/5 = 0.2, kept as a ratio so the
+_TCLOSE_T_DEN = 5  # meets_t test cross-multiplies in exact integers
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(FLOOR(c.c_acctbal / {_LDIV_BAND}) AS BIGINT) AS sens_band
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), cellband AS (
+      SELECT nation, segment, sens_band, CAST(COUNT(*) AS BIGINT) AS a
+      FROM tagged GROUP BY 1, 2, 3
+    ), gband AS (
+      SELECT sens_band, CAST(COUNT(*) AS BIGINT) AS b FROM tagged GROUP BY 1
+    ), cells AS (
+      SELECT nation, segment, CAST(SUM(a) AS BIGINT) AS n_g
+      FROM cellband GROUP BY 1, 2
+    ), dense AS (
+      SELECT c.nation, c.segment, c.n_g, g.sens_band, g.b,
+             COALESCE(cb.a, 0) AS a,
+             CAST((SELECT SUM(b) FROM gband) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM gband) AS BIGINT) AS m
+      FROM cells c CROSS JOIN gband g
+      LEFT JOIN cellband cb
+        ON cb.nation = c.nation AND cb.segment = c.segment
+       AND cb.sens_band = g.sens_band
+    ), pref AS (
+      SELECT nation, segment, n_g, n, m,
+             SUM(a) OVER (PARTITION BY nation, segment
+                          ORDER BY sens_band) AS ca,
+             SUM(b) OVER (PARTITION BY nation, segment
+                          ORDER BY sens_band) AS cb
+      FROM dense
+    ), emd AS (
+      SELECT nation, segment, n_g, n, m,
+             CAST(SUM(ABS(ca * n - cb * n_g)) AS BIGINT) AS emd_num
+      FROM pref GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT nation, segment, n_g AS n_individuals,
+           CAST(emd_num AS DOUBLE) / (n_g * n * (m - 1)) AS emd,
+           CAST(CASE WHEN emd_num * {_TCLOSE_T_DEN}
+                      <= {_TCLOSE_T_NUM} * n_g * n * (m - 1)
+                THEN 1 ELSE 0 END AS BIGINT) AS meets_t
+    FROM emd ORDER BY nation, segment
+    """,
+    covers=["PII-kanon", "A-extended", "W-extended"],
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the disclosure-control ladder
+    (k-anonymity -> l-diversity -> t-closeness): even an l-diverse
+    cell leaks if its sensitive-value DISTRIBUTION is skewed vs the
+    population (everyone in the cell being in the top balance bands
+    is itself a disclosure).  For the ORDERED sensitive attribute
+    (acctbal bands, the l-diversity banding) the Earth Mover's
+    Distance has the closed prefix form
+    EMD = (1/(m-1)) * sum_i |cumP_cell(i) - cumP_global(i)|, and the
+    whole quantity is computed as EXACT INTEGERS over the common
+    denominator n_g*N: emd_num = sum |cumA_i*N - cumB_i*n_g| — one
+    correctly-rounded division at the very end, and the meets_t
+    verdict cross-multiplied so no float ever decides it.
+
+    Scale: two map-side-combinable aggregates (cell x band, band),
+    a dense cells x bands grid (|cells| * m rows — audit-sized, not
+    data-sized), prefix windows on that grid.  The individuals are
+    read exactly once at any corpus size."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tagged = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _LDIV_BAND).cast("bigint").alias("sens_band"),
+    )
+    cellband = tagged.groupBy("nation", "segment", "sens_band").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    # cellband is the collapsed audit grid (cells x present bands) and
+    # feeds THREE branches (global bands, cell totals, dense join) —
+    # constant-size, so checkpoint per the two-consumer rule
+    cellband = cellband.localCheckpoint(eager=True)
+    gband = cellband.groupBy("sens_band").agg(
+        F.sum("a").cast("bigint").alias("b")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gband = gband.select(
+        "sens_band", "b",
+        F.sum("b").over(w_all).cast("bigint").alias("n"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+    )
+    cells = cellband.groupBy("nation", "segment").agg(
+        F.sum("a").cast("bigint").alias("n_g")
+    )
+    dense = (
+        cells.join(F.broadcast(gband))
+        .join(
+            cellband.withColumnRenamed("a", "a0"),
+            ["nation", "segment", "sens_band"],
+            "left",
+        )
+        .select(
+            "nation", "segment", "n_g", "sens_band", "b", "n", "m",
+            F.coalesce(F.col("a0"), F.lit(0)).alias("a"),
+        )
+    )
+    w_pref = Window.partitionBy("nation", "segment").orderBy("sens_band")
+    pref = dense.select(
+        "nation", "segment", "n_g", "n", "m",
+        F.sum("a").over(w_pref).alias("ca"),
+        F.sum("b").over(w_pref).alias("cb"),
+    )
+    emd = pref.groupBy("nation", "segment", "n_g", "n", "m").agg(
+        F.sum(F.abs(F.col("ca") * F.col("n") - F.col("cb") * F.col("n_g")))
+        .cast("bigint")
+        .alias("emd_num")
+    )
+    den = F.col("n_g") * F.col("n") * (F.col("m") - 1)
+    return emd.select(
+        "nation",
+        "segment",
+        F.col("n_g").alias("n_individuals"),
+        (F.col("emd_num").cast("double") / den).alias("emd"),
+        F.when(F.col("emd_num") * _TCLOSE_T_DEN <= _TCLOSE_T_NUM * den, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("meets_t"),
     ).orderBy("nation", "segment")

@@ -1459,3 +1459,88 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("method")
+
+
+# SCD2 point-in-time consumption (the read-side twin of
+# analytics.scd2_customer_dim's merge): every 3rd customer's segment
+# changes at _PIT_CHANGE.  Dials prefixed per CLAUDE.md.
+_PIT_CHANGE = "1995-07-01 00:00:00"
+_PIT_NEWSEG = "RELOCATED"
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN TIMESTAMP '{_PIT_CHANGE}' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, '{_PIT_NEWSEG}', TIMESTAMP '{_PIT_CHANGE}', NULL
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.seg AS segment_at_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,8))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1 ORDER BY 1
+    """,
+    covers=["J-extended", "W-extended", "X-maintenance"],
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) join against a type-2 slowly-
+    changing dimension — the canonical CONSUMPTION of the versioned
+    dim `scd2_customer_dim` maintains: each order joins the customer
+    version valid AT o_orderdate (every 3rd customer's segment flips
+    to {_PIT_NEWSEG} at {_PIT_CHANGE[:10]}), then revenue rolls up by
+    the segment AS OF the order.  Joining today's dim instead is the
+    classic time-travel bug this operator exists to prevent.
+
+    The ORACLE spells the textbook range join
+    (valid_from <= t < valid_to); the Spark side runs the engine's
+    union+window as-of construction (`asof_join`): version rows and
+    order rows union, shuffle ONCE on custkey, sort by event time, and
+    each order reads the running "latest version seen".  Linear in
+    |orders|+|versions| — never the per-key quadratic candidate
+    blowup of a naive range join, and no broadcast assumption (the dim
+    grows with SF).  Values match bit-for-bit because the join is
+    row-exact and revenue rides the decimal discipline."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    change = F.to_timestamp(F.lit(_PIT_CHANGE))
+    v1 = cust.select(
+        F.col("c_custkey").alias("ck"),
+        F.to_timestamp(F.lit("1992-01-01 00:00:00")).alias("t"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            change.alias("t"),
+            F.lit(_PIT_NEWSEG).alias("seg"),
+        )
+    )
+    dim = v1.unionByName(v2).withColumn("ver", F.col("t"))
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        orders, dim, key="ck", time="t", payload=["seg"], tiebreak="ver"
+    )
+    return (
+        joined.groupBy(F.col("asof_seg").alias("segment_at_order"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dec_to_double(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+        )
+        .orderBy("segment_at_order")
+    )

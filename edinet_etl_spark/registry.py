@@ -79,79 +79,47 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-7 rotation (VERDICT r6 tasks 1+3): after r1..r6 the cumulative
-# driver-tested union is 293/299 green plus ONE red
-# (kaplan_meier_conversion, r06 hash-mismatch — oracle rewritten this
-# round to an order-pinned recursive CTE).  The head below front-loads
-# the 6 hard-signal names: the KM re-proof plus the 5 round-6 net-new
-# queries that postdate the r06 window staging and have never had a
-# driver row.  Round-7 net-new queries slot directly after (each needs
-# a driver row this round), and driver-proven heavies backfill the
-# 50-slot window as environment re-confirmation.  A green 50-window
-# closes cumulative driver-proven coverage at 100% of the registry.
+# Round-8 rotation (VERDICT r7 tasks 1+4): the head carries the
+# hard-signal names — the KM re-proof (survival now DECIMAL(18,8)-
+# quantized on both sides) flanked by its two diagnostic probes, the
+# round-8 net-new queries (each needs a first driver row), and the
+# three queries whose code changed this round (ngram graduation /
+# decile plan pin / winnowing position cap / RRF dial refactor).  The
+# backfill slots rotate in 36 of the 47 names whose only driver row is
+# from ROUND 1 — seven rounds of environment drift unconfirmed — so a
+# green window both closes the net-new ledger and refreshes the oldest
+# evidence.  The 11 remaining r1-only names rotate in next round.
 _PRIORITY: tuple[str, ...] = (
-    # ---- 1-6: hard-signal — KM re-proof + round-6 net-new ----
-    "kaplan_meier_conversion",
-    "bloom_semijoin_prefilter_audit", "edit_distance_near_pairs",
-    "kcenter_coreset_selection", "mmr_diversified_topk",
-    "zorder_data_skipping_audit",
-    # ---- round-7 net-new queries (each needs a driver row) ----
-    "winnowing_fingerprints", "column_stats_histogram",
-    "rrf_fusion_topk", "embedding_covariance_matrix",
-    "decile_lift_table", "max_drawdown_per_user",
-    "incremental_join_maintenance", "mutual_nn_matching",
-    "seasonal_naive_backtest",
-    # ---- backfill: driver-proven, environment re-confirmation ----
-    "pricing_summary", "revenue_by_nation_year", "repetition_scores",
-    "lsh_recall_curve", "exact_duplicate_mapping",
-    "approx_distinct_parts", "png_roundtrip_decode_stats",
-    "inverted_index_postings", "gapfill_linear_interp",
-    "user_profile_snapshot", "compaction_bin_packing",
-    "multimodal_resize", "duplicate_cluster_histogram",
-    "winsorized_segment_stats", "dictionary_encoding_stats",
-    "event_interarrival_stats", "arrow_token_totals",
-    "business_day_ship_lag", "kanon_release_segment_stats",
-    "maxmin_fair_token_caps", "region_nation_revenue_shares",
-    "clamped_running_balance", "order_total_reconciliation",
-    "benford_first_digit_audit", "spend_quartile_mobility",
-    "orc_roundtrip_stats", "jsonl_roundtrip_stats", "funnel_7d_conversion",
-    "interpolated_quartiles", "mannwhitney_value_by_type",
-    "spearman_rank_corr", "longest_purchase_streak",
-    "session_entry_exit_pairs", "modal_quantity_per_flag",
-    "doc_top_token_arrayonly", "peak_open_orders", "hourly_value_bands",
-    "nation_revenue_rank_shift", "daily_new_vs_returning",
-    "session_eventtype_lift",
-    "asof_tolerance_enrich",
-    "poisson_bootstrap_mean_ci", "ece_calibration_bins",
-    "mann_kendall_trend", "theil_sen_slope",
-    "token_gini_diversity", "dsir_importance_weights",
-    "epsilon_greedy_allocation", "quality_quantile_normalize",
-    # ---- behind the window: round-5 head (all driver-proven in r5),
-    # kept in priority order so a wider sweep still front-loads one
-    # representative per family ----
-    "simhash_hamming_near_pairs", "containment_verify_candidates",
-    "did_estimator", "cuped_variance_reduction", "target_encoding_loo",
-    "split_conformal_coverage", "knn_label_accuracy",
-    "rank_biased_overlap_eval", "skipgram_training_pairs",
-    "bpe_apply_per_source", "streaming_asof_enrich",
-    "xml_roundtrip_stats", "ab_assignment_srm_check",
-    "value_anova_by_event_type", "vocab_coverage_oov_rate",
-    "embedding_top_pc_power_iteration", "embedding_label_outliers",
-    "l_diversity_audit", "ewma_user_value_halflife",
-    "retrieval_mrr_eval", "copurchase_link_prediction",
-    "streaming_cms_heavy_hitters", "observed_scan_metrics",
-    "csv_corrupt_records_audit", "corpus_drift_report",
-    "value_distribution_ks", "copurchase_bfs_hops",
-    "value_cusum_changepoint", "length_rebalance_sample",
-    "gopher_repetition_flags", "prefix_filter_jaccard_join",
-    "pareto_frontier_orders", "bm25_retrieval_topk", "value_mad_outliers",
-    "priority_weighted_sample", "value_acf_lags", "fd_violation_audit",
-    "sorted_neighborhood_pairs", "linear_touch_attribution",
-    "weighted_median_price", "eventmix_chi2_drift", "nation_supplier_hhi",
-    "segment_spend_gini", "join_key_skew_profile",
-    "exact_group_percentiles", "embedding_centroid_drift",
-    "table_checksum_audit", "sample_budget_apportionment",
-    "cogrouped_asof_pandas", "pii_pseudonymize_customers",
+    # ---- 1-3: KM re-proof + diagnostic probes ----
+    "kaplan_meier_conversion", "km_grid_probe", "km_factor_probe",
+    # ---- round-8 net-new / changed (first driver row or re-proof) ----
+    "ngram_jaccard_pairs", "ngram_jaccard_allpairs_eval",
+    "streaming_join_view_maintenance", "isotonic_calibration_pav",
+    "t_closeness_audit", "scd2_point_in_time_join",
+    "bucketed_colocated_join_audit", "image_ahash_neardup",
+    "decile_lift_table", "winnowing_fingerprints", "rrf_fusion_topk",
+    # ---- backfill: last driver-tested in round 1 ----
+    "customer_rank_in_nation", "order_lag_lead", "running_customer_spend",
+    "yearly_spend_range_frame", "top3_orders_per_priority",
+    "customer_quartiles", "sales_cube", "sales_rollup",
+    "order_grouping_sets", "distinct_part_counts", "quantity_pivot",
+    "percentile_stats", "salted_returnflag_totals",
+    "lineitem_metrics_unpivot", "fuzzy_name_pairs",
+    "deterministic_sample_stats", "nations_per_region_listagg",
+    "price_quantity_corr", "price_histogram", "orders_upsert_merge",
+    "order_value_distribution", "salted_hotkey_join_totals",
+    "scd2_customer_dim", "exact_dedup", "bag_of_words_dedup",
+    "minhash_lsh_candidates", "simhash_signatures", "neardup_components",
+    "neardup_canonical_docs", "delta_dedup_against_corpus",
+    "tumbling_hourly_stats", "sliding_30m_windows", "user_sessions",
+    "first_event_per_user_type", "eventtype_hourly_pivot",
+    "multires_time_rollup",
+    # ---- behind the window: the next r1-only cohort, so a wider
+    # sweep (or the r9 head) picks them up first ----
+    "user_retention_cohorts", "event_funnel_conversion",
+    "event_type_map_roundtrip", "event_transition_counts",
+    "stratified_doc_sample", "train_test_split_counts",
+    "benchmark_contamination", "quality_filter_funnel",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
