@@ -49,7 +49,9 @@ HEADLINE = [
     "tumbling_hourly_stats",
     "user_sessions",
     "minhash_lsh_candidates",
-    "lsh_hyperplane_buckets",
+    # lsh_hyperplane_buckets swapped out round 8 for the line budget
+    # (LSH family still covered 3x: minhash_lsh_candidates,
+    # lsh_recall_curve, fuzzy_name_linkage)
     "ivf_ann_topk",
     # token_count_estimate swapped out round 7 for the line budget
     # (text family still covered 5x: tfidf/doc_rarity/repetition/
@@ -61,7 +63,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "neardup_components",
     "multires_time_rollup",
-    "small_quantity_revenue",
+    # small_quantity_revenue swapped out round 8 (relational scan+agg
+    # covered 7x by the other TPC-H headliners)
     "suppliers_kept_waiting",
     "bilateral_trade_volume",
     "returned_item_top_customers",
@@ -112,6 +115,11 @@ HEADLINE = [
     # probe-tracked in SCALE.md to protect the line and time budget)
     "rrf_fusion_topk",
     "decile_lift_table",
+    # round-8 representatives (as-of dim consumption + calibration-fit
+    # families; aHash/t-closeness/bucketed-audit are probe-tracked in
+    # SCALE.md's ledger to hold the line budget)
+    "scd2_point_in_time_join",
+    "isotonic_calibration_pav",
 ]
 
 
