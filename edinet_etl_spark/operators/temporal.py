@@ -1544,3 +1544,239 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order")
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+    WITH {_KM_RISK_CTE}, terms AS (
+      SELECT t, d, n_at_risk,
+             CAST(d AS DOUBLE) / n_at_risk AS hazard_increment,
+             CAST(CAST(d AS DOUBLE) / n_at_risk AS DECIMAL(18,8)) AS inc
+      FROM risk
+    ), na AS (
+      SELECT t, d, n_at_risk, hazard_increment,
+             SUM(inc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ch
+      FROM terms
+    )
+    SELECT t AS time_days, n_at_risk, d AS n_events_at, hazard_increment,
+           CAST(CAST(ch AS VARCHAR) AS DOUBLE) AS cum_hazard
+    FROM na WHERE d > 0 ORDER BY time_days
+    """,
+    covers=["A-extended", "W-extended", "LLM-eval"],
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator of time-to-first-purchase
+    -- the additive sibling of `kaplan_meier_conversion` on the SAME
+    right-censored (t, d, c, n_at_risk) grid (``_KM_RISK_CTE``):
+    H(t) = sum_{t_i <= t} d_i / n_i.  Survival analysts publish both
+    (H feeds log-rank tests and -ln S diagnostics); for this repo it is
+    ALSO the third KM diagnostic: its arithmetic replaces KM's chained
+    product with the repo's battle-proven decimal SUM, so a red KM row
+    next to a green NA row isolates the driver-env divergence to
+    product-fold rounding specifically.
+
+    Exactness: each increment d_i/n_i is ONE correctly-rounded division
+    of exact BIGINTs; the cumulative sum rides DECIMAL(18,8) (exact,
+    associative, order-free -- `numeric.py` discipline), surfaced
+    through the string hop.  No libm anywhere.
+
+    Scale: identical to KM -- one user-keyed combinable aggregate
+    collapses the corpus to per-user rows, then a calendar-bounded
+    ~30-row grid; every window runs on the grid, never on data."""
+    prep(spark)
+    risk = _km_risk_frame(spark, sf_dir)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inc = dec(F.col("d").cast("double") / F.col("n_at_risk"))
+    return (
+        risk.withColumn(
+            "cum_hazard", _dec_to_double(F.sum(inc).over(w_cum))
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("time_days"),
+            "n_at_risk",
+            F.col("d").alias("n_events_at"),
+            (F.col("d").cast("double") / F.col("n_at_risk")).alias(
+                "hazard_increment"
+            ),
+            "cum_hazard",
+        )
+        .orderBy("time_days")
+    )
+
+
+def interval_union_per_key(spans: DataFrame) -> DataFrame:
+    """Merge overlapping [s, e] integer intervals per key and return one
+    row per (k, island) with the island's bounds and member count --
+    the classic sweep: sort by start within key, flag a new island
+    whenever a start clears the running max end of everything before
+    it, and the running flag-sum IS the island id.
+
+    Intervals are INCLUSIVE integer day spans, so islands merge on
+    adjacency as well as overlap ([0,5] + [6,10] is one unbroken busy
+    run): a new island starts only when s > prev_max_end + 1.
+
+    Input columns: k, ok (a unique per-interval tie-break), s, e
+    (BIGINT, e >= s), and optionally cnt (BIGINT) when a row stands for
+    several pre-collapsed intervals — n_spans then sums cnt.  One hash
+    shuffle on k; both windows share the single (k; s, e, ok) sort.
+    Per-key cost is linear in rows.
+    """
+    w_ord = Window.partitionBy("k").orderBy("s", "e", "ok")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(
+            0
+        ),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n_spans = (
+        F.sum("cnt") if "cnt" in spans.columns else F.count("*")
+    ).cast("bigint")
+    return islands.groupBy("k", "island_id").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        n_spans.alias("n_spans"),
+    )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH spans AS (
+      SELECT l.l_suppkey AS k, o.o_orderkey AS ok,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS s,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(MAX(l.l_shipdate) AS DATE)) AS BIGINT) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey, o.o_orderkey, o.o_orderdate
+    ), cells AS (
+      SELECT k, s, MAX(e) AS e, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM spans GROUP BY k, s
+    ), flagged AS (
+      SELECT k, s, e, cnt,
+             CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s, e, s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY k ORDER BY s, e, s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cells
+    ), islands AS (
+      SELECT k, s, e, cnt,
+             SUM(new_island) OVER (PARTITION BY k ORDER BY s, e, s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ), per_island AS (
+      SELECT k, island_id, MIN(s) AS i_start, MAX(e) AS i_end,
+             CAST(SUM(cnt) AS BIGINT) AS n_spans
+      FROM islands GROUP BY k, island_id
+    )
+    SELECT k AS suppkey,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(i_end) - MIN(i_start) + 1 AS BIGINT) AS span_days,
+           CAST(SUM(i_end - i_start + 1) AS DOUBLE)
+             / (MAX(i_end) - MIN(i_start) + 1) AS busy_ratio
+    FROM per_island GROUP BY k ORDER BY suppkey
+    """,
+    covers=["T-sweepline", "W-extended", "A-extended"],
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier interval-UNION coverage: each (supplier, order) is
+    busy from the order date to its last ship date; overlapping or
+    day-adjacent spans merge (inclusive integer days — see
+    `interval_union_per_key`), and the output is each supplier's total covered days, island
+    count, and busy ratio over its active range -- the utilization /
+    uptime operator (machine busy-time, call-center occupancy, SLA
+    coverage) that `peak_open_orders` 's global concurrency curve does
+    not answer.  Quadratic self-join formulations die at scale; this is
+    the linear per-key sweep.
+
+    Exactness: epoch-day BIGINT throughout (same no-engine-date-math
+    discipline as peak_open_orders); island flags, ids, and coverage
+    sums are pure integers; busy_ratio is ONE correctly-rounded
+    division at the end.  Window order ties break by (s, e, ok) with ok
+    unique, so island assignment is total-order pinned on both sides.
+
+    Scale: spans collapse per (supplier, order) off the orders |X|
+    lineitem join, then COLLAPSE AGAIN to (supplier, start-day) cells
+    -- valid because every interval contains its own start day, so
+    same-start intervals always share an island and only their MAX end
+    matters; counts ride along as cnt.  The windowed sweep therefore
+    runs on at most keys x calendar-days rows NO MATTER THE FACT
+    VOLUME (the peak_open_orders boundedness argument, per key): 10x
+    or 100x the orders grows only the map-side-combinable collapse,
+    not the sort.  Supplier keys are uniform (no skew); nothing is
+    quadratic.  (First cut windowed the raw (supplier, order) grain
+    and probed 6.2x at the 10x rung -- the cell collapse is what makes
+    the sweep data-volume-free.)"""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    epoch = F.to_date(F.lit("1970-01-01"))
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("k"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate"),
+        )
+        .agg(F.max("l_shipdate").alias("ship_max"))
+        .select(
+            "k",
+            "ok",
+            F.datediff(F.to_date("o_orderdate"), epoch)
+            .cast("bigint")
+            .alias("s"),
+            F.datediff(F.to_date("ship_max"), epoch)
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+    cells = (
+        spans.groupBy("k", "s")
+        .agg(
+            F.max("e").alias("e"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .withColumn("ok", F.col("s"))
+    )
+    per_island = interval_union_per_key(cells)
+    return (
+        per_island.groupBy(F.col("k").alias("suppkey"))
+        .agg(
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start") + 1)
+            .cast("bigint")
+            .alias("covered_days"),
+            (F.max("i_end") - F.min("i_start") + 1)
+            .cast("bigint")
+            .alias("span_days"),
+            (
+                F.sum(F.col("i_end") - F.col("i_start") + 1).cast("double")
+                / (F.max("i_end") - F.min("i_start") + 1)
+            ).alias("busy_ratio"),
+        )
+        .orderBy("suppkey")
+    )

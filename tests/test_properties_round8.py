@@ -156,3 +156,129 @@ def test_ngram_production_equals_allpairs_eval(spark):
 def test_bucketed_audit_reports_zero_exchanges(spark):
     rows = _rows(spark, "bucketed_colocated_join_audit")
     assert rows and all(r["n_exchanges_under_join"] == 0 for r in rows)
+
+
+# ------------------------------------------- interval union coverage
+
+def test_interval_union_matches_bruteforce(spark):
+    """The sweep's island merge equals per-day set expansion on a
+    seeded synthetic interval set (overlaps, nesting, duplicates,
+    singletons)."""
+    import random
+
+    from edinet_etl_spark.operators.temporal import interval_union_per_key
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(300):
+        k = rng.randrange(5)
+        s = rng.randrange(100)
+        e = s + rng.randrange(12)
+        rows.append((k, i, s, e))
+    rows.extend([(9, 1000, 7, 7), (9, 1001, 7, 7)])  # duplicate points
+    spans = spark.createDataFrame(rows, "k long, ok long, s long, e long")
+    per_island = interval_union_per_key(spans).collect()
+    agg = {}
+    for r in per_island:
+        a = agg.setdefault(r["k"], {"covered": 0, "islands": 0, "spans": 0})
+        a["covered"] += r["i_end"] - r["i_start"] + 1
+        a["islands"] += 1
+        a["spans"] += r["n_spans"]
+    brute = {}
+    for k, _, s, e in rows:
+        brute.setdefault(k, set()).update(range(s, e + 1))
+    for k, days in brute.items():
+        assert agg[k]["covered"] == len(days), k
+        # island count = number of maximal runs in the day set
+        runs = sum(1 for d in days if d - 1 not in days)
+        assert agg[k]["islands"] == runs, k
+    assert sum(a["spans"] for a in agg.values()) == len(rows)
+    # the (k, s)-cell pre-collapse (cnt path) is loss-free: same
+    # coverage, same islands, same total span count
+    from pyspark.sql import functions as F
+
+    cells = (
+        spans.groupBy("k", "s")
+        .agg(F.max("e").alias("e"), F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("ok", F.col("s"))
+    )
+    agg2 = {}
+    for r in interval_union_per_key(cells).collect():
+        a = agg2.setdefault(r["k"], {"covered": 0, "islands": 0, "spans": 0})
+        a["covered"] += r["i_end"] - r["i_start"] + 1
+        a["islands"] += 1
+        a["spans"] += r["n_spans"]
+    assert agg2 == agg
+
+
+# ------------------------------------------- bitmap distinct rollup
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from edinet_etl_spark.tables import load
+
+    rows = _rows(spark, "bitmap_distinct_rollup")
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    truth = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("du"),
+            F.countDistinct("day", "user_id").alias("ud"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(truth)
+    for r in rows:
+        t = truth[r["event_type"]]
+        assert r["distinct_users"] == t["du"]
+        assert r["user_days"] == t["ud"]
+        assert r["revisit_factor"] == t["ud"] / t["du"]
+
+
+def test_bitmap_word_bit_mapping_injective_for_negatives(spark):
+    """(id >> 6, id & 63) must decompose int64 injectively, negatives
+    included — popcount over bit_or'd words equals true distinct."""
+    from pyspark.sql import functions as F
+
+    ids = list(range(-130, 131, 3)) + [-(1 << 40), 1 << 40, -64, -1, 0, 63, 64]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    n = (
+        df.groupBy(F.shiftright("user_id", 6).alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id & 63 AS INT)))"
+            ).alias("bits")
+        )
+        .agg(F.expr("SUM(bit_count(bits))").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == len(set(ids))
+
+
+# ------------------------------------------- Nelson-Aalen hazard
+
+def test_nelson_aalen_invariants_and_km_grid_parity(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = sorted(_rows(spark, "nelson_aalen_hazard"), key=lambda r: r["time_days"])
+    assert rows
+    # increments are d/n; cumulative hazard is the quantized running sum
+    q = Decimal("1e-8")
+    total = Decimal(0)
+    prev = -1.0
+    for r in rows:
+        assert r["hazard_increment"] == r["n_events_at"] / r["n_at_risk"]
+        total += Decimal(repr(r["hazard_increment"])).quantize(q, ROUND_HALF_UP)
+        assert r["cum_hazard"] == float(str(total))
+        assert r["cum_hazard"] >= prev
+        prev = r["cum_hazard"]
+    # same event grid as the KM estimator (shared risk CTE)
+    km = {r["time_days"]: r for r in _rows(spark, "kaplan_meier_conversion")}
+    assert set(km) == {r["time_days"] for r in rows}
+    for r in rows:
+        assert km[r["time_days"]]["n_at_risk"] == r["n_at_risk"]
