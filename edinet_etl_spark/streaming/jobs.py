@@ -1399,6 +1399,92 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_bitmap_upsert(snapshot_dir: str):
+    """foreachBatch EXACT-distinct maintenance: each micro-batch folds
+    its (event_type, user_id) pairs into packed int64 word bitmaps
+    (the same (id >> 6, id & 63) injective decomposition as the batch
+    `operators.sketches.bitmap_distinct_rollup`) and bit_or-merges
+    them into the snapshot.  Unlike additive counters, bitmap state is
+    IDEMPOTENT under re-delivery (x | x = x), so at-least-once
+    foreachBatch delivery cannot corrupt it even without the replay
+    guard — the shared skeleton's guard stays on anyway (it also skips
+    the wasted rewrite).  Snapshot is one row per OCCUPIED
+    (event_type, word): ≤ types · distinct_users/64 rows no matter the
+    event volume."""
+
+    def build_updates(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(
+            "event_type", F.shiftright("user_id", 6).alias("word")
+        ).agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id & 63 AS INT)))"
+            ).alias("bits")
+        )
+
+    def merge(base: DataFrame, updates: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(updates)
+            .groupBy("event_type", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+
+    return make_additive_upsert(snapshot_dir, build_updates, merge)
+
+
+@query(
+    "streaming_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    covers=["M5-stream", "M6-sketch", "X-maintenance"],
+)
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE exact distinct-users-per-event-type via streamed bitmap
+    union — the exact sibling of `streaming_cms_heavy_hitters` (which
+    bounds counts) and the streaming form of
+    `bitmap_distinct_rollup`: every micro-batch's users fold into
+    packed word bitmaps and bit_or-merge into a serving snapshot;
+    after the drain, popcounts read off exact lifetime distincts.
+    COUNT(DISTINCT) is not incrementally maintainable from counts
+    alone — the bitmap is the constant-width state that makes the
+    live exact-distinct dashboard possible (KMV streams but
+    estimates; HLL streams but estimates; this streams and is exact).
+
+    Because bitmap union is associative, commutative, AND idempotent,
+    the streamed state equals the one-shot batch bitmap for ANY feed
+    chopping or crash-replay interleaving — so the pipeline
+    hash-compares against the plain batch COUNT(DISTINCT) oracle, the
+    strongest correctness statement a streaming sink can make here.
+
+    At 100 TB/day: per-batch update rows are bounded by the batch's
+    occupied words, snapshot size by distinct_users/64 per type; the
+    readout never touches raw events.  10^9 users × 5 types ≈ 625 MB
+    of words — a small serving table maintained by pure column ops."""
+    prep(spark)
+    snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_bitmapstream")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(make_bitmap_upsert(snap))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bm = read_snapshot(spark, snap)
+    return (
+        bm.groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias(
+                "distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
 def snapshot_changelog(
     spark, snapshot_dir: str, key: str, from_at: int, to_at: int
 ) -> DataFrame:

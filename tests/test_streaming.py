@@ -519,3 +519,36 @@ def test_join_view_delta_algebra_across_batches(spark, tmp_path):
         ).alias("pair_value_sum"),
     )
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_bitmap_upsert_merge_is_idempotent(spark):
+    """Bitmap state survives at-least-once re-delivery even WITHOUT
+    the replay guard: merging the same update twice equals merging it
+    once (x | x = x), unlike additive counter sinks."""
+    from pyspark.sql import functions as F
+
+    from edinet_etl_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id")
+    updates = ev.groupBy(
+        "event_type", F.shiftright("user_id", 6).alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id & 63 AS INT)))"
+        ).alias("bits")
+    )
+
+    def merge(base, upd):
+        return (
+            base.unionByName(upd)
+            .groupBy("event_type", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+
+    once = {(r["event_type"], r["word"]): r["bits"] for r in updates.collect()}
+    twice = {
+        (r["event_type"], r["word"]): r["bits"]
+        for r in merge(updates, updates).collect()
+    }
+    assert once == twice
