@@ -1736,3 +1736,78 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rolling_7d_active_bitmap",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    )
+    SELECT dd.d AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+    FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
+    GROUP BY dd.d
+    ORDER BY day
+    """,
+    covers=["M5-window", "M6-sketch", "A-extended"],
+)
+def rolling_7d_active_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives per day, computed ENTIRELY in
+    bitmap algebra — the scale path beside `events.rolling_7d_active_users`
+    (same semantics, same oracle, different plan): sliding
+    COUNT(DISTINCT) is not window-mergeable, but daily WORD BITMAPS
+    are — union is associative/commutative/idempotent — so the
+    contribution explode fans out (day, word) rows (≤ distinct
+    users/64 per day, 64x smaller than the (user, day) fan-out) and
+    the per-window merge is `bit_or` + popcount, no distinct-expand
+    anywhere.
+
+    The "window day must itself be an event day" convention rides the
+    explode for free: only the offset-0 contribution has d = window
+    day, so max(d = day) per window marks real event days — no second
+    consumer of the daily frame, no broadcast semi-join.
+
+    Scale: one full-data shuffle to daily (day, word) bitmaps; the 7x
+    fan-out and both downstream merges run on word rows.  At 10^9
+    users/day this is 7 x 16M word rows per day instead of 7 x 10^9
+    user rows — the difference between a WAU job that fits in a
+    micro-batch and one that doesn't.  Pairs with
+    `bitmap_distinct_rollup` (calendar rollup) and
+    `streaming_bitmap_distinct` (live merge): one partial layout
+    serves all three consumption patterns."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").groupBy(
+        "d", F.shiftright("user_id", 6).alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id & 63 AS INT)))"
+        ).alias("bits")
+    )
+    exploded = daily.select(
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("day"),
+        "d",
+        "word",
+        "bits",
+    )
+    per_word = exploded.groupBy("day", "word").agg(
+        F.expr("bit_or(bits)").alias("bits"),
+        F.max((F.col("d") == F.col("day")).cast("int")).alias("self_day"),
+    )
+    return (
+        per_word.groupBy("day")
+        .agg(
+            F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias(
+                "active_users_7d"
+            ),
+            F.max("self_day").alias("has_self"),
+        )
+        .filter(F.col("has_self") == 1)
+        .drop("has_self")
+        .orderBy("day")
+    )

@@ -282,3 +282,17 @@ def test_nelson_aalen_invariants_and_km_grid_parity(spark):
     assert set(km) == {r["time_days"] for r in rows}
     for r in rows:
         assert km[r["time_days"]]["n_at_risk"] == r["n_at_risk"]
+
+
+def test_rolling_bitmap_matches_user_grain_variant(spark):
+    """Same semantics, different algebra: the word-bitmap WAU plan and
+    the (user, day) contribution-explode plan agree row-for-row."""
+    a = sorted(
+        (r["day"], r["active_users_7d"])
+        for r in _rows(spark, "rolling_7d_active_bitmap")
+    )
+    b = sorted(
+        (r["day"], r["active_users_7d"])
+        for r in _rows(spark, "rolling_7d_active_users")
+    )
+    assert a == b
