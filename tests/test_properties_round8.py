@@ -296,3 +296,40 @@ def test_rolling_bitmap_matches_user_grain_variant(spark):
         for r in _rows(spark, "rolling_7d_active_users")
     )
     assert a == b
+
+
+# ------------------------------------------- audio silence segments
+
+def test_silence_kernel_on_crafted_payload(spark):
+    """Hand-built payload with known silence geometry: 2 leading
+    silent frames, 1 loud frame, 1 silent, 1 loud, 1 silent tail."""
+    import pandas as pd
+
+    from edinet_etl_spark.operators.multimodal import (
+        _AUDIO_BIAS,
+        _VAD_FRAME,
+        _silence_batches,
+    )
+
+    quiet = bytes([_AUDIO_BIAS]) * _VAD_FRAME          # energy 0
+    loud = bytes([_AUDIO_BIAS + 100]) * _VAD_FRAME     # energy 320k
+    payload = quiet + quiet + loud + quiet + loud + quiet[: _VAD_FRAME // 2]
+    [res] = list(
+        _silence_batches(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])
+        )
+    )
+    r = res.iloc[0]
+    assert r["n_frames"] == 6
+    assert r["silent_frames"] == 4
+    assert r["n_silence_segments"] == 3
+    assert r["longest_silence"] == 2
+    assert r["leading_silence"] == 2
+    assert r["silence_ratio"] == 4 / 6
+    # empty payload emits nothing (oracle parity)
+    [empty] = list(
+        _silence_batches(
+            iter([pd.DataFrame({"doc_id": [8], "payload": [b""]})])
+        )
+    )
+    assert len(empty) == 0
