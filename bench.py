@@ -80,7 +80,10 @@ HEADLINE = [
     "binned_quantile_sketch",
     "incremental_agg_maintenance",
     "corpus_curation_pipeline",
-    "rolling_7d_active_users",
+    # rolling_7d_active_users swapped for its bitmap-algebra sibling
+    # late round 8 (same semantics/oracle, 50x fewer shuffle rows —
+    # the WAU family stays covered by the better plan)
+    "rolling_7d_active_bitmap",
     # curated round-3 additions (the rest stay probe-tracked in
     # SCALE.md and plan-audited via tools/plan_audit.py)
     "bpe_train_steps",
