@@ -411,3 +411,49 @@ def test_plan_hash_normalizes_session_counters():
     a = "Project [aggregate(transform(split(text#12,  , -1), lambdafunction(length(lambda x_1#3), lambda x_1#3, false)), 0, lambdafunction((lambda x_2#4L + lambda y_3#5L), lambda x_2#4L, lambda y_3#5L, false))] *(2)"
     b = "Project [aggregate(transform(split(text#99,  , -1), lambdafunction(length(lambda x_28#7), lambda x_28#7, false)), 0, lambdafunction((lambda x_29#8L + lambda y_30#9L), lambda x_29#8L, lambda y_30#9L, false))] *(7)"
     assert normalize_plan(a) == normalize_plan(b)
+
+
+@pytest.mark.deep
+def test_plans_md_is_current_for_whole_registry(plan_spark):
+    """PLANS.md freshness gate over EVERY registered query: recompute
+    the audit columns that encode scale posture (exchanges, join kinds,
+    python islands) and require them to match the committed inventory
+    exactly.  Catches both silent plan regressions (a lost broadcast, a
+    new shuffle, work pulled into Python) and a stale PLANS.md after an
+    operator change — either way the fix is explicit: investigate the
+    plan or regenerate via `PYTHONPATH=. python tools/plan_audit.py`.
+
+    Streaming queries execute their (availableNow) streams during plan
+    construction, so this is deep-tier; the curated EXPECTATIONS above
+    stay in the fast tier."""
+    import re as _re
+
+    from tools.plan_audit import SF_DIR as AUDIT_SF_DIR
+    from tools.plan_audit import audit
+
+    committed: dict[str, tuple[str, str, str]] = {}
+    row_re = _re.compile(r"^\| (\S+) \| (\S+) \| (.*?) \| (\S+) \| ")
+    with open("PLANS.md") as fh:
+        for line in fh:
+            m = row_re.match(line)
+            if m and m.group(1) != "query":
+                committed[m.group(1)] = (m.group(2), m.group(3), m.group(4))
+
+    assert set(committed) == set(registry.QUERIES), (
+        "PLANS.md row set out of sync with the registry — regenerate"
+    )
+    mismatches = []
+    for name in sorted(registry.QUERIES):
+        plan = plan_of(plan_spark, name)
+        a = audit(plan)
+        got = (str(a["exchanges"]), a["joins"], a["python"])
+        if got != committed[name]:
+            mismatches.append((name, committed[name], got))
+        # a query fn may re-enable AQE via prep(); re-pin
+        plan_spark.conf.set("spark.sql.adaptive.enabled", "false")
+    assert not mismatches, (
+        f"{len(mismatches)} plan-audit rows drifted from PLANS.md "
+        f"(committed vs live): {mismatches[:5]} — investigate or "
+        "regenerate tools/plan_audit.py"
+    )
+    assert AUDIT_SF_DIR == SF_DIR

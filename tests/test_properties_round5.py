@@ -85,12 +85,19 @@ def test_kaplan_meier_matches_python_model(spark):
     obs = _load_obs()
     want = _km_python(obs)
     assert set(got) == set(want)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for t, s in want.items():
         n_at_risk = sum(1 for tt, _ in obs if tt >= t)
         d = sum(1 for tt, ev in obs if tt == t and ev == 1)
         assert got[t][0] == n_at_risk
         assert got[t][1] == d
-        assert got[t][2] == pytest.approx(s, abs=1e-12)
+        # the query publishes survival QUANTIZED through DECIMAL(18,8)
+        # (round-8 driver-env hardening) — mirror it on the model side
+        s_q = float(
+            str(Decimal(repr(s)).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+        )
+        assert got[t][2] == s_q
 
 
 def test_kaplan_meier_invariants(spark):
