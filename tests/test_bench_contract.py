@@ -40,3 +40,17 @@ def test_registry_has_no_rows_only_queries():
     registry.load_all()
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
     assert not rows_only, f"rows-only queries reintroduced: {sorted(rows_only)}"
+
+
+def test_registry_priority_rotation_is_well_formed():
+    """The driver checks a 50-query prefix of registration order; the
+    rotation list must stay duplicate-free, fully registered (enforced
+    at lookup too, but fail HERE with a readable message), and large
+    enough to pin the whole window explicitly."""
+    registry.load_all()
+    prio = registry._PRIORITY
+    dupes = {n for n in prio if prio.count(n) > 1}
+    assert not dupes, f"duplicate names in _PRIORITY: {dupes}"
+    missing = [n for n in prio if n not in registry.QUERIES]
+    assert not missing, f"_PRIORITY references unknown queries: {missing}"
+    assert len(prio) >= 50, "driver window (50) no longer fully pinned"
