@@ -4082,3 +4082,103 @@ def bucketed_colocated_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "quantity_moment_stats",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8)))
+                  AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8)))
+                  AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                  AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                  * l_quantity AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+                  AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n, s1 / n AS mean,
+             s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+      FROM sums
+    ), c AS (
+      SELECT l_returnflag, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                - 3.0 * mean * mean * mean * mean AS m4
+      FROM m
+    )
+    SELECT l_returnflag, n, mean, m2 AS variance,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+    FROM c ORDER BY l_returnflag
+    """,
+    covers=["A-extended"],
+)
+def quantity_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per return flag: population mean /
+    variance / skewness / excess kurtosis of order quantities — the
+    third- and fourth-moment extension of the repo's decimal-moments
+    discipline (`price_quantity_corr` stops at second moments), i.e.
+    the profiling numbers a data-quality monitor watches for shape
+    drift that mean/variance alone cannot see.
+
+    Exactness: l_quantity is integer-valued (1..50), so q², q³, q⁴
+    are EXACT integers ≤ 6.25e6 in double and the four power sums ride
+    DECIMAL(18,8) with nothing to round at all; every downstream
+    moment is then a fixed expression tree of correctly-rounded double
+    ops (divisions, products, one sqrt — no libm), written with
+    IDENTICAL literal order and association on both sides, so the
+    chained-IEEE results are bit-equal by construction.
+
+    Scale: ONE map-side-combinable aggregate carrying four decimal
+    sums — the same single-pass shape as the covariance matrix; no
+    second pass, no join, one shuffle of 3 x 5 partials."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        _dec_to_double(F.sum(dec(q))).alias("s1"),
+        _dec_to_double(F.sum(dec(q * q))).alias("s2"),
+        _dec_to_double(F.sum(dec(q * q * q))).alias("s3"),
+        _dec_to_double(F.sum(dec(q * q * q * q))).alias("s4"),
+    )
+    n = F.col("n")
+    m = sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / n).alias("mean"),
+        (F.col("s2") / n).alias("r2"),
+        (F.col("s3") / n).alias("r3"),
+        (F.col("s4") / n).alias("r4"),
+    )
+    mean, r2, r3, r4 = (F.col(x) for x in ("mean", "r2", "r3", "r4"))
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        (r2 - mean * mean).alias("m2"),
+        (r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean).alias(
+            "m3"
+        ),
+        (
+            r4
+            - F.lit(4.0) * mean * r3
+            + F.lit(6.0) * mean * mean * r2
+            - F.lit(3.0) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2, m3, m4 = (F.col(x) for x in ("m2", "m3", "m4"))
+    return c.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        m2.alias("variance"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
