@@ -2241,3 +2241,117 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SQL_NAIVE_SPLIT = """CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+        ELSE 'test' END"""
+
+
+@query(
+    "leakage_safe_split_audit",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice(string_split(text, ' '), 1, 5), ' '))
+               AS fingerprint,
+             {_SQL_NAIVE_SPLIT} AS naive_split
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (naive_split = 'train') AS BIGINT)
+             AS n_train,
+           CAST(COUNT(*) FILTER (naive_split = 'valid') AS BIGINT)
+             AS n_valid,
+           CAST(COUNT(*) FILTER (naive_split = 'test') AS BIGINT)
+             AS n_test,
+           CAST((COUNT(*) * (COUNT(*) - 1)
+                 - COUNT(*) FILTER (naive_split = 'train')
+                   * (COUNT(*) FILTER (naive_split = 'train') - 1)
+                 - COUNT(*) FILTER (naive_split = 'valid')
+                   * (COUNT(*) FILTER (naive_split = 'valid') - 1)
+                 - COUNT(*) FILTER (naive_split = 'test')
+                   * (COUNT(*) FILTER (naive_split = 'test') - 1)) / 2
+                AS BIGINT) AS naive_cross_pairs,
+           CASE WHEN substr(fingerprint, 1, 1) <= 'b' THEN 'train'
+                WHEN substr(fingerprint, 1, 1) <= 'd' THEN 'valid'
+                ELSE 'test' END AS group_split
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    covers=["LLM-split", "M6-dedup", "A-extended"],
+)
+def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware splitting audit: documents sharing a content
+    fingerprint (here the 5-word prefix — the template/boilerplate
+    family key; swap in the exact-md5 or near-dup canonical id at
+    production strictness) must land in ONE split, or test metrics
+    leak training content.  For every multi-member family the query
+    reports the naive DOC-LEVEL hash split's composition and its
+    cross-split pair count (the leaked pairs), next to the GROUP-LEVEL
+    assignment (hash of the fingerprint itself) that sends the whole
+    family to one split by construction — same 75/12.5/12.5 first-hex-
+    digit convention as `train_test_split_counts`, so both splits stay
+    stable under incremental ingest.
+
+    Exactness: md5 fingerprints, integer pair counting
+    (n·(n−1) − Σ_s n_s·(n_s−1))/2 — nothing floating anywhere.
+
+    Scale: one shuffle on the 16-byte fingerprint (never text); group
+    sizes are duplicate-family sizes, bounded by the dedup pipeline
+    upstream.  This is the split gate a training-data pipeline runs
+    AFTER dedup and BEFORE sharding — the operator that turns
+    `exact_duplicate_mapping`/`neardup_canonical_docs` cluster info
+    into a leak-free train/test boundary."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    naive = (
+        F.when(digit <= "b", "train")
+        .when(digit <= "d", "valid")
+        .otherwise("test")
+    )
+    fp = docs.select(
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        ).alias("fingerprint"),
+        naive.alias("naive_split"),
+    )
+    cnt = F.count("*")
+    n_tr = F.sum((F.col("naive_split") == "train").cast("long"))
+    n_va = F.sum((F.col("naive_split") == "valid").cast("long"))
+    n_te = F.sum((F.col("naive_split") == "test").cast("long"))
+    gdigit = F.substring(F.col("fingerprint"), 1, 1)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            n_tr.cast("bigint").alias("n_train"),
+            n_va.cast("bigint").alias("n_valid"),
+            n_te.cast("bigint").alias("n_test"),
+            (
+                (
+                    cnt * (cnt - 1)
+                    - n_tr * (n_tr - 1)
+                    - n_va * (n_va - 1)
+                    - n_te * (n_te - 1)
+                )
+                / 2
+            )
+            .cast("bigint")
+            .alias("naive_cross_pairs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "group_split",
+            F.when(gdigit <= "b", "train")
+            .when(gdigit <= "d", "valid")
+            .otherwise("test"),
+        )
+        .orderBy("fingerprint")
+    )

@@ -1811,3 +1811,110 @@ def rolling_7d_active_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("has_self")
         .orderBy("day")
     )
+
+
+@query(
+    "bitmap_retention_pairs",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), base AS (
+      SELECT a.d AS day,
+             COUNT(DISTINCT a.user_id) AS base_users,
+             COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                 THEN a.user_id END) AS retained_users
+      FROM du a LEFT JOIN du b
+        ON b.user_id = a.user_id AND b.d = a.d + 7
+      GROUP BY a.d
+    )
+    SELECT day,
+           CAST(base_users AS BIGINT) AS base_users,
+           CAST(retained_users AS BIGINT) AS retained_users,
+           CAST(retained_users AS DOUBLE) / base_users AS retention_7d
+    FROM base
+    WHERE day + 7 IN (SELECT d FROM days)
+    ORDER BY day
+    """,
+    covers=["M6-sketch", "EV-retention", "A-extended"],
+)
+def bitmap_retention_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day+7 EXACT retention from the SAME daily word-bitmap
+    partials the WAU query uses — set INTERSECTION this time: retained
+    users on day d = popcount(bits_d & bits_{d+7}) per word.  Bitmap
+    algebra now covers the whole engagement readout family: union
+    (rolling actives), idempotent streaming merge (live distinct), and
+    intersection (retention) — one persisted partial layout, three
+    consumption patterns, all exact where sketches estimate.
+
+    Plan: the self-join is folded into ONE aggregate by the union-tag
+    trick — every daily (day, word, bits) row enters twice, once as
+    itself ("base") and once shifted to day−7 ("back"), so a single
+    groupBy(day, word) sees both sides and the AND runs inside the
+    aggregate row; no self-join, no second consumer of the daily
+    frame, two shuffles total (daily grain, then the tagged merge).
+    The horizon guard (day+7 must be an observed day) rides the same
+    aggregate as max(tag='back').
+
+    Exactness: pure integer/bitwise + one correctly-rounded division
+    per day.  The oracle is the semantic ground truth — a distinct
+    (day, user) self-join with COUNT(DISTINCT) — so the driver row
+    certifies the intersection algebra, not a re-derivation.
+
+    Scale: shuffle rows bounded by days x occupied words x 2; at 10^9
+    users/day the retention table is maintained from word partials the
+    raw-events join could never afford (that join is the ORACLE's
+    shape — fine at sf0.01, quadratic-ish pressure at lake scale)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy(
+        "day", F.shiftright("user_id", 6).alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id & 63 AS INT)))"
+        ).alias("bits")
+    )
+    tagged = daily.select(
+        "day", "word", "bits", F.lit(0).alias("tag")
+    ).unionByName(
+        daily.select(
+            F.date_sub("day", 7).alias("day"),
+            "word",
+            "bits",
+            F.lit(1).alias("tag"),
+        )
+    )
+    merged = tagged.groupBy("day", "word").agg(
+        F.max(F.when(F.col("tag") == 0, F.col("bits"))).alias("b_base"),
+        F.max(F.when(F.col("tag") == 1, F.col("bits"))).alias("b_back"),
+        F.max("tag").alias("has_back"),
+    )
+    per_day = merged.groupBy("day").agg(
+        F.expr("CAST(SUM(bit_count(coalesce(b_base, 0))) AS BIGINT)").alias(
+            "base_users"
+        ),
+        F.expr(
+            "CAST(SUM(bit_count(coalesce(b_base, 0)"
+            " & coalesce(b_back, 0))) AS BIGINT)"
+        ).alias("retained_users"),
+        F.max("has_back").alias("has_back"),
+        F.max(F.when(F.col("b_base").isNotNull(), 1).otherwise(0)).alias(
+            "has_base"
+        ),
+    )
+    return (
+        per_day.filter((F.col("has_back") == 1) & (F.col("has_base") == 1))
+        .select(
+            "day",
+            "base_users",
+            "retained_users",
+            (
+                F.col("retained_users").cast("double")
+                / F.col("base_users")
+            ).alias("retention_7d"),
+        )
+        .orderBy("day")
+    )

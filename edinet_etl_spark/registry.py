@@ -85,15 +85,16 @@ def load_all() -> None:
 # round-8 net-new queries (each needs a first driver row), and the
 # three queries whose code changed this round (ngram graduation /
 # decile plan pin / winnowing position cap / RRF dial refactor).  The
-# backfill slots rotate in 29 of the 47 names whose only driver row is
+# backfill slots rotate in 27 of the 47 names whose only driver row is
 # from ROUND 1 — seven rounds of environment drift unconfirmed — so a
 # green window both closes the net-new ledger and refreshes the oldest
-# evidence.  The 18 remaining r1-only names rotate in next round.
-# (Seven late-r8 additions — nelson_aalen_hazard /
+# evidence.  The 20 remaining r1-only names rotate in next round.
+# (Nine late-r8 additions — nelson_aalen_hazard /
 # interval_union_coverage / bitmap_distinct_rollup /
 # streaming_bitmap_distinct / rolling_7d_active_bitmap /
-# audio_silence_segments / quantity_moment_stats — took the last
-# seven backfill slots; the displaced names lead the behind-window
+# audio_silence_segments / quantity_moment_stats /
+# bitmap_retention_pairs / leakage_safe_split_audit — took the last
+# nine backfill slots; the displaced names lead the behind-window
 # cohort.)
 _PRIORITY: tuple[str, ...] = (
     # ---- 1-3: KM re-proof + diagnostic probes ----
@@ -107,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "nelson_aalen_hazard", "interval_union_coverage",
     "bitmap_distinct_rollup", "streaming_bitmap_distinct",
     "rolling_7d_active_bitmap", "audio_silence_segments",
-    "quantity_moment_stats",
+    "quantity_moment_stats", "bitmap_retention_pairs",
+    "leakage_safe_split_audit",
     # ---- backfill: last driver-tested in round 1 ----
     "customer_rank_in_nation", "order_lag_lead", "running_customer_spend",
     "yearly_spend_range_frame", "top3_orders_per_priority",
@@ -119,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "price_quantity_corr", "price_histogram", "orders_upsert_merge",
     "order_value_distribution", "salted_hotkey_join_totals",
     "scd2_customer_dim", "exact_dedup", "bag_of_words_dedup",
-    "minhash_lsh_candidates", "simhash_signatures", "neardup_components",
-    "neardup_canonical_docs",
+    "minhash_lsh_candidates", "simhash_signatures",
     # ---- behind the window: the next r1-only cohort, so a wider
     # sweep (or the r9 head) picks them up first ----
+    "neardup_components", "neardup_canonical_docs",
     "delta_dedup_against_corpus",
     "tumbling_hourly_stats", "sliding_30m_windows", "user_sessions",
     "first_event_per_user_type", "eventtype_hourly_pivot",
