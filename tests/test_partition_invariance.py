@@ -89,6 +89,17 @@ CASES = [
     "mmr_diversified_topk",
     "bloom_semijoin_prefilter_audit",
     "edit_distance_near_pairs",
+    # round-8 float-bearing additions: decimal window-sum of single
+    # divisions (Nelson-Aalen), per-key sweep ratio (interval union),
+    # bitmap popcount ratios (distinct rollup / retention), moments
+    # expression tree off exact power sums, VAD silence ratio
+    "nelson_aalen_hazard",
+    "interval_union_coverage",
+    "bitmap_distinct_rollup",
+    "rolling_7d_active_bitmap",
+    "bitmap_retention_pairs",
+    "quantity_moment_stats",
+    "audio_silence_segments",
 ]
 
 
