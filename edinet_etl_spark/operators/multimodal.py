@@ -814,8 +814,9 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD-style silence segmentation per audio payload — the curation
     pass that strips dead air before transcription (leading-silence
     trim point, longest pause, silence ratio): frame energies at
-    {_VAD_FRAME}-sample granularity, frames under {_VAD_THRESH} are
-    silence, consecutive silent frames merge into segments — the
+    ``_VAD_FRAME``(=32)-sample granularity, frames under
+    ``_VAD_THRESH``(=50000) are silence, consecutive silent frames
+    merge into segments — the
     gaps-and-islands sweep run INSIDE the Arrow kernel where the
     samples live, so the cluster never shuffles frame rows at all.
 

@@ -1699,9 +1699,15 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count agree bit-for-bit across engines); one final division.
 
     Scale: three cascading map-side-combinable aggregates with strictly
-    decreasing grain; shuffle bytes are bounded by occupied words (<=
-    distinct users / 64 per cell), not event rows.  At 10^9 users a
-    (type, day) cell is <= 125 MB of words spread across partitions --
+    decreasing grain; shuffle bytes are bounded by occupied words, not
+    event rows.  Occupied words per cell range from distinct/64 (DENSE
+    id space -- true of this fixture's sequential user_ids and of any
+    dictionary-encoded dimension) up to min(distinct, id_space/64) when
+    ids are sparse (e.g. raw 64-bit hashes): sparse-id deployments must
+    remap through a dense dictionary first (or swap the packed word for
+    a roaring-style container).  Under the dense assumption, at 10^9
+    users a (type, day) cell is <= 125 MB of words spread across
+    partitions --
     and the level-1 partials are exactly what a serving layer persists
     so week/month/lifetime exact distincts become popcount-only reads
     (the reference's only distinct-count is a driver-side dict of

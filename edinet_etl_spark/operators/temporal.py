@@ -965,25 +965,40 @@ def ewma_user_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared KM event-grid CTE: per-user (first event, first purchase),
-# censor-at-horizon observation times, the calendar-day grid, and the
-# suffix-sum risk set — all BIGINT arithmetic up to this point.  Reused
-# verbatim by kaplan_meier_conversion and its two diagnostic probes so
-# a red probe names the exact diverging stage.
+# censor-at-horizon observation times, the day grid, and the risk set
+# — all BIGINT arithmetic up to this point.  Reused verbatim by
+# kaplan_meier_conversion and its diagnostic probes so a red probe
+# names the exact diverging stage.
+#
+# Round-9 rewrite (VERDICT r8 task 1): `km_grid_probe` went driver-RED
+# on pure-BIGINT output, proving the 3-round divergence lives in the
+# old aggregated-MIN/MAX → CAST AS DATE → date_diff path and/or the
+# suffix-frame window, NOT in float rounding.  Both suspects are gone:
+# the time axis is now CALENDAR-FREE — every timestamp becomes an
+# epoch-day BIGINT *before* aggregation via
+# ``epoch_us // 86_400_000_000`` (the CAST pins µs explicitly in case
+# the engine reads the fixture's TIMESTAMP_NS natively; all event
+# instants are post-1970, so floor and truncating division agree) —
+# and the risk set is total-minus-prefix over the grid instead of a
+# suffix frame.  Nothing in KM needs calendar semantics: only day
+# DELTAS matter, and integer subtraction is the same in every engine.
 _KM_RISK_CTE = """
-    per_user AS (
+    ev_days AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day
+      FROM events
+    ), per_user AS (
       SELECT user_id,
-             MIN(ts) AS t_first,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
-      FROM events GROUP BY user_id
+             MIN(day) AS d_first,
+             MIN(CASE WHEN event_type = 'purchase' THEN day END) AS d_purch
+      FROM ev_days GROUP BY user_id
     ), horizon AS (
-      SELECT MAX(ts) AS h FROM events
+      SELECT MAX(day) AS h FROM ev_days
     ), obs AS (
-      SELECT CASE WHEN t_purch IS NOT NULL
-                  THEN date_diff('day', CAST(t_first AS DATE),
-                                 CAST(t_purch AS DATE))
-                  ELSE date_diff('day', CAST(t_first AS DATE),
-                                 CAST(horizon.h AS DATE)) END AS t,
-             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      SELECT CASE WHEN d_purch IS NOT NULL THEN d_purch - d_first
+                  ELSE horizon.h - d_first END AS t,
+             CASE WHEN d_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
       FROM per_user, horizon
     ), grid AS (
       SELECT t,
@@ -992,9 +1007,10 @@ _KM_RISK_CTE = """
       FROM obs GROUP BY t
     ), risk AS (
       SELECT t, d, c,
-             SUM(d + c) OVER (ORDER BY t
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-               AS n_at_risk
+             CAST(SUM(d + c) OVER ()
+                  - COALESCE(SUM(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_at_risk
       FROM grid
     )
 """
@@ -1004,23 +1020,37 @@ def _km_risk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_KM_RISK_CTE``: the (t, d, c, n_at_risk) grid.
 
     One user-keyed combinable aggregate collapses the corpus to
-    per-user rows, then a calendar-day grid bounded by the observation
-    span (~30 rows); the suffix-sum risk window runs on that
-    constant-size grid, never on data."""
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").alias("t_first"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("t_purch"),
+    per-user rows, then a day grid bounded by the observation span
+    (~30 rows); the risk windows run on that constant-size grid, never
+    on data.
+
+    Calendar-free (round 9): the ``.cast("timestamp")`` is the NTZ→LTZ
+    hop `unix_micros` needs (a no-op on the nanos-fixture path, which
+    already yields LTZ); under `prep`'s pinned-UTC session the result
+    is the raw epoch-µs integer, and ``div`` on post-1970 instants
+    matches the oracle's floor ``//``.  Day conversion happens
+    PRE-aggregation so both engines aggregate plain BIGINTs — no
+    aggregated-timestamp representation ever crosses an engine
+    boundary.  The risk set is total-minus-prefix (two frames sharing
+    one ORDER BY t sort) rather than a suffix frame."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
     )
-    horizon = ev.agg(F.max("ts").alias("h"))
-    has = F.col("t_purch").isNotNull()
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("d_purch"),
+    )
+    horizon = ev.agg(F.max("day").alias("h"))
+    has = F.col("d_purch").isNotNull()
     obs = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.when(
-            has, F.datediff(F.to_date("t_purch"), F.to_date("t_first"))
-        )
-        .otherwise(F.datediff(F.to_date("h"), F.to_date("t_first")))
+        F.when(has, F.col("d_purch") - F.col("d_first"))
+        .otherwise(F.col("h") - F.col("d_first"))
         .alias("t"),
         has.cast("int").alias("ev"),
     )
@@ -1028,14 +1058,21 @@ def _km_risk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("bigint").alias("d"),
         (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
     )
-    # risk set = observations at-or-after t, as a suffix sum over the
-    # grid itself — no separate count() action (which would re-run the
-    # per-user aggregation: the corpus_drift_report lesson)
-    w_suffix = Window.orderBy("t").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # risk set = observations at-or-after t, spelled total-minus-prefix
+    # over the grid itself — one window sort, no suffix frame, and no
+    # separate count() action (which would re-run the per-user
+    # aggregation: the corpus_drift_report lesson)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    w_prefix = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    dc = F.col("d") + F.col("c")
     return grid.withColumn(
-        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_suffix)
+        "n_at_risk",
+        (
+            F.sum(dc).over(w_all)
+            - F.coalesce(F.sum(dc).over(w_prefix), F.lit(0))
+        ).cast("bigint"),
     )
 
 
@@ -1052,9 +1089,12 @@ def _km_risk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def km_grid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic probe 1 for the kaplan_meier_conversion driver-env
     divergence (VERDICT r7 task 1): emit ONLY the pure-BIGINT event
-    grid (t, d, c, n_at_risk) — no doubles anywhere.  A red driver row
-    here localizes the divergence to timestamp(NANOS)→DATE handling or
-    grid arithmetic; a green row exonerates every integer stage."""
+    grid (t, d, c, n_at_risk) — no doubles anywhere.  Its round-8 RED
+    proved the divergence lived in the old calendar path (aggregated
+    timestamps → DATE → date_diff + suffix frame); the grid is now
+    calendar-free epoch-day integer arithmetic (round 9, see
+    ``_KM_RISK_CTE``).  A green row exonerates every integer stage;
+    `km_obs_probe` sits one grain earlier if it ever reds again."""
     prep(spark)
     return _km_risk_frame(spark, sf_dir).select(
         F.col("t").alias("time_days"),
@@ -1062,6 +1102,50 @@ def km_grid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored_at"),
         "n_at_risk",
     ).orderBy("time_days")
+
+
+@query(
+    "km_obs_probe",
+    oracle=f"""
+    WITH {_KM_RISK_CTE}
+    SELECT user_id, d_first, d_purch,
+           CASE WHEN d_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM per_user ORDER BY user_id
+    """,
+    covers=["A-extended", "F1-F4"],
+)
+def km_obs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic probe 0 for the KM family, at the PRE-grid grain
+    (VERDICT r8 task 1): per-user absolute epoch-day BIGINTs for first
+    event and first purchase — the raw material every later KM stage
+    is built from.  A red driver row here means the engine pair
+    disagrees on the timestamp→epoch-day integer itself (fixture
+    decode or µs truncation); a green row plus a red grid row would
+    pin any residual divergence on grid arithmetic alone."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("day").alias("d_first"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("day"))
+            ).alias("d_purch"),
+        )
+        .select(
+            "user_id",
+            "d_first",
+            "d_purch",
+            F.col("d_purch").isNotNull().cast("int").alias("ev"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @query(
@@ -1144,23 +1228,30 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     `array_sort`ed (t, factor) struct array with an explicit 1.0 seed
     -- the identical ascending-t multiplication sequence.
 
-    Round-8 hardening (VERDICT r7 task 1): two rounds of driver-red
-    with a LOCAL bit-identical repro on both sides proved the residual
-    divergence is driver-environment-specific (an ulp somewhere we
-    cannot observe).  The published `survival` column is therefore
-    QUANTIZED through the repo's own float discipline --
-    DECIMAL(18,8) -> string -> double on BOTH sides -- which absorbs
-    any sub-1e-8 divergence; 8 decimals is beyond any consumer's use
-    of a survival curve, so semantics are unchanged.  The sibling
-    probes `km_grid_probe` (pure-BIGINT grid) and `km_factor_probe`
-    (single divisions) localize the diverging stage if this row ever
-    reds again.
+    Round-8 hardening (VERDICT r7 task 1): the published `survival`
+    column is QUANTIZED through the repo's own float discipline --
+    DECIMAL(18,8) -> string -> double on BOTH sides -- absorbing any
+    sub-1e-8 divergence; 8 decimals is beyond any consumer's use of a
+    survival curve, so semantics are unchanged.
+
+    Round-9 root fix (VERDICT r8 task 1): `km_grid_probe` going RED on
+    pure-BIGINT output falsified the float-rounding premise -- the
+    driver divergence lived in the integer TIME GRID (aggregated
+    timestamps -> CAST AS DATE -> date_diff, plus the suffix-frame
+    window).  ``_KM_RISK_CTE`` is now calendar-free: timestamps become
+    epoch-day BIGINTs pre-aggregation (`epoch_us // 86_400_000_000` on
+    both sides) and the risk set is total-minus-prefix.  The probes
+    `km_obs_probe` (pre-grid grain), `km_grid_probe` (pure-BIGINT
+    grid) and `km_factor_probe` (single divisions) localize the stage
+    if this row ever reds again; `tests/test_km_model.py` replays the
+    same grid with stdlib ints to separate repo-wrong from engine-pair
+    divergence in one glance.
 
     Scale: one user-keyed combinable aggregate collapses the corpus
-    to per-user (first event, first purchase) rows, then to a
-    calendar-day grid bounded by the observation span (~30 rows) --
-    the cumulative risk and product windows run on that constant-size
-    grid, never on data.  10x the events is the same grid."""
+    to per-user (first event, first purchase) rows, then to a day
+    grid bounded by the observation span (~30 rows) -- the cumulative
+    risk and product windows run on that constant-size grid, never on
+    data.  10x the events is the same grid."""
     prep(spark)
     risk = _km_risk_frame(spark, sf_dir)
     w_cum = Window.orderBy("t").rowsBetween(

@@ -1409,8 +1409,10 @@ def make_bitmap_upsert(snapshot_dir: str):
     foreachBatch delivery cannot corrupt it even without the replay
     guard — the shared skeleton's guard stays on anyway (it also skips
     the wasted rewrite).  Snapshot is one row per OCCUPIED
-    (event_type, word): ≤ types · distinct_users/64 rows no matter the
-    event volume."""
+    (event_type, word): types · distinct_users/64 rows for a DENSE id
+    space (this fixture; sparse/hashed ids need a dense remap or a
+    roaring-style container — see `bitmap_distinct_rollup`), no matter
+    the event volume."""
 
     def build_updates(batch_df: DataFrame) -> DataFrame:
         return batch_df.groupBy(
@@ -1460,9 +1462,11 @@ def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest correctness statement a streaming sink can make here.
 
     At 100 TB/day: per-batch update rows are bounded by the batch's
-    occupied words, snapshot size by distinct_users/64 per type; the
-    readout never touches raw events.  10^9 users × 5 types ≈ 625 MB
-    of words — a small serving table maintained by pure column ops."""
+    occupied words, snapshot size by distinct_users/64 per type GIVEN
+    a dense id space (sparse/hashed ids need a dense remap first — see
+    `bitmap_distinct_rollup`); the readout never touches raw events.
+    10^9 dense users × 5 types ≈ 625 MB of words — a small serving
+    table maintained by pure column ops."""
     prep(spark)
     snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_bitmapstream")
     ev = read_events_stream(spark, sf_dir)
