@@ -88,7 +88,11 @@ HEADLINE = [
     # SCALE.md and plan-audited via tools/plan_audit.py)
     "bpe_train_steps",
     "kmv_jaccard_intersection",
-    "lsh_recall_curve",
+    # lsh_recall_curve rotated out round 9 (VERDICT r8 task 5: no
+    # declared-quadratic eval arm in the timed top-3; its sample dial
+    # also dropped 2→4).  Still driver-checked + probe-tracked in
+    # SCALE.md; LSH family covered by minhash_lsh_candidates +
+    # fuzzy_name_linkage + simhash_hamming_near_pairs.
     "duplicate_span_scrub",
     "training_mix_manifest",
     "cdc_apply_changes",
@@ -123,6 +127,10 @@ HEADLINE = [
     # SCALE.md's ledger to hold the line budget)
     "scd2_point_in_time_join",
     "isotonic_calibration_pav",
+    # round-9 representative (graph-analytics family; LPA and
+    # assortativity are probe-tracked in SCALE.md — the three share the
+    # same edge-build stage, so one timed rep covers the family's cost)
+    "copurchase_degree_stats",
 ]
 
 

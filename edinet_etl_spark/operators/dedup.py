@@ -1462,7 +1462,7 @@ _RECALL_ANALYTIC = tuple(1.0 - (1.0 - s * s) ** 4 for s in _RECALL_BAND_MIDS)
 # 5-band curve), so the eval cost stays flat as the corpus grows.
 # The candidate pipeline under test runs on the same sample, so the
 # measured recall stays apples-to-apples at any mod.
-_RECALL_SAMPLE_MOD = 2
+_RECALL_SAMPLE_MOD = 4
 
 
 @query(
@@ -1540,12 +1540,14 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical literals into both engines; recall itself is an int/int
     division — every column bit-comparable.
 
-    Measured (sf0.01): J∈[0.8,1] → 5/5 retrieved; J∈[0.2,0.4) →
-    recall 0.061 vs analytic 0.31 at the band MIDPOINT — the gap is
+    Measured (sf0.01, mod=4): J∈[0.8,1] → 2/2 retrieved; J∈[0.2,0.4)
+    → recall 0.067 vs analytic 0.31 at the band MIDPOINT — the gap is
     band-mass skew, not a pipeline defect: pair mass concentrates at
     the band floor, and analytic(0.2) = 0.063 matches the observation.
     Reading the curve against the floor/midpoint pair is exactly what
-    this query is for."""
+    this query is for.  (mod raised 2→4 in round 9 per the production
+    guidance above — the curve reads identically on the smaller
+    sample; VERDICT r8 task 5.)"""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")

@@ -50,6 +50,7 @@ def load_all() -> None:
         dedup,
         events,
         formats,
+        graph,
         llmdata,
         multimodal,
         pii,
@@ -79,66 +80,70 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-8 rotation (VERDICT r7 tasks 1+4): the head carries the
-# hard-signal names — the KM re-proof (survival now DECIMAL(18,8)-
-# quantized on both sides) flanked by its two diagnostic probes, the
-# round-8 net-new queries (each needs a first driver row), and the
-# three queries whose code changed this round (ngram graduation /
-# decile plan pin / winnowing position cap / RRF dial refactor).  The
-# backfill slots rotate in 27 of the 47 names whose only driver row is
-# from ROUND 1 — seven rounds of environment drift unconfirmed — so a
-# green window both closes the net-new ledger and refreshes the oldest
-# evidence.  The 20 remaining r1-only names rotate in next round.
-# (Nine late-r8 additions — nelson_aalen_hazard /
-# interval_union_coverage / bitmap_distinct_rollup /
-# streaming_bitmap_distinct / rolling_7d_active_bitmap /
-# audio_silence_segments / quantity_moment_stats /
-# bitmap_retention_pairs / leakage_safe_split_audit — took the last
-# nine backfill slots; the displaced names lead the behind-window
-# cohort.)
+# Round-9 rotation (VERDICT r8 tasks 1+3): the head carries the
+# hard-signal names — the KM-family re-proof FIRST (the grid is now
+# calendar-free epoch-day integer arithmetic; these 4 were the
+# registry's only reds for 3 rounds, plus the new pre-grid probe
+# km_obs_probe), then the round-9 net-new graph family (first driver
+# rows), then the two queries whose code changed this round
+# (rrf_fusion_topk join restructure, lsh_recall_curve sample dial).
+# The backfill rotates in ALL 19 names whose only driver row is from
+# ROUND 1 (closing the r1-only ledger entirely) and then the oldest
+# 20 of the round-2 cohort; the remaining r2 names lead the
+# behind-window section and rotate in next round.
 _PRIORITY: tuple[str, ...] = (
-    # ---- 1-3: KM re-proof + diagnostic probes ----
-    "kaplan_meier_conversion", "km_grid_probe", "km_factor_probe",
-    # ---- round-8 net-new / changed (first driver row or re-proof) ----
-    "ngram_jaccard_pairs", "ngram_jaccard_allpairs_eval",
-    "streaming_join_view_maintenance", "isotonic_calibration_pav",
-    "t_closeness_audit", "scd2_point_in_time_join",
-    "bucketed_colocated_join_audit", "image_ahash_neardup",
-    "decile_lift_table", "winnowing_fingerprints", "rrf_fusion_topk",
-    "nelson_aalen_hazard", "interval_union_coverage",
-    "bitmap_distinct_rollup", "streaming_bitmap_distinct",
-    "rolling_7d_active_bitmap", "audio_silence_segments",
-    "quantity_moment_stats", "bitmap_retention_pairs",
-    "leakage_safe_split_audit",
-    # ---- backfill: last driver-tested in round 1 ----
-    "customer_rank_in_nation", "order_lag_lead", "running_customer_spend",
-    "yearly_spend_range_frame", "top3_orders_per_priority",
-    "customer_quartiles", "sales_cube", "sales_rollup",
-    "order_grouping_sets", "distinct_part_counts", "quantity_pivot",
-    "percentile_stats", "salted_returnflag_totals",
-    "lineitem_metrics_unpivot", "fuzzy_name_pairs",
-    "deterministic_sample_stats", "nations_per_region_listagg",
-    "price_quantity_corr", "price_histogram", "orders_upsert_merge",
-    "order_value_distribution", "salted_hotkey_join_totals",
-    "scd2_customer_dim", "exact_dedup", "bag_of_words_dedup",
-    "minhash_lsh_candidates", "simhash_signatures",
-    # ---- behind the window: the next r1-only cohort, so a wider
-    # sweep (or the r9 head) picks them up first ----
-    "neardup_components", "neardup_canonical_docs",
-    "delta_dedup_against_corpus",
-    "tumbling_hourly_stats", "sliding_30m_windows", "user_sessions",
-    "first_event_per_user_type", "eventtype_hourly_pivot",
-    "multires_time_rollup",
-    "user_retention_cohorts", "event_funnel_conversion",
-    "event_type_map_roundtrip", "event_transition_counts",
-    "stratified_doc_sample", "train_test_split_counts",
-    "benchmark_contamination", "quality_filter_funnel",
+    # ---- 1-5: KM-family re-proof (calendar-free grid, r9 task 1) ----
+    "kaplan_meier_conversion", "km_grid_probe", "km_obs_probe",
+    "km_factor_probe", "nelson_aalen_hazard",
+    # ---- round-9 net-new: graph analytics (first driver rows) ----
+    "label_propagation_communities", "copurchase_degree_stats",
+    "copurchase_assortativity",
+    # ---- code changed this round (re-proof) ----
+    "rrf_fusion_topk", "lsh_recall_curve",
+    # ---- backfill: the whole remaining r1-only cohort ----
+    "benchmark_contamination", "corpus_common_ngrams",
+    "delta_dedup_against_corpus", "event_funnel_conversion",
+    "event_transition_counts", "event_type_map_roundtrip",
+    "eventtype_hourly_pivot", "first_event_per_user_type",
+    "multires_time_rollup", "neardup_canonical_docs",
+    "neardup_components", "quality_filter_funnel",
+    "sliding_30m_windows", "stratified_doc_sample",
+    "train_test_split_counts", "tumbling_hourly_stats",
+    "user_retention_cohorts", "user_sessions",
+    "weighted_mixture_sample",
+    # ---- backfill: oldest 20 of the round-2 cohort ----
+    "asof_latest_order_per_event", "best_order_per_customer",
+    "cast_failure_skip", "cms_heavy_hitters",
+    "corpus_curation_pipeline", "cosine_topk_bruteforce",
+    "customers_without_orders", "data_quality_checks",
+    "date_functions", "date_range_generation",
+    "deterministic_top_orders", "distinct_nation_segments",
+    "dynamic_value_filter", "filtered_customer_projection",
+    "flag_dispatch", "forecast_revenue_change",
+    "largest_lineitem_per_order", "local_supplier_volume",
+    "lsh_bucket_ann", "multimodal_decode",
+    # ---- behind the window: the rest of the round-2 cohort, so a
+    # wider sweep (or the r10 head) picks them up first ----
+    "nation_balance_full_join", "nullsafe_segment_match",
+    "order_priority_check", "order_union_all",
+    "pandas_udf_clipped_balances", "part_membership_filters",
+    "pii_scrub_customers", "pq_adc_topk",
+    "price_neighbor_pairs_binned", "props_json_decode",
+    "region_nation_cross", "returnflag_multiset_ops",
+    "segment_intersect", "source_mix_report",
+    "sql_lateral_top2_orders", "sql_top_nation_per_region",
+    "streaming_purchase_attribution", "streaming_tumbling_hourly",
+    "streaming_user_totals", "string_functions",
+    "suppliers_kept_waiting", "table_counts", "text_stats",
+    "token_budget_pack", "top_unshipped_orders",
+    "triangle_count_copurchase", "udtf_char_ngrams",
+    "year_offset_decode",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
 # first, round-1-green modules last.
 _MODULE_ORDER: tuple[str, ...] = (
-    "sketches", "pii", "quality", "temporal", "text", "similarity", "subqueries", "tpch_rest",
+    "graph", "sketches", "pii", "quality", "temporal", "text", "similarity", "subqueries", "tpch_rest",
     "udf_surface", "jobs", "multimodal", "sql_api", "relational",
     "reference_ops", "llmdata", "events", "dedup", "analytics",
 )

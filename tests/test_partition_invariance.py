@@ -100,6 +100,13 @@ CASES = [
     "bitmap_retention_pairs",
     "quantity_moment_stats",
     "audio_silence_segments",
+    # round-9 float-bearing additions: node_frac single division over
+    # a window total (degree stats), the shared IEEE expression tree
+    # off exact BIGINT power sums (assortativity); LPA is all-integer
+    # but its per-round argmin-struct must not depend on partitioning
+    "copurchase_degree_stats",
+    "copurchase_assortativity",
+    "label_propagation_communities",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Invariant tests for the round-9 graph operators (beyond the oracle
+differential): a stdlib-int model replay of synchronous label
+propagation, exact power-sum replay of the assortativity coefficient,
+and degree-distribution conservation laws.  Same philosophy as
+tests/test_km_model.py — model==Spark separates repo-wrong from
+engine-pair divergence in one glance.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from edinet_etl_spark import registry
+from edinet_etl_spark.operators.graph import _LPA_ROUNDS
+from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
+
+registry.load_all()
+
+MODEL_SF = "/root/testdata/sf0.001"
+
+
+def _edges(sf_dir: str) -> set[tuple[int, int]]:
+    """Symmetrized distinct co-purchase edge set with stdlib types."""
+    tb = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    per_order: dict[int, set[int]] = defaultdict(set)
+    for ok, pk in zip(
+        tb.column("l_orderkey").to_pylist(), tb.column("l_partkey").to_pylist()
+    ):
+        per_order[ok].add(pk)
+    out: set[tuple[int, int]] = set()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                out.add((u, v))
+                out.add((v, u))
+    return out
+
+
+def _model_lpa(edges: set[tuple[int, int]], rounds: int) -> dict[int, int]:
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nb in nbrs.items():
+            votes = Counter(labels[x] for x in nb)
+            # most frequent, ties to smallest label
+            nxt[n] = min(votes, key=lambda lab: (-votes[lab], lab))
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_model(spark):
+    edges = _edges(MODEL_SF)
+    model = _model_lpa(edges, _LPA_ROUNDS)
+    sizes = Counter(model.values())
+    rows = registry.QUERIES["label_propagation_communities"](
+        spark, MODEL_SF
+    ).collect()
+    got = {r["part_id"]: (r["community"], r["community_size"]) for r in rows}
+    assert got == {n: (lab, sizes[lab]) for n, lab in model.items()}
+
+
+def test_lpa_labels_are_member_part_keys(spark):
+    """Every community label is itself a node of the graph (labels are
+    part keys propagated from seeds, never synthetic)."""
+    rows = registry.QUERIES["label_propagation_communities"](
+        spark, SF_DIR
+    ).collect()
+    nodes = {r["part_id"] for r in rows}
+    assert {r["community"] for r in rows} <= nodes
+    # community sizes partition the node set
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r["community"], set()).add(r["part_id"])
+    for r in rows:
+        assert r["community_size"] == len(sizes[r["community"]])
+
+
+def test_assortativity_matches_exact_power_sums(spark):
+    edges = _edges(MODEL_SF)
+    deg = Counter(u for u, _ in edges)
+    m = len(edges)
+    sx = sum(deg[u] for u, _ in edges)
+    sxy = sum(deg[u] * deg[v] for u, v in edges)
+    sxx = sum(deg[u] * deg[u] for u, _ in edges)
+    mu = sx / m
+    expect = (sxy / m - mu * mu) / (sxx / m - mu * mu)
+    [row] = registry.QUERIES["copurchase_assortativity"](
+        spark, MODEL_SF
+    ).collect()
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == m // 2
+    assert row["avg_degree"] == m / len(deg)
+    # identical IEEE expression tree → bit equality, not approx
+    assert row["assortativity"] == expect
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_degree_stats_conservation(spark):
+    edges = _edges(MODEL_SF)
+    deg = Counter(u for u, _ in edges)
+    dist = Counter(deg.values())
+    rows = registry.QUERIES["copurchase_degree_stats"](
+        spark, MODEL_SF
+    ).collect()
+    assert {r["degree"]: r["n_nodes"] for r in rows} == dict(dist)
+    # fractions are n/total with the same denominator everywhere
+    total = sum(dist.values())
+    for r in rows:
+        assert r["node_frac"] == r["n_nodes"] / total
+    assert sum(r["n_nodes"] for r in rows) == total
+    # handshake: sum(degree * count) = |directed edges|
+    assert sum(r["degree"] * r["n_nodes"] for r in rows) == len(edges)
