@@ -107,6 +107,7 @@ CASES = [
     "copurchase_degree_stats",
     "copurchase_assortativity",
     "label_propagation_communities",
+    "copurchase_modularity",
 ]
 
 

@@ -106,6 +106,36 @@ def test_assortativity_matches_exact_power_sums(spark):
     assert -1.0 <= row["assortativity"] <= 1.0
 
 
+def test_modularity_matches_python_model(spark):
+    """Replay Q = Σ_c e_c/m − (d_c/m)² with stdlib ints + the repo's
+    decimal quantize-then-sum float discipline."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    edges = _edges(MODEL_SF)
+    labels = _model_lpa(edges, _LPA_ROUNDS)
+    m = len(edges)
+    d_c: dict[int, int] = defaultdict(int)
+    e_c: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        d_c[labels[u]] += 1
+        if labels[u] == labels[v]:
+            e_c[labels[u]] += 1
+    q = Decimal(0)
+    for c in d_c:
+        term = e_c[c] / m - (d_c[c] / m) * (d_c[c] / m)
+        q += Decimal(repr(term)).quantize(
+            Decimal("1e-8"), rounding=ROUND_HALF_UP
+        )
+    [row] = registry.QUERIES["copurchase_modularity"](
+        spark, MODEL_SF
+    ).collect()
+    assert row["n_communities"] == len(d_c)
+    assert row["m_directed_edges"] == m
+    assert row["modularity"] == float(str(q))
+    # Q is bounded: [-1/2, 1) for any partition
+    assert -0.5 <= row["modularity"] < 1.0
+
+
 def test_degree_stats_conservation(spark):
     edges = _edges(MODEL_SF)
     deg = Counter(u for u, _ in edges)
