@@ -130,21 +130,22 @@ def _lpa_oracle(rounds: int) -> str:
     """
 
 
-def _lpa_labels(spark: SparkSession, sf_dir: str):
-    """The fixed-round LPA loop (Spark twin of ``_lpa_ctes``): returns
-    (edges, labels) with labels = (node, lab) after ``_LPA_ROUNDS``
-    synchronous rounds.  The per-round top-1 is a `MIN((-n, lab))`
-    struct aggregate — lexicographic struct order == "most votes, then
-    smallest label", identical to the oracle's ROW_NUMBER pick but
-    map-side-combinable with no per-round sort (13 s → 4.6 s at
-    sf0.1)."""
-    edges = copurchase_edges(spark, sf_dir)
+def lpa_rounds_over(edges: DataFrame, rounds: int) -> DataFrame:
+    """Fixed-round synchronous LPA over ANY symmetrized edge frame
+    (columns u, v) — the reusable core, also pinned against a
+    stdlib-int model on hypothesis-generated random graphs in
+    tests/test_properties_round9.py.  Returns (node, lab).
+
+    The per-round top-1 is a `MIN((-n, lab))` struct aggregate —
+    lexicographic struct order == "most votes, then smallest label",
+    identical to the oracle's ROW_NUMBER pick but map-side-combinable
+    with no per-round sort (13 s → 4.6 s at sf0.1)."""
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
     )
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(rounds):
         votes = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u", "lab")
@@ -161,7 +162,14 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             )
             .select(F.col("u").alias("node"), F.col("s.lab").alias("lab"))
         )
-    return edges, labels
+    return labels
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(edges, labels) after ``_LPA_ROUNDS`` rounds on the co-purchase
+    graph — the Spark twin of ``_lpa_ctes``."""
+    edges = copurchase_edges(spark, sf_dir)
+    return edges, lpa_rounds_over(edges, _LPA_ROUNDS)
 
 
 @query(

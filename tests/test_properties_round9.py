@@ -12,9 +12,11 @@ from collections import Counter, defaultdict
 
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from edinet_etl_spark import registry
-from edinet_etl_spark.operators.graph import _LPA_ROUNDS
+from edinet_etl_spark.operators.graph import _LPA_ROUNDS, lpa_rounds_over
 from tests.conftest import SF_DIR
 
 pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
@@ -104,6 +106,35 @@ def test_assortativity_matches_exact_power_sums(spark):
     # identical IEEE expression tree → bit equality, not approx
     assert row["assortativity"] == expect
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+# random undirected graphs: edge list over a small node universe
+_rand_edges = st.sets(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_rand_edges)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lpa_core_matches_model_on_random_graphs(spark, raw):
+    """`lpa_rounds_over` == the stdlib-int model on hypothesis-random
+    graphs — catches tie-break or self-loop mistakes the single dense
+    fixture can't."""
+    sym = {(u, v) for u, v in raw} | {(v, u) for u, v in raw}
+    edges = spark.createDataFrame(sorted(sym), "u long, v long")
+    got = {
+        (r["node"], r["lab"])
+        for r in lpa_rounds_over(edges, 3).collect()
+    }
+    assert got == set(_model_lpa(sym, 3).items())
 
 
 def test_modularity_matches_python_model(spark):
