@@ -39,6 +39,10 @@ SAMPLE = [
     "edit_distance_near_pairs",
     "kcenter_coreset_selection",
     "zorder_data_skipping_audit",
+    # round-9 family representatives (calendar-free KM grid + graph)
+    "kaplan_meier_conversion",
+    "label_propagation_communities",
+    "copurchase_modularity",
 ]
 
 
