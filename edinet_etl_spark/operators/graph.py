@@ -429,3 +429,84 @@ def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("m_directed_edges"),
         dsum(term, "modularity"),
     )
+
+
+# LPA rounds over the embedding near-dup candidate graph.  Semantic
+# clusters there are small block-bounded clumps, so fewer rounds than
+# the dense co-purchase graph; own dial per the per-family-prefix rule.
+_EMBC_ROUNDS = 3
+
+
+def _embc_oracle() -> str:
+    from edinet_etl_spark.operators.similarity import (
+        _SQL_NEARDUP_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH {_SQL_NEARDUP_PAIRS_CTES}, pairs AS (
+      SELECT vec_a AS u, vec_b AS v FROM npairs
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY u
+    ), {_lpa_ctes(_EMBC_ROUNDS)}
+    SELECT node AS vec_id, lab AS cluster,
+           CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT)
+             AS cluster_size
+    FROM lbl{_EMBC_ROUNDS} ORDER BY vec_id
+    """
+
+
+@query(
+    "embedding_cluster_assignments",
+    oracle=_embc_oracle(),
+    covers=["M6-similarity", "M6-graph", "X-iterative", "LLM-curation"],
+)
+def embedding_cluster_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC CLUSTER IDS over the embedding corpus — the curation
+    pass that groups a training set into semantically-coherent clumps
+    (SemDeDup-style cluster-then-prune, topic-balanced mixing,
+    per-cluster contamination audits all start from exactly this
+    table): the blocked cosine near-dup graph
+    (`similarity.embedding_neardup_blocked`, label×salt sub-blocks,
+    cosine > 0.35 — pair work linear in block size, never corpus²)
+    symmetrized into edges, then ``_EMBC_ROUNDS`` rounds of the same
+    fixed-round label propagation as the co-purchase communities
+    (`lpa_rounds_over`).  Vectors with no near-dup candidate are
+    absent — they are their own trivial clusters, and omitting them
+    keeps the output the "interesting clumps" table a curator reads.
+
+    Exactness: the candidate stage is the driver-proven cosine
+    expression (exact array folds, two sqrts, one division —
+    correctly rounded, bit-stable); the threshold is a literal; from
+    there everything is the all-integer LPA replay — the oracle
+    composes the shared near-dup CTE with the identical unrolled
+    rounds.
+
+    Scale: candidate generation is the linear blocked join (the 10×
+    probe history lives on `embedding_neardup_blocked`); LPA adds
+    O(edges)-per-round map-combinable shuffles over a graph that is
+    orders smaller than the corpus (only candidate-linked vectors).
+    At 100 TB the blocking is IVF cells or hyperplane buckets — the
+    same composition with the candidate CTE swapped."""
+    prep(spark)
+    from edinet_etl_spark.operators.similarity import (
+        embedding_neardup_blocked,
+    )
+
+    pairs = embedding_neardup_blocked(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # read once per LPA round
+    labels = lpa_rounds_over(edges, _EMBC_ROUNDS)
+    w_sz = Window.partitionBy("lab")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("lab").alias("cluster"),
+        F.count("*").over(w_sz).cast("bigint").alias("cluster_size"),
+    ).orderBy("vec_id")

@@ -111,24 +111,34 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOCK_CAP = 64  # sub-block cap (sf0.01 max label block: 59 — intact)
 
+# Shared CTE: the blocked cosine near-dup pair list (vec_a < vec_b,
+# cosine > 0.35 within label×salt sub-blocks).  Consumed by
+# `embedding_neardup_blocked` and by the LPA composition
+# `graph.embedding_cluster_assignments` so both replay the identical
+# candidate graph.
+_SQL_NEARDUP_PAIRS_CTES = f"""
+    blocked AS (
+      SELECT vec_id, label, embedding,
+             {sql_ranked_salt(['label'], 'vec_id', _BLOCK_CAP)} AS salt
+      FROM embeddings
+    ), npairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_dot('a.embedding', 'b.embedding')} /
+               (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
+      FROM blocked a JOIN blocked b
+        ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
+      WHERE {_sql_dot('a.embedding', 'b.embedding')} /
+               (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.35
+    )"""
+
 
 @query(
     "embedding_neardup_blocked",
     oracle=f"""
-    WITH blocked AS (
-      SELECT vec_id, label, embedding,
-             {sql_ranked_salt(['label'], 'vec_id', _BLOCK_CAP)} AS salt
-      FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_sql_dot('a.embedding', 'b.embedding')} /
-             (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cosine
-    FROM blocked a JOIN blocked b
-      ON a.label = b.label AND a.salt = b.salt AND a.vec_id < b.vec_id
-    WHERE {_sql_dot('a.embedding', 'b.embedding')} /
-             (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-              * sqrt({_sql_dot('b.embedding', 'b.embedding')})) > 0.35
+    WITH {_SQL_NEARDUP_PAIRS_CTES}
+    SELECT vec_a, vec_b, cosine FROM npairs
     """,
     covers=["M6-similarity", "M6-dedup"],
 )

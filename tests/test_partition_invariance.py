@@ -108,6 +108,7 @@ CASES = [
     "copurchase_assortativity",
     "label_propagation_communities",
     "copurchase_modularity",
+    "embedding_cluster_assignments",
 ]
 
 

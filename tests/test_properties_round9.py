@@ -167,6 +167,44 @@ def test_modularity_matches_python_model(spark):
     assert -0.5 <= row["modularity"] < 1.0
 
 
+def test_embedding_clusters_cover_exactly_the_candidate_graph(spark):
+    """Every clustered vector has ≥1 near-dup candidate edge, labels
+    are member vec_ids, and cluster sizes partition the node set —
+    the composition contract between `embedding_neardup_blocked` and
+    the LPA core (each independently oracle-proven)."""
+    from edinet_etl_spark.operators.similarity import (
+        embedding_neardup_blocked,
+    )
+
+    pairs = embedding_neardup_blocked(spark, MODEL_SF).collect()
+    nodes = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    rows = registry.QUERIES["embedding_cluster_assignments"](
+        spark, MODEL_SF
+    ).collect()
+    assert {r["vec_id"] for r in rows} == nodes
+    assert {r["cluster"] for r in rows} <= nodes
+    members: dict[int, set[int]] = defaultdict(set)
+    for r in rows:
+        members[r["cluster"]].add(r["vec_id"])
+    for r in rows:
+        assert r["cluster_size"] == len(members[r["cluster"]])
+    # LPA with candidate edges never merges across connected
+    # components: each cluster's members are linked in the pair graph
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for p in pairs:
+        nbrs[p["vec_a"]].add(p["vec_b"])
+        nbrs[p["vec_b"]].add(p["vec_a"])
+    for c, mem in members.items():
+        seen, stack = {next(iter(mem))}, [next(iter(mem))]
+        while stack:
+            x = stack.pop()
+            for y in nbrs[x]:
+                if y in mem and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert seen == mem, f"cluster {c} spans disconnected vectors"
+
+
 def test_degree_stats_conservation(spark):
     edges = _edges(MODEL_SF)
     deg = Counter(u for u, _ in edges)
