@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from edinet_etl_spark.numeric import dsum, sql_dsum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
-from edinet_etl_spark.tables import parallel_scan
+from edinet_etl_spark.tables import load, parallel_scan
 
 # Synchronous label-propagation rounds.  A label spreads ≤ R hops in R
 # rounds; on a near-connected graph like co-purchase, more rounds
@@ -510,3 +510,162 @@ def embedding_cluster_assignments(
         F.col("lab").alias("cluster"),
         F.count("*").over(w_sz).cast("bigint").alias("cluster_size"),
     ).orderBy("vec_id")
+
+
+# TextRank dials (corpus-level keyword extraction).
+_TR_WIN = 2  # co-occurrence window (tokens to the right)
+_TR_MINLEN = 4  # keyword candidates: tokens at least this long
+_TR_ITERS = 3  # damped PageRank iterations (matches _PR_ITERS)
+_TR_DAMP = 0.85
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    contrib = (
+        "CAST(CAST(SUM(CAST(r.rank / d.d AS DECIMAL(18,8)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+    ctes = [
+        f"""toks AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                   unnest(generate_series(1,
+                     length(string_split(text, ' ')))) AS i
+            FROM documents)
+      WHERE length(toks[i]) >= {_TR_MINLEN}
+    ), cooc AS (
+      SELECT DISTINCT a.tok AS u, b.tok AS v
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND {_TR_WIN}
+       AND a.tok <> b.tok
+    ), edges AS (
+      SELECT DISTINCT u AS src, v AS dst FROM (
+        SELECT u, v FROM cooc
+        UNION ALL SELECT v AS u, u AS v FROM cooc)
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+    )"""
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn)
+               + {_TR_DAMP} * {contrib} AS rank
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT r.node AS word, CAST(d.d AS BIGINT) AS degree, r.rank
+    FROM r{_TR_ITERS} r JOIN deg d ON r.node = d.src
+    ORDER BY r.rank DESC, word LIMIT {_TR_TOP}
+    """
+
+
+@query(
+    "textrank_corpus_keywords",
+    oracle=_textrank_oracle(),
+    covers=["M6-text", "M6-graph", "X-iterative", "LLM-curation"],
+)
+def textrank_corpus_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) at corpus
+    grain: damped PageRank over the word co-occurrence graph (tokens
+    ≥ {mn} chars adjacent within {w} positions), top-{top} words by
+    centrality — the keyword/topic surfacing pass a curation pipeline
+    runs to label corpus slices, and the text×graph composition next
+    to `embedding_cluster_assignments`'s similarity×graph one.
+
+    Exactness: graph construction is all-integer/string (positions,
+    distinct pairs); ranks follow `pagerank_event_graph`'s proven
+    discipline exactly — per-iteration contributions quantized to
+    DECIMAL(18,8) and exact-summed (order-free), the damping
+    arithmetic one shared double expression; the final top-{top} has
+    a total ORDER BY (rank DESC, word).
+
+    Scale: tokenization explodes O(corpus tokens) rows once; the
+    co-occurrence pairs are generated by a (doc, pos)-keyed equi-join
+    (window offsets, not a band join) and collapse to the
+    vocabulary² -bounded DISTINCT edge set; each PageRank hop is one
+    edges⋈ranks hash join + one map-side-combinable decimal sum over
+    a vocabulary-sized rank table.  The driver-side `.count()` is
+    loop-control only (the documented iterative idiom)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .filter(F.length("tok") >= _TR_MINLEN)
+        # both sides of the offset self-join read this explode
+        .localCheckpoint(eager=True)
+    )
+    a = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(o) for o in range(1, _TR_WIN + 1)])
+        ).alias("off"),
+        (F.col("pos") + F.col("off")).alias("bpos"),
+        F.col("tok").alias("u"),
+    )
+    b = toks.select(
+        "doc_id", F.col("pos").alias("bpos"), F.col("tok").alias("v")
+    )
+    cooc = (
+        a.join(b, ["doc_id", "bpos"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = (
+        cooc.unionByName(
+            cooc.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()  # loop-control constant (vocabulary size)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst"), (F.col("rank") / F.col("d")).alias("contrib")
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(dsum(F.col("contrib"), "csum"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15 / n) + F.lit(_TR_DAMP) * F.col("csum")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(
+            F.col("node").alias("word"),
+            F.col("d").cast("bigint").alias("degree"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "word")
+        .limit(_TR_TOP)
+    )
+
+
+textrank_corpus_keywords.__doc__ = textrank_corpus_keywords.__doc__.format(
+    mn=_TR_MINLEN, w=_TR_WIN, top=_TR_TOP
+)

@@ -98,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- round-9 net-new: graph analytics (first driver rows) ----
     "label_propagation_communities", "copurchase_degree_stats",
     "copurchase_assortativity", "copurchase_modularity",
-    "embedding_cluster_assignments",
+    "embedding_cluster_assignments", "textrank_corpus_keywords",
     # ---- code changed this round (re-proof) ----
     "rrf_fusion_topk", "lsh_recall_curve",
     # ---- backfill: the whole remaining r1-only cohort ----
@@ -121,10 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "deterministic_top_orders", "distinct_nation_segments",
     "dynamic_value_filter", "filtered_customer_projection",
     "flag_dispatch", "forecast_revenue_change",
-    "largest_lineitem_per_order", "local_supplier_volume",
+    "largest_lineitem_per_order",
     # ---- behind the window: the rest of the round-2 cohort, so a
     # wider sweep (or the r10 head) picks them up first ----
-    "lsh_bucket_ann", "multimodal_decode",
+    "local_supplier_volume", "lsh_bucket_ann", "multimodal_decode",
     "nation_balance_full_join", "nullsafe_segment_match",
     "order_priority_check", "order_union_all",
     "pandas_udf_clipped_balances", "part_membership_filters",

@@ -109,6 +109,7 @@ CASES = [
     "label_propagation_communities",
     "copurchase_modularity",
     "embedding_cluster_assignments",
+    "textrank_corpus_keywords",
 ]
 
 

@@ -205,6 +205,60 @@ def test_embedding_clusters_cover_exactly_the_candidate_graph(spark):
         assert seen == mem, f"cluster {c} spans disconnected vectors"
 
 
+def test_textrank_matches_python_model(spark):
+    """Replay the full TextRank pipeline (tokenize → windowed
+    co-occurrence → symmetric edges → 3 damped PageRank hops with the
+    decimal quantize-then-exact-sum discipline → top-20) with stdlib
+    types and assert bit-equality with the Spark query."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from edinet_etl_spark.operators.graph import (
+        _TR_DAMP,
+        _TR_ITERS,
+        _TR_MINLEN,
+        _TR_TOP,
+        _TR_WIN,
+    )
+
+    tb = pq.read_table(
+        f"{MODEL_SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cooc: set[tuple[str, str]] = set()
+    for text in tb.column("text").to_pylist():
+        words = text.split(" ")
+        keep = {i for i, w in enumerate(words) if len(w) >= _TR_MINLEN}
+        for i in keep:
+            for off in range(1, _TR_WIN + 1):
+                j = i + off
+                if j in keep and words[i] != words[j]:
+                    cooc.add((words[i], words[j]))
+    edges = cooc | {(v, u) for u, v in cooc}
+    deg = Counter(u for u, _ in edges)
+    inbound: dict[str, list[str]] = defaultdict(list)
+    for u, v in edges:
+        inbound[v].append(u)
+    n = len(deg)
+    rank = {w: 1.0 / n for w in deg}
+    q8 = Decimal("1e-8")
+    for _ in range(_TR_ITERS):
+        nxt = {}
+        for w in deg:
+            s = Decimal(0)
+            for src in inbound[w]:
+                s += Decimal(repr(rank[src] / deg[src])).quantize(
+                    q8, rounding=ROUND_HALF_UP
+                )
+            nxt[w] = 0.15 / n + _TR_DAMP * float(str(s))
+        rank = nxt
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_TOP]
+    expect = [(w, deg[w], r) for w, r in top]
+    rows = registry.QUERIES["textrank_corpus_keywords"](
+        spark, MODEL_SF
+    ).collect()
+    got = [(r["word"], r["degree"], r["rank"]) for r in rows]
+    assert got == expect
+
+
 def test_degree_stats_conservation(spark):
     edges = _edges(MODEL_SF)
     deg = Counter(u for u, _ in edges)
