@@ -34,7 +34,13 @@ pytestmark = pytest.mark.deep  # inner loop: -m "not deep" (see pytest.ini)
 registry.load_all()
 
 _US_PER_DAY = 86_400_000_000
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+# all three driver scales: the KM family is the registry's only
+# driver-red history, so the model pin runs tri-scale in CI
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
 
 
 def _epoch_days(sf_dir: str) -> tuple[list[int], list[int], list[str]]:
