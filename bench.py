@@ -34,6 +34,10 @@ from edinet_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SIDE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANHASHES.json")
+# Explicit warm-up dir override (tools/bench_sf1.py sets this: its
+# /tmp replica path contains no "sf0.1" so the derived replace()
+# below would no-op and every query would "warm" at full sf1).
+WARM_DIR: str | None = None
 MAX_LINE_BYTES = 1900  # driver tail window is 2000 chars; keep margin
 
 # The full round-1/round-2 sets (cross-round per-query continuity),
@@ -175,7 +179,9 @@ def main() -> None:
     # JVM JITs each plan's generated code off the clock.  Plan shapes
     # are identical across SFs, so this measures steady-state execution
     # (what a long-lived cluster sees), not first-call codegen+JIT.
-    warm_dir = SF_DIR.replace("sf0.1", "sf0.001") if "sf0.1" in SF_DIR else SF_DIR
+    warm_dir = WARM_DIR or (
+        SF_DIR.replace("sf0.1", "sf0.001") if "sf0.1" in SF_DIR else SF_DIR
+    )
     for name in HEADLINE:
         registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
             "overwrite"

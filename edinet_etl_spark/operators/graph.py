@@ -283,8 +283,8 @@ def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m AS DOUBLE) / (SELECT COUNT(*) FROM deg) AS avg_degree,
            (CAST(sxy AS DOUBLE) / m
               - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
-           / (CAST(sxx AS DOUBLE) / m
-              - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+           / NULLIF(CAST(sxx AS DOUBLE) / m
+              - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m), 0)
              AS assortativity
     FROM sums
     """,
@@ -304,7 +304,10 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max-degree² × M stays far under 2⁶³ through sf1; a 100 TB run
     lifts them to DECIMAL, same plan), and the closing arithmetic is
     the identical correctly-rounded double expression tree on both
-    sides.
+    sides.  The variance denominator is NULLIF-guarded identically on
+    both sides: on a degree-regular graph it is exactly 0, where
+    Spark's double division yields NULL but DuckDB's IEEE default
+    yields ±inf/NaN — both engines now publish NULL (ADVICE r9).
 
     Scale: one degree groupBy, two edges⋈deg hash joins (deg is
     node-sized — AQE broadcasts it), one global map-side-combinable
@@ -329,6 +332,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     m_d = F.col("m").cast("double")
     mu = F.col("sx").cast("double") / m_d
+    denom = F.col("sxx").cast("double") / m_d - mu * mu
     return (
         sums.crossJoin(F.broadcast(n_nodes))
         .select(
@@ -337,7 +341,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m_d / F.col("n_nodes")).alias("avg_degree"),
             (
                 (F.col("sxy").cast("double") / m_d - mu * mu)
-                / (F.col("sxx").cast("double") / m_d - mu * mu)
+                / F.nullif(denom, F.lit(0.0))
             ).alias("assortativity"),
         )
     )
@@ -627,14 +631,25 @@ def textrank_corpus_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    # The tokenize→co-occurrence→distinct pipeline feeds FOUR separate
+    # evaluations (ed build, deg.count(), the rank seed, the final
+    # degree join) — checkpoint the two constant-size frames it
+    # collapses to (edges: vocabulary²-bounded distinct pairs; deg:
+    # vocabulary-sized) so the expensive explode+join runs ONCE
+    # (ADVICE r9; the CLAUDE.md multi-consumer rule).
     edges = (
         cooc.unionByName(
             cooc.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .distinct()
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
     n = deg.count()  # loop-control constant (vocabulary size)
     ranks = deg.select(

@@ -2,7 +2,8 @@
 
 Replays the calendar-free (t, d, c, n_at_risk) grid from raw fixture
 rows with stdlib ints — no Spark, no DuckDB, no floats — and asserts
-equality with BOTH engines at sf0.001 and sf0.01.  This makes any
+equality with BOTH engines tri-scale (sf0.001/sf0.01/sf0.1, commit
+6b593c2).  This makes any
 future driver red attributable in one glance: model==Spark==DuckDB
 locally means a red is an engine-pair divergence in the driver's
 environment, not a repo bug; model!=engine points at the engine (and

@@ -48,6 +48,9 @@ def main() -> None:
     import bench
 
     bench.SF_DIR = DST
+    # the replica path has no "sf0.1" substring, so without this the
+    # derived warm dir would no-op onto DST itself (full-sf1 "warm-up")
+    bench.WARM_DIR = "/root/testdata/sf0.001"
     bench.SIDE_FILE = "/tmp/planhashes_sf1.json"
     cap = _CaptureStdout()
     real, sys.stdout = sys.stdout, cap
