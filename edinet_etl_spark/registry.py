@@ -80,50 +80,22 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-9 rotation (VERDICT r8 tasks 1+3): the head carries the
-# hard-signal names — the KM-family re-proof FIRST (the grid is now
-# calendar-free epoch-day integer arithmetic; these 4 were the
-# registry's only reds for 3 rounds, plus the new pre-grid probe
-# km_obs_probe), then the round-9 net-new graph family (first driver
-# rows), then the two queries whose code changed this round
-# (rrf_fusion_topk join restructure, lsh_recall_curve sample dial).
-# The backfill rotates in ALL 19 names whose only driver row is from
-# ROUND 1 (closing the r1-only ledger entirely) and then the oldest
-# 20 of the round-2 cohort; the remaining r2 names lead the
-# behind-window section and rotate in next round.
+# Round-10 rotation (VERDICT r9 task 1: retire the stale driver
+# cohort).  The head carries this round's code-changed re-proofs
+# (copurchase_assortativity NULLIF zero-guard, textrank checkpoint
+# restructure — both plan-hash changes), then ALL 30 names whose
+# latest driver row is ROUND 2 (the oldest evidence in the registry —
+# the KM saga proved only a driver row retires engine-pair
+# environment-divergence risk), then the oldest r3 names with the
+# four timestamp-touching risk-class queries FIRST
+# (gapfill_locf_hourly, hourly_ohlc_bars, late_shipment_priorities,
+# lineitem_ship_lag_range — exactly the KM risk class), then the r3
+# cohort alphabetically.  Round-10 net-new operators slot in at the
+# very top when they land (first driver rows, per r8/r9 practice).
 _PRIORITY: tuple[str, ...] = (
-    # ---- 1-5: KM-family re-proof (calendar-free grid, r9 task 1) ----
-    "kaplan_meier_conversion", "km_grid_probe", "km_obs_probe",
-    "km_factor_probe", "nelson_aalen_hazard",
-    # ---- round-9 net-new: graph analytics (first driver rows) ----
-    "label_propagation_communities", "copurchase_degree_stats",
-    "copurchase_assortativity", "copurchase_modularity",
-    "embedding_cluster_assignments", "textrank_corpus_keywords",
     # ---- code changed this round (re-proof) ----
-    "rrf_fusion_topk", "lsh_recall_curve",
-    # ---- backfill: the whole remaining r1-only cohort ----
-    "benchmark_contamination", "corpus_common_ngrams",
-    "delta_dedup_against_corpus", "event_funnel_conversion",
-    "event_transition_counts", "event_type_map_roundtrip",
-    "eventtype_hourly_pivot", "first_event_per_user_type",
-    "multires_time_rollup", "neardup_canonical_docs",
-    "neardup_components", "quality_filter_funnel",
-    "sliding_30m_windows", "stratified_doc_sample",
-    "train_test_split_counts", "tumbling_hourly_stats",
-    "user_retention_cohorts", "user_sessions",
-    "weighted_mixture_sample",
-    # ---- backfill: oldest 20 of the round-2 cohort ----
-    "asof_latest_order_per_event", "best_order_per_customer",
-    "cast_failure_skip", "cms_heavy_hitters",
-    "corpus_curation_pipeline", "cosine_topk_bruteforce",
-    "customers_without_orders", "data_quality_checks",
-    "date_functions", "date_range_generation",
-    "deterministic_top_orders", "distinct_nation_segments",
-    "dynamic_value_filter", "filtered_customer_projection",
-    "flag_dispatch", "forecast_revenue_change",
-    "largest_lineitem_per_order",
-    # ---- behind the window: the rest of the round-2 cohort, so a
-    # wider sweep (or the r10 head) picks them up first ----
+    "copurchase_assortativity", "textrank_corpus_keywords",
+    # ---- backfill: the ENTIRE round-2-latest cohort (30) ----
     "local_supplier_volume", "lsh_bucket_ann", "multimodal_decode",
     "nation_balance_full_join", "nullsafe_segment_match",
     "order_priority_check", "order_union_all",
@@ -139,6 +111,35 @@ _PRIORITY: tuple[str, ...] = (
     "token_budget_pack", "top_unshipped_orders",
     "triangle_count_copurchase", "udtf_char_ngrams",
     "year_offset_decode",
+    # ---- oldest of the round-3 cohort: timestamp risk class first ----
+    "gapfill_locf_hourly", "hourly_ohlc_bars",
+    "late_shipment_priorities", "lineitem_ship_lag_range",
+    # ---- then alphabetically ----
+    "bilateral_trade_volume", "binned_quantile_sketch",
+    "bloom_filter_bitmap", "bloom_prejoin_reduction",
+    "bracketed_quantity_revenue", "cms_sketch_counts",
+    "copurchase_lift_pairs", "customer_order_distribution",
+    "customer_spend_trend", "embedding_neardup_blocked",
+    "grouped_map_user_zscore", "hard_negative_mining",
+    "heavy_promo_suppliers", "important_part_value",
+    # ---- behind the window: the rest of the round-3 cohort, so a
+    # wider sweep (or the r11 head) picks them up first ----
+    "inactive_rich_customers", "ivf_ann_topk", "ivf_recall_at3",
+    "jl_projection_recall", "kcore_copurchase_peel",
+    "kmeans_train_step", "kmv_distinct_estimate",
+    "kmv_sketch_merge", "large_volume_customers",
+    "min_price_supplier_per_part", "nation_market_share",
+    "pagerank_event_graph", "part_price_band_join",
+    "parttype_profit_by_nation_year", "pq_recall_at3",
+    "promo_revenue_share", "returned_item_top_customers",
+    "seasonal_hourly_anomalies", "semdedup_prune",
+    "small_quantity_revenue", "sql_recursive_paydown",
+    "sql_udf_band_totals", "streaming_attribution_left_outer",
+    "streaming_cdc_snapshot", "streaming_dedup_events",
+    "supplier_count_by_part", "time_weighted_avg_value",
+    "top_supplier_by_revenue", "trailing_hour_user_avg",
+    "udaf_median_acctbal_by_nation", "udtf_dynamic_word_columns",
+    "zorder_locality_stats",
 )
 
 # Tail order for queries not in _PRIORITY: still-unproven families
