@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from edinet_etl_spark.numeric import _dec_to_double, dec, dsum, sql_dsum
 from edinet_etl_spark.blocks import ranked_salt, sql_ranked_salt
 from edinet_etl_spark.exprs import SQL_REVENUE, revenue
+from edinet_etl_spark.prefix import range_prefix_sum, range_row_number
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -2335,12 +2336,17 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     then two correctly-rounded sqrts and one division — scale factors
     from the doubled ranks cancel in ρ.
 
-    Scale: two distinct-value collapses build bounded rank maps (the
-    full-table ranking window a naive form needs would serialize);
-    rows join the price map on its value (hash) and the ~50-value
-    quantity map (AQE broadcast); one map-side-combined moment
-    aggregate.  DECIMAL(38,0) holds the moments to ~10^31 — beyond
-    sf1000; the headroom law is documented rather than assumed."""
+    Scale: two distinct-value collapses build the rank maps — but the
+    PRICE domain barely collapses (59,821 distinct of ~60k rows at
+    sf0.01, ~linear in SF: the round-10 boundedness lint's worst
+    catch), so the cumulative rank is spelled as the range-partitioned
+    two-level prefix sum (`prefix.range_prefix_sum`) instead of a
+    single-task global window — the only serial step is the O(P)
+    partition-offset scan.  Rows join the price map on its value
+    (hash) and the ~50-value quantity map (AQE broadcast); one
+    map-side-combined moment aggregate.  DECIMAL(38,0) holds the
+    moments to ~10^31 — beyond sf1000; the headroom law is documented
+    rather than assumed."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
 
@@ -2348,12 +2354,9 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         byval = li.groupBy(F.col(col).alias("v")).agg(
             F.count("*").cast("bigint").alias("cnt")
         )
-        wcum = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return byval.select(
+        return range_prefix_sum(byval, ["v"], F.col("cnt"), "cum").select(
             "v",
-            (F.sum("cnt").over(wcum) * 2 - F.col("cnt") + 1).alias("r2"),
+            (F.col("cum") * 2 - F.col("cnt") + 1).alias("r2"),
         )
 
     rx = rank2("l_extendedprice").withColumnRenamed("r2", "x")
@@ -2758,9 +2761,13 @@ def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic by ROW_NUMBER (ties broken by custkey), the predictor a
     decimal-native mean, coverage an integer ratio.
 
-    Scale: the calibration quantile is ONE rank over the calibration
-    set (at 100 TB: the binned-quantile sketch substitutes, same as
-    the KS pair); prediction + coverage is a broadcast-join scan.
+    Scale: the calibration quantile is ONE order statistic over the
+    calibration set — which is HALF the customer roster (linear in
+    SF; round-10 lint catch), so its global rank is the
+    range-partitioned two-level row number
+    (`prefix.range_row_number`, serial step O(P) only; at 100 TB the
+    binned-quantile sketch substitutes, same as the KS pair);
+    prediction + coverage is a broadcast-join scan.
     The hash-split (parity) is the same deterministic assignment the
     A/B and train/test splits use."""
     prep(spark)
@@ -2787,11 +2794,17 @@ def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s_g_dec").cast("string").cast("double") / F.col("n_g")
         ).alias("resid"),
     )
-    cal = (
-        pred.filter("is_cal")
-        .select(F.abs("resid").alias("score"), "c_custkey")
-        .withColumn("rnk", F.row_number().over(Window.orderBy("score", "c_custkey")))
-        .withColumn("n_cal", F.count("*").over(Window.partitionBy()))
+    # the calibration set is half the customer roster (linear in SF —
+    # round-10 lint catch): the order statistic's global rank is the
+    # range-partitioned two-level row number, and n_cal aggregates the
+    # helper's checkpointed frame (not a second evaluation of the
+    # scoring join), replacing the serial ROW_NUMBER + COUNT() OVER ()
+    calsc = pred.filter("is_cal").select(
+        F.abs("resid").alias("score"), "c_custkey"
+    )
+    cal_rnk = range_row_number(calsc, ["score", "c_custkey"], "rnk")
+    cal = cal_rnk.crossJoin(
+        F.broadcast(cal_rnk.agg(F.count("*").cast("bigint").alias("n_cal")))
     )
     qhat = cal.filter(
         F.col("rnk")
@@ -3839,11 +3852,12 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle sizes, which flipped the physical plan between identical
     runs (the one unstable hash of 57 in the r7 audit, VERDICT r7
     task 3) — the union-aggregate form has no strategy choice to make
-    and one fewer shuffle.  The ranking window runs on the collapsed
-    distinct-spend grid, and the final rollup is {_GAINS_B} rows.
-    When the score grid is itself data-sized, production cuts tiers
-    from a deterministic hash-sample of the grid — the plan shape is
-    unchanged.  (Oracle keeps the textbook LEFT JOIN spelling; orders
+    and one fewer shuffle.  The distinct-spend grid is ~customer-sized
+    (decimal spends are near-unique — round-10 lint catch), so the
+    DESC cumulative count is the range-partitioned two-level prefix
+    scan (`prefix.range_prefix_sum`, serial step O(P) only) and the
+    grand totals come from a plain aggregate off the shared grid
+    exchange; the final rollup is {_GAINS_B} rows.  (Oracle keeps the textbook LEFT JOIN spelling; orders
     referential integrity makes the two equivalent.)"""
     prep(spark)
     orders = load(spark, sf_dir, "orders")
@@ -3880,17 +3894,21 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_c"),
         F.sum("conv").cast("bigint").alias("n_conv"),
     )
-    w_ord = Window.orderBy(F.desc("spend"))
-    w_all = Window.partitionBy()
-    ranked = grid.select(
+    # the distinct-spend grid is ~customer-sized (decimal spends are
+    # near-unique; 10× growth sf0.001→sf0.01 — round-10 lint catch):
+    # the DESC cumulative count rides the two-level prefix scan, and
+    # the two grand totals aggregate the helper's checkpointed frame
+    # (not a second evaluation of the scoring pipeline)
+    pre = range_prefix_sum(grid, [F.desc("spend")], F.col("n_c"), "cum_incl")
+    tot = pre.agg(
+        F.sum("n_c").alias("n"), F.sum("n_conv").alias("tot_conv")
+    )
+    ranked = pre.crossJoin(F.broadcast(tot)).select(
         "n_c",
         "n_conv",
-        F.coalesce(
-            F.sum("n_c").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("cum_before"),
-        F.sum("n_c").over(w_all).alias("n"),
-        F.sum("n_conv").over(w_all).alias("tot_conv"),
+        (F.col("cum_incl") - F.col("n_c")).alias("cum_before"),
+        "n",
+        "tot_conv",
     )
     tiers = ranked.withColumn(
         "decile", F.expr(f"(cum_before * {_GAINS_B}) DIV n").cast("int")

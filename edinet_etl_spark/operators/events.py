@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edinet_etl_spark.numeric import davg, dsum, sql_dsum
+from edinet_etl_spark.prefix import range_prefix_sum
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load
@@ -1419,14 +1420,12 @@ def mannwhitney_u(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
     )
-    wcum = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
-        "n_a",
-        "n_b",
-        F.sum(F.col("n_a") + F.col("n_b")).over(wcum).alias("cum"),
-    )
+    # the distinct-value grid grows ~linearly in SF (a continuous
+    # metric; round-10 lint catch), so the cumulative rank is the
+    # range-partitioned two-level prefix sum, not a single-task window
+    ranked = range_prefix_sum(
+        byval, ["value"], F.col("n_a") + F.col("n_b"), "cum"
+    ).select("n_a", "n_b", "cum")
     sums = ranked.agg(
         F.sum("n_a").cast("bigint").alias("na"),
         F.sum("n_b").cast("bigint").alias("nb"),

@@ -684,3 +684,221 @@ def textrank_corpus_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 textrank_corpus_keywords.__doc__ = textrank_corpus_keywords.__doc__.format(
     mn=_TR_MINLEN, w=_TR_WIN, top=_TR_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star / small-star connected components (Kiveris et
+# al. 2014, "Connected Components in MapReduce and Beyond") — the
+# O(log n)-round published-scale form, added beside the min-label
+# fixpoint (`dedup.neardup_components`) whose round count grows with
+# component DIAMETER (VERDICT r9 task 6).
+# ---------------------------------------------------------------------------
+
+# Backbone support: edge = co-purchased in >= this many DISTINCT
+# orders.  Same dial value as sketches._RA_MIN_SUPPORT but its OWN
+# per-family-prefixed constant (the round-6 `_BLOOM_K` rebinding
+# lesson: never reuse another module's dial name or object).  The
+# support filter is what makes components non-trivial: the raw
+# distinct-pair co-purchase graph is near-connected (one giant blob),
+# while the repeat-co-purchase backbone fragments into real clusters
+# (measured 115k -> 3.4k edges at sf0.01).
+_STAR_SUPPORT = 2
+_STAR_MAX_ROUNDS = 50  # guard only; measured 5 rounds at sf0.01
+
+
+def star_support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct support-filtered co-purchase pairs (u < v) — the same
+    backbone `sketches.copurchase_link_prediction` mines, re-spelled
+    here so the family's dial stays module-local."""
+    li = parallel_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _STAR_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def largestar_smallstar_over(
+    pairs: DataFrame, max_rounds: int = _STAR_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Run alternating large-star/small-star to convergence over ANY
+    distinct undirected pair frame (columns u, v with u < v).  Returns
+    (labels, rounds): labels has one row per graph node with its
+    component id = the MIN node of its component; rounds is the number
+    of (large-star; small-star) sweeps until the edge set stabilized.
+
+    Per round (both phases are one groupBy-min + one join each —
+    map-side-combinable, O(m) shuffle rows, no windows, no sorts):
+
+    - LARGE-STAR: for every node u with neighborhood Γ(u) (the
+      symmetrized list), m = min(Γ(u) ∪ {u}); every STRICTLY LARGER
+      neighbor v > u is re-linked to m.
+    - SMALL-STAR: orient edges large→small; for every node u with
+      smaller-neighbor list N(u), m = min(N(u)); every other member of
+      N(u) ∪ {u} is linked to m.
+
+    Kiveris et al. prove the alternation preserves components and
+    converges in O(log n) rounds on ANY graph — unlike min-label
+    propagation, whose round count is the component diameter (the
+    pointer-jumping variant in `neardup_components` gets O(log d),
+    still diameter-dependent).  At convergence the edge set is a
+    disjoint star forest rooted at each component's minimum node, so
+    the labels read off relationally: members from the edges, roots
+    from the distinct targets.
+
+    Convergence detection is the documented bounded-fixpoint idiom
+    (CLAUDE.md: 1-row scalar pulls): the edge multiset is compared by
+    (count, sum(xxhash64(a, b))) — deterministic, and a round is one
+    eager checkpoint so lineage stays flat and per-round cost is
+    measured against materialized input, exactly like the min-label
+    loop."""
+    # orient big -> small: (a, b), a > b
+    edges = (
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(e: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: int64 hash values summed over an
+        # int64-range domain overflow a BIGINT sum under ANSI mode
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = sig(edges)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # -- large-star over symmetrized neighborhoods --
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = sym.groupBy("a").agg(
+            F.least(F.col("a"), F.min("b")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -- small-star over the large->small oriented output --
+        smin = large.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            large.join(smin, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smin.select("a", F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new = sig(nxt)
+        edges = nxt
+        if new == cur:
+            break
+        cur = new
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds"
+        )
+    members = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    roots = (
+        edges.select(F.col("b").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return members.unionByName(roots), rounds
+
+
+@query(
+    "largestar_smallstar_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {_STAR_SUPPORT}
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), lbl(node, comp) AS (
+      SELECT u, LEAST(u, MIN(v)) FROM edges GROUP BY u
+      UNION
+      SELECT e.u, l.comp
+      FROM edges e JOIN lbl l ON e.v = l.node
+      WHERE l.comp < e.u
+    ), comp AS (
+      SELECT node, MIN(comp) AS component FROM lbl GROUP BY node
+    )
+    SELECT node AS part_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM comp ORDER BY part_id
+    """,
+    covers=["M6-graph", "X-iterative", "A-extended"],
+)
+def largestar_smallstar_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components of the REPEAT-co-purchase backbone (pairs
+    co-purchased in ≥ {sup} distinct orders) by the alternating
+    large-star/small-star algorithm — the merchandising cluster table
+    ("which parts form a repeatedly-bought-together product family?")
+    on the support-filtered graph where components are real structure,
+    not the giant blob the raw co-purchase graph collapses to.
+
+    Why a second components algorithm when `neardup_components`
+    exists: min-label propagation needs rounds proportional to the
+    component DIAMETER (O(log d) with pointer jumping) — fine for
+    near-dup clusters whose diameter is tiny, but unbounded on
+    path-shaped graphs; the star alternation (Kiveris et al. 2014)
+    converges in O(log n) rounds on ANY topology and is the published
+    100 TB-scale form.  Measured on this backbone both take 3 rounds
+    (SCALE.md has the side-by-side).
+
+    Exactness: all-integer throughout (part keys, min reductions,
+    counts).  The oracle is NOT an unrolled replay of the star rounds
+    — the converged fixpoint is algorithm-independent (each node →
+    the MIN node of its component), so the recursive-CTE min-label
+    closure used by `neardup_components` is an EXACT oracle for it,
+    stronger than replay: it proves the star rewiring reaches the
+    same fixpoint by a different route.
+
+    Scale: the backbone build is the support-filter aggregate (the
+    first groupBy IS the shrink: 115k → 3.4k edges at sf0.01); each
+    star round is two groupBy-min aggregates + two hash joins over the
+    O(m) edge set, all map-side-combinable, no windows, per-round
+    eager checkpoint keeps lineage flat; the only driver traffic is
+    the 1-row convergence signature.  The final size window partitions
+    BY component (lint-bounded)."""
+    prep(spark)
+    labels, _rounds = largestar_smallstar_over(
+        star_support_pairs(spark, sf_dir)
+    )
+    w_sz = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("part_id"),
+        "component",
+        F.count("*").over(w_sz).cast("bigint").alias("component_size"),
+    ).orderBy("part_id")
+
+
+largestar_smallstar_components.__doc__ = (
+    largestar_smallstar_components.__doc__.format(sup=_STAR_SUPPORT)
+)

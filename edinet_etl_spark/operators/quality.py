@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from edinet_etl_spark.prefix import range_prefix_sums
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.tables import load, parallel_scan
@@ -501,11 +502,15 @@ def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is totally ordered (gap DESC, value ASC).
 
     Plan honesty: the exact KS needs a TOTAL ORDER over distinct
-    values — a single-partition window, the documented eval-scale
-    baseline (distinct values ≪ rows after the groupBy collapse).  At
-    100 TB the production form runs the same sup-gap over the
-    mergeable binned histogram (`binned_quantile_sketch`'s bins),
-    trading ≤ bin-width error for constant-size state."""
+    values, and the distinct-value grid of a continuous metric grows
+    ~linearly in SF (3,305 at sf0.01, 8.2× the sf0.001 count — the
+    round-10 lint catch), so BOTH cumulative CDFs ride ONE
+    range-partitioned two-level prefix scan
+    (`prefix.range_prefix_sums`): the only serial step is the O(P)
+    partition-offset window.  At 100 TB the production form runs the
+    same sup-gap over the mergeable binned histogram
+    (`binned_quantile_sketch`'s bins), trading ≤ bin-width error for
+    constant-size state."""
     prep(spark)
     ev = parallel_scan(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -518,18 +523,16 @@ def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c2"),
     )
-    n = per_val.agg(
+    kbase = range_prefix_sums(
+        per_val, ["value"], {"k1": F.col("c1"), "k2": F.col("c2")}
+    )
+    # totals off the helper's checkpointed frame, not a second
+    # evaluation of the events scan + collapse
+    n = kbase.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_val.select(
-        "value",
-        F.sum("c1").over(w).alias("k1"),
-        F.sum("c2").over(w).alias("k2"),
-    )
+    cum = kbase.select("value", "k1", "k2")
     diffs = cum.crossJoin(F.broadcast(n)).select(
         "value",
         "n1",
