@@ -81,20 +81,29 @@ def load_all() -> None:
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
 # Round-10 rotation (VERDICT r9 task 1: retire the stale driver
-# cohort).  The head carries this round's code-changed re-proofs
+# cohort).  The head carries the round-10 net-news (first driver
+# rows, per r8/r9 practice), this round's code-changed re-proofs
 # (copurchase_assortativity NULLIF zero-guard, textrank checkpoint
-# restructure — both plan-hash changes), then ALL 30 names whose
-# latest driver row is ROUND 2 (the oldest evidence in the registry —
-# the KM saga proved only a driver row retires engine-pair
+# restructure, and the FIVE queries the new window-boundedness lint
+# caught serializing linear grains — all rewired through
+# prefix.range_prefix_sum, all plan-hash changes), then ALL 30 names
+# whose latest driver row is ROUND 2 (the oldest evidence in the
+# registry — the KM saga proved only a driver row retires engine-pair
 # environment-divergence risk), then the oldest r3 names with the
 # four timestamp-touching risk-class queries FIRST
 # (gapfill_locf_hourly, hourly_ohlc_bars, late_shipment_priorities,
 # lineitem_ship_lag_range — exactly the KM risk class), then the r3
-# cohort alphabetically.  Round-10 net-new operators slot in at the
-# very top when they land (first driver rows, per r8/r9 practice).
+# cohort alphabetically up to the 50-name window.
 _PRIORITY: tuple[str, ...] = (
-    # ---- code changed this round (re-proof) ----
+    # ---- round-10 net-new (first driver rows) ----
+    "largestar_smallstar_components", "streaming_neardup_dedup",
+    # ---- code changed this round (re-proof): advice fixes ----
     "copurchase_assortativity", "textrank_corpus_keywords",
+    # ---- code changed this round (re-proof): lint-caught serial
+    # windows rewired through the range-partitioned prefix scan ----
+    "spearman_rank_corr", "mannwhitney_value_by_type",
+    "value_distribution_ks", "decile_lift_table",
+    "split_conformal_coverage",
     # ---- backfill: the ENTIRE round-2-latest cohort (30) ----
     "local_supplier_volume", "lsh_bucket_ann", "multimodal_decode",
     "nation_balance_full_join", "nullsafe_segment_match",
@@ -118,12 +127,13 @@ _PRIORITY: tuple[str, ...] = (
     "bilateral_trade_volume", "binned_quantile_sketch",
     "bloom_filter_bitmap", "bloom_prejoin_reduction",
     "bracketed_quantity_revenue", "cms_sketch_counts",
-    "copurchase_lift_pairs", "customer_order_distribution",
-    "customer_spend_trend", "embedding_neardup_blocked",
-    "grouped_map_user_zscore", "hard_negative_mining",
-    "heavy_promo_suppliers", "important_part_value",
+    "copurchase_lift_pairs",
     # ---- behind the window: the rest of the round-3 cohort, so a
     # wider sweep (or the r11 head) picks them up first ----
+    "customer_order_distribution", "customer_spend_trend",
+    "embedding_neardup_blocked", "grouped_map_user_zscore",
+    "hard_negative_mining", "heavy_promo_suppliers",
+    "important_part_value",
     "inactive_rich_customers", "ivf_ann_topk", "ivf_recall_at3",
     "jl_projection_recall", "kcore_copurchase_peel",
     "kmeans_train_step", "kmv_distinct_estimate",

@@ -1728,3 +1728,287 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ------------------------------------------------------------------
+# Streaming near-duplicate detection — the live twin of
+# `dedup.minhash_lsh_candidates` (VERDICT r9 task 4): a document feed
+# dedups incrementally against the accumulated corpus; state is the
+# band→bucket signature table, maintained exactly-once through the
+# same versioned-snapshot commit protocol as the CDC sink.
+# ------------------------------------------------------------------
+
+# Pair fan-in cap: an arriving document pairs with at most the FIRST
+# _SND_CAP occupants (smallest doc_ids — the feed is id-ordered) of
+# each band bucket it probes.  This is the incremental-LSH form of
+# dedup.py's bucket salting: bounded pair work per arrival, recall
+# cost only in buckets the theory already marks low-precision.  The
+# cap is part of the SEMANTICS (rank ≤ cap over the full bucket), so
+# the oracle expresses it exactly and stays green at every scale —
+# including sf0.1, where the largest bucket (319 docs) exceeds it.
+_SND_CAP = 64
+_SND_CHUNKS = 4  # staged feed: id-ordered document chunks
+
+_SND_SCHEMA = (
+    "kind string, doc_id bigint, band_id int, band_hash string, "
+    "rnk bigint, doc_a bigint, doc_b bigint"
+)
+
+
+def _docs_feed_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = _SND_CHUNKS
+) -> str:
+    """Stage the documents table as ``n_chunks`` id-ordered parquet
+    chunk files with ascending mtimes, so the file stream source
+    (maxFilesPerTrigger=1) delivers them as successive micro-batches
+    in doc_id order — a real incremental feed, not one big batch.
+    Id-ordered arrival is what makes state rank == doc_id rank (see
+    `make_neardup_upsert`); a production feed would use arrival
+    sequence for the same rank.  Session-scoped and idempotent, like
+    `_feed_dir`."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from edinet_etl_spark.tables import load
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"edinet_docs_feed_{tag}")
+    feed = os.path.join(base, "feed")
+    done = os.path.join(base, "DONE")
+    if os.path.exists(done):
+        return feed
+    shutil.rmtree(base, ignore_errors=True)
+    build = os.path.join(base, "build")
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(n_chunks, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(build)
+    )
+    os.makedirs(feed, exist_ok=True)
+    # part-00000 is range partition 0 = the smallest doc_ids; name
+    # order == id order.  Distinct ascending mtimes pin the file
+    # source's processing order.
+    parts = sorted(f for f in os.listdir(build) if f.startswith("part-"))
+    t0 = time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        dst = os.path.join(feed, f"chunk-{i:03d}.parquet")
+        os.replace(os.path.join(build, f), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    with open(done, "w") as fh:
+        fh.write(str(len(parts)))
+    return feed
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the staged id-ordered document chunks."""
+    prep(spark)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_feed_dir(spark, sf_dir))
+    )
+
+
+def make_neardup_upsert(snapshot_dir: str):
+    """foreachBatch closure for incremental LSH near-dup: per batch,
+    shingle→minhash→band the NEW documents only (the batch pipeline's
+    own `minhash_signatures`/`lsh_bands` — one code path for both
+    modes), rank them into their band buckets after the accumulated
+    occupants, emit candidate pairs (occupant, new) and (new, new)
+    where the smaller side's bucket rank ≤ ``_SND_CAP``, and merge
+    both the new signature rows and the new pairs into the versioned
+    snapshot.  Cost per batch is O(batch × bands) signature work plus
+    a join whose fan-in is ≤ cap per probed bucket — corpus×corpus
+    pairs are never generated, the same asymmetry as
+    `delta_dedup_against_corpus`.
+
+    Exactly-once: the batch-id replay guard + atomic versioned commit
+    (`_applied_batch` / `_swap_snapshot`) — identical protocol to the
+    CDC totals sink; a re-delivered batch is a no-op (pinned by
+    `test_neardup_upsert_replay_is_idempotent`).  Pairs are never
+    double-emitted across batches even without the guard, because a
+    pair is generated only in the batch where its LATER document
+    arrives.
+
+    100 TB layout: this demo snapshot is the whole-rewrite form; the
+    production spelling splits state into the band→bucket table under
+    `make_partitioned_additive_upsert` (key = band_hash, so a batch
+    rewrites only the buckets it touched) plus an append-only pair
+    log — the commit machinery is already in this module."""
+    from edinet_etl_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied_batch(snapshot_dir):
+            return  # re-delivered batch after a crash: already merged
+        spark = batch_df.sparkSession
+        if _applied_batch(snapshot_dir) >= 0:
+            base = read_snapshot(spark, snapshot_dir)
+        else:
+            base = spark.createDataFrame([], _SND_SCHEMA)
+        base_sigs = base.filter(F.col("kind") == "sig")
+        base_pairs = base.filter(F.col("kind") == "pair")
+        occ = base_sigs.groupBy("band_id", "band_hash").agg(
+            F.max("rnk").alias("n0")
+        )
+        w_b = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        # bucket rank of each new row = accumulated occupancy + rank
+        # within the batch (id-ordered feed ⇒ this IS the doc_id rank
+        # over the full bucket).  Checkpointed: three consumers below.
+        new_ranked = (
+            lsh_bands(minhash_signatures(batch_df))
+            .withColumn("rnk_in", F.row_number().over(w_b))
+            .join(occ, ["band_id", "band_hash"], "left")
+            .select(
+                "doc_id",
+                "band_id",
+                "band_hash",
+                (F.coalesce("n0", F.lit(0)) + F.col("rnk_in"))
+                .cast("bigint")
+                .alias("rnk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        a_side = (
+            base_sigs.select("doc_id", "band_id", "band_hash", "rnk")
+            .unionByName(new_ranked)
+            .filter(F.col("rnk") <= _SND_CAP)
+        )
+        # pair orientation is (least, greatest) so an out-of-arrival-
+        # order feed (production) still emits every probe pair; each
+        # unordered pair is generated exactly once — in the batch
+        # where its LATER ARRIVAL lands (the b-side is new docs only)
+        pairs_new = (
+            a_side.join(
+                new_ranked.select(
+                    F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("doc_id") != F.col("doc_b"))
+            .select(
+                F.least("doc_id", "doc_b").alias("doc_a"),
+                F.greatest("doc_id", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
+        nul = F.lit(None).cast("bigint")
+        sig_rows = base_sigs.unionByName(
+            new_ranked.select(
+                F.lit("sig").alias("kind"),
+                "doc_id",
+                "band_id",
+                "band_hash",
+                "rnk",
+                nul.alias("doc_a"),
+                nul.alias("doc_b"),
+            )
+        )
+        pair_rows = base_pairs.unionByName(
+            pairs_new.select(
+                F.lit("pair").alias("kind"),
+                nul.alias("doc_id"),
+                F.lit(None).cast("int").alias("band_id"),
+                F.lit(None).cast("string").alias("band_hash"),
+                nul.alias("rnk"),
+                "doc_a",
+                "doc_b",
+            )
+        )
+        _swap_snapshot(sig_rows.unionByName(pair_rows), snapshot_dir, batch_id)
+
+    return upsert
+
+
+def _snd_oracle() -> str:
+    from edinet_etl_spark.operators.dedup import (
+        _SQL_BANDS,
+        _SQL_MINS,
+        _SQL_SHINGLES,
+    )
+
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         mins AS ({_SQL_MINS}),
+         bands AS ({_SQL_BANDS}),
+         ranked AS (
+           SELECT doc_id, band_id, band_hash,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY band_id, band_hash ORDER BY doc_id
+                  ) AS rnk
+           FROM bands
+         )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ranked a
+    JOIN ranked b
+      ON a.band_id = b.band_id
+     AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.rnk <= {_SND_CAP}
+    """
+
+
+@query(
+    "streaming_neardup_dedup",
+    oracle=_snd_oracle(),
+    covers=["M5-stream", "M6-dedup", "J-extended", "X-maintenance"],
+)
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP DEDUP, end to end: documents arrive as
+    id-ordered micro-batches (staged multi-chunk feed), each batch is
+    shingled→minhashed→banded and probed against the ACCUMULATED
+    band→bucket state, candidate pairs land in the snapshot alongside
+    the updated state, and the drained pair set must equal the batch
+    LSH run over the same corpus — the live form of the nightly-crawl
+    increment (`delta_dedup_against_corpus`), closing the streaming
+    surface's dedup gap (it had exact distinct, CDC, join-view
+    maintenance and sketches, but not near-dup).
+
+    Semantics, shared with the oracle EXACTLY: a candidate is any
+    same-bucket pair (a, b), a < b, where a's rank within the bucket
+    (by doc_id == arrival order) is ≤ {cap} — the bounded-fan-in
+    incremental-LSH rule.  At sf0.01 no bucket exceeds the cap, so
+    this equals the uncapped band join; at sf0.1 the 319-doc bucket
+    binds and BOTH sides still agree, because the cap is in the spec,
+    not an unmodeled runtime guard.
+
+    Scale: per-batch work = O(batch) signature hashing + a bucket
+    join with fan-in ≤ {cap}; state grows O(corpus bands) (it IS the
+    corpus signature index); the snapshot commit is the versioned
+    atomic protocol shared with the CDC sink (partitioned-bucket form
+    for 100 TB noted on `make_neardup_upsert`)."""
+    prep(spark)
+    snap, ckpt = _snapshot_workdir(spark, sf_dir, "edinet_neardup")
+    docs = read_documents_stream(spark, sf_dir)
+    q = (
+        docs.writeStream.foreachBatch(make_neardup_upsert(snap))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_snapshot(spark, snap)
+        .filter(F.col("kind") == "pair")
+        .select("doc_a", "doc_b")
+    )
+
+
+streaming_neardup_dedup.__doc__ = streaming_neardup_dedup.__doc__.format(
+    cap=_SND_CAP
+)

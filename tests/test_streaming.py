@@ -552,3 +552,62 @@ def test_bitmap_upsert_merge_is_idempotent(spark):
         for r in merge(updates, updates).collect()
     }
     assert once == twice
+
+
+def test_neardup_upsert_replay_is_idempotent(spark, tmp_path):
+    """The streaming near-dup sink under at-least-once re-delivery:
+    a replayed batch (same batch_id) must change NOTHING — neither the
+    band→bucket state rows nor the accumulated candidate pairs — and a
+    genuine next batch must pair its docs against the state, with the
+    drained pair set equal to the capped batch-LSH spec over the union
+    of both batches (the same spec `streaming_neardup_dedup`'s oracle
+    replays in SQL)."""
+    from edinet_etl_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    snap = str(tmp_path / "ndsnap")
+    upsert = jobs.make_neardup_upsert(snap)
+
+    def state():
+        rows = jobs.read_snapshot(spark, snap).collect()
+        sigs = {
+            (r["doc_id"], r["band_id"], r["band_hash"], r["rnk"])
+            for r in rows
+            if r["kind"] == "sig"
+        }
+        pairs = {(r["doc_a"], r["doc_b"]) for r in rows if r["kind"] == "pair"}
+        return sigs, pairs
+
+    upsert(b0, 0)
+    first = state()
+    upsert(b0, 0)  # re-delivery: must be a no-op
+    assert state() == first
+    upsert(b1, 1)  # genuine next batch: pairs against state + itself
+    sigs, pairs = state()
+    assert len(sigs) > len(first[0])
+    assert pairs >= first[1]
+    upsert(b1, 1)  # replay of the second batch too
+    assert state() == (sigs, pairs)
+
+    # deliberately OUT-OF-ARRIVAL-ORDER feed (odd ids arrived after
+    # even): with the cap inactive at this scale (max sf0.01 bucket =
+    # 32 < _SND_CAP) the drained pair set must STILL equal the batch
+    # band join over the union — arrival order only matters when the
+    # fan-in cap binds
+    from edinet_etl_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.select(F.col("doc_id").alias("da"), "band_id", "band_hash")
+    b = bands.select(F.col("doc_id").alias("db"), "band_id", "band_hash")
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert pairs == expected
