@@ -318,3 +318,57 @@ def test_dpp_plan_and_files(spark):
     }
     touched_days = {f.split("event_date=")[1].split("/")[0] for f in touched}
     assert touched_days == matched_days
+
+
+def test_bucketed_copurchase_edge_build_is_exchange_free(warehouse):
+    """VERDICT r9 task 2b: `graph.copurchase_edges`' docstring names
+    bucket-by-l_orderkey as the 100 TB co-location move for its
+    lineitem SELF-join — prove it the way the fact-fact audit does.
+    Over the bucketed layout the co-purchase pair self-join must plan
+    with ZERO Exchange operators (both sides read the same co-located
+    buckets); only the downstream DISTINCT keeps its dedup shuffle.
+    The bucketed pair set must equal the plain-scan build."""
+    spark = warehouse
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("lake.lineitem_bucketed").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        join_plan = _plan(joined)
+        assert "Exchange" not in join_plan  # co-located self-join
+        assert "SortMergeJoin" in join_plan
+        pairs_plan = _plan(joined.distinct())
+        # exactly ONE exchange total: the distinct's dedup shuffle
+        assert pairs_plan.count("Exchange") == 1
+        # same pair set as the plain-scan edge build
+        plain_li = load(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        pa, pb = plain_li.alias("a"), plain_li.alias("b")
+        plain = (
+            pa.join(
+                pb,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+        )
+        assert sorted(map(tuple, joined.distinct().collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
