@@ -309,16 +309,26 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's double division yields NULL but DuckDB's IEEE default
     yields ±inf/NaN — both engines now publish NULL (ADVICE r9).
 
-    Scale: one degree groupBy, two edges⋈deg hash joins (deg is
-    node-sized — AQE broadcasts it), one global map-side-combinable
-    aggregate.  No window, no collect."""
+    Scale: one degree groupBy, two edges⋈deg hash joins, one global
+    map-side-combinable aggregate — no window.  The deg side is
+    node-sized, but past the 10 MB auto-broadcast threshold (~2 M
+    nodes at 100× bench scale) the planner silently degrades BOTH
+    joins to sort-merge, re-shuffling the O(m) edge list TWICE (on u,
+    then on v) — measured as the family's steepest 100× ratio (71×)
+    before the fix.  So the broadcast is gated on a MEASURED row
+    count off the checkpointed deg (the `neardup_components` idiom —
+    never a blind force-broadcast of an SF-growing table): node
+    tables broadcast comfortably to ~5 M rows; beyond that, fall back
+    to planner joins.  The one `.count()` is a bounded scalar pull on
+    an already-materialized checkpoint."""
     prep(spark)
     edges = copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
     ).localCheckpoint(eager=True)  # read by both joins + the node count
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    hint = F.broadcast if deg.count() < 5_000_000 else (lambda df: df)
+    du = hint(deg.select(F.col("node").alias("u"), F.col("d").alias("dx")))
+    dv = hint(deg.select(F.col("node").alias("v"), F.col("d").alias("dy")))
     sums = (
         edges.join(du, "u")
         .join(dv, "v")
