@@ -297,13 +297,18 @@ EXPECTATIONS = [
     ("embedding_centroid_drift", 5, ["HashAggregate", "BroadcastHashJoin"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin",
       "BroadcastNestedLoopJoin"]),
-    # decile lift (r8 plan pin, VERDICT r7 task 3): union-aggregate
-    # scoring — NO join node anywhere, so AQE has no strategy choice
-    # to flip run-to-run (the prior cust⋈hist⋈fut form was the one
-    # unstable hash of 57 in the r7 audit); union + custkey shuffle +
-    # spend-grid shuffle + single-partition window/rollup
-    ("decile_lift_table", 3, ["Union", "HashAggregate"],
-     ["Join", "CartesianProduct", "PythonUDF"]),
+    # decile lift (r8 plan pin, VERDICT r7 task 3; r10 prefix-scan
+    # rewrite): union-aggregate scoring is unchanged but now executes
+    # at construction, inside the prefix helper's eager checkpoint —
+    # the visible plan starts at the checkpoint scan (ExistingRDD),
+    # so the r8 "Union, no Join" spelling moved behind it.  What the
+    # final plan must show: the per-pid window + FORCED-broadcast
+    # joins only (O(P) offsets + 1-row totals — hint-pinned, no
+    # strategy for AQE to flip); sort-merge and cartesian stay
+    # banned.
+    ("decile_lift_table", 7, ["Scan ExistingRDD", "HashAggregate",
+     "BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct", "PythonUDF"]),
 ]
 
 
