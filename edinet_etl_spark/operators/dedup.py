@@ -954,14 +954,22 @@ def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 12× before the collapse, ~flat after, because replicas
     never reach the band join.
 
-    Scale: the band join buckets by (band_id, 5-6 bits of signature);
-    the verify step is 16 char compares per candidate inside codegen.
-    One shuffle for signatures (doc_id), one for the band join, one
-    DISTINCT on the candidate pair — no all-pairs stage anywhere.  The
-    bit width is the scale dial: band-bucket population ~ n/2^bits, so
-    production corpora raise _SIMHASH_BITS (64-bit sigs, 4×16-bit
-    bands at radius 3) to keep buckets bounded; the pigeonhole
-    guarantee holds for any (bands, radius) with radius < bands."""
+    Scale: docs collapse to DISTINCT signatures first (the signature
+    universe is 2^_SIMHASH_BITS, so the group table is bounded);
+    banding then bucket-GROUPS the distinct signatures (band_id + 5-6
+    signature bits) and expands signature pairs with both values in
+    the row, so the 16-char-compare verify runs inline during
+    expansion and only true near-pairs reach the dedup shuffle; doc
+    pairs fan out from the surviving signature pairs without any
+    further dedup (each unordered doc pair appears under exactly one
+    ordered signature pair).  One shuffle for signatures (doc_id), one
+    for the signature group, one for the band buckets, one tiny
+    DISTINCT over verified signature pairs — no all-pairs stage and no
+    post-hoc signature join anywhere.  The bit width is the scale
+    dial: band-bucket population ~ n/2^bits, so production corpora
+    raise _SIMHASH_BITS (64-bit sigs, 4×16-bit bands at radius 3) to
+    keep buckets bounded; the pigeonhole guarantee holds for any
+    (bands, radius) with radius < bands."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -970,7 +978,38 @@ def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    sigs = _simhash_sigs(spark, canon).localCheckpoint(eager=True)
+    sigs = _simhash_sigs(spark, canon)
+    # Round-10 restructure (guide §2.3/§3: shuffle fewer bytes, avoid
+    # the join that re-ships every bucket member).  The old plan
+    # band-SELF-JOINED doc-level rows (~1 M ordered candidate rows at
+    # sf0.1), DISTINCTed them, then joined the signature table TWICE to
+    # score hamming.  Signatures live in a 2^16 universe, so (a)
+    # collapse docs to DISTINCT signatures first — byte-equal
+    # signatures are hamming-0 pairs and share every band bucket, so
+    # one group row carries all of them; (b) bucket-GROUP the distinct
+    # signatures per band (the `candidate_pairs` spelling) and expand
+    # signature pairs with both values IN the row, so hamming is
+    # scored inline during expansion and the ≤2 filter runs BEFORE the
+    # distinct — the dedup shuffle now carries only true near-pairs,
+    # not every band collision; (c) fan surviving signature pairs back
+    # to doc pairs through the ids lists — each unordered doc pair
+    # appears under exactly one ordered signature pair, so the fan-out
+    # needs no dedup.  Output-identical (same pigeonhole recall
+    # guarantee, same verify filter); the sig-group table is bounded by
+    # the 2^_SIMHASH_BITS signature universe, hence the eager
+    # checkpoint for its three consumers.
+    sgrp = (
+        sigs.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .localCheckpoint(eager=True)
+    )
+    same = (
+        sgrp.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
     band_arr = F.array(
         *[
             F.struct(
@@ -980,34 +1019,42 @@ def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (start, ln) in enumerate(_SIMHASH_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    bands = sgrp.select("simhash", F.explode(band_arr).alias("b")).select(
+        "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
     )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_id") == F.col("bb.band_id"))
-            & (F.col("ba.band_val") == F.col("bb.band_val"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("simhash")).alias("bsigs"))
+        .filter(F.size("bsigs") > 1)
     )
-    sa = sigs.select(F.col("doc_id").alias("sa_id"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("sb_id"), F.col("simhash").alias("sig_b"))
     hamming = sum(
         F.when(
             F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1), 1
         ).otherwise(0)
         for j in range(_SIMHASH_BITS)
     )
-    return (
-        cand.join(sa, F.col("sa_id") == F.col("doc_a"))
-        .join(sb, F.col("sb_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    sig_pairs = (
+        buckets.select(F.explode("bsigs").alias("sig_a"), "bsigs")
+        .select("sig_a", F.explode("bsigs").alias("sig_b"))
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
     )
+    ga = sgrp.select(F.col("simhash").alias("sig_a"), F.col("ids").alias("ids_a"))
+    gb = sgrp.select(F.col("simhash").alias("sig_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        sig_pairs.join(ga, "sig_a")
+        .join(gb, "sig_b")
+        .select("hamming", F.explode("ids_a").alias("da"), "ids_b")
+        .select("hamming", "da", F.explode("ids_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 # Shared oracle prefix for both neardup consumers: exact md5-collapse
@@ -1083,14 +1130,17 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; propagation takes the min over reachable canonicals), so
     the output is deterministic.
 
-    Spark side: loop label[u] ← min(label[u], min over neighbors'
-    labels) until fixpoint.  Each iteration is one join + one groupBy;
-    ``localCheckpoint`` truncates the exploding lineage (the standard
-    Spark idiom for iterative algorithms).  Component diameters in a
-    near-dup graph are tiny, so few iterations.  At larger scale the
-    same loop holds; the alternating-star optimization or GraphFrames
-    would cut rounds, not change results.  Oracle: the identical
-    fixpoint as a recursive CTE."""
+    Spark side: min-label fixpoint WITH CONTRACTION — seed labels from
+    one groupBy over the edge list, relabel the edge list ONCE to the
+    distinct cross-component pairs, then iterate min-label +
+    path-halving on the component-level graph only, which shrinks
+    toward empty (the O(m) node-level edges are touched exactly twice,
+    not once per round).  ``localCheckpoint`` truncates the exploding
+    lineage (the standard Spark idiom for iterative algorithms), and
+    termination is exact: zero remaining cross-component edges IFF the
+    labeling is stable, so no confirmation round.  Component diameters
+    in a near-dup graph are tiny, so few iterations.  Oracle: the
+    identical fixpoint as a recursive CTE."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     wmin = Window.partitionBy(F.md5("text"))
@@ -1114,52 +1164,70 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("node"), "comp")
         .localCheckpoint(eager=True)
     )
-    # One tiny agg per round yields BOTH loop controls: the node count
-    # (join-strategy pick) and the label sum (convergence).  Labels are
-    # per-node monotone non-increasing, so the sum strictly decreases
-    # until fixpoint — a full-width old-vs-new join for the changed
-    # check would cost more than the propagation step itself.
-    prev_sum, n_nodes = labels.agg(F.sum("comp"), F.count("*")).collect()[0]
     # The candidate-graph node set is orders smaller than the corpus
     # (only docs with ≥1 LSH collision); broadcast it while it fits so
-    # the big edge table is never shuffled per round.  Past the
-    # threshold, fall back to AQE-planned shuffle joins — same results.
+    # the big edge table is never shuffled.  Past the threshold, fall
+    # back to AQE-planned shuffle joins — same results.
+    n_nodes = labels.count()
     can_broadcast = n_nodes < 5_000_000
     hint = F.broadcast if can_broadcast else (lambda df: df)
-    while True:
-        prop = (
-            edges.join(hint(labels), edges.v == labels.node)
-            .groupBy(edges.u)
-            .agg(F.min("comp").alias("ncomp"))
-            .select(F.col("u").alias("node"), "ncomp")
+    # CONTRACTION (round-10 optimization, guide §2.3/§2.4 "shuffle
+    # fewer bytes / remove passes"): the old fixpoint re-joined the
+    # FULL O(m) edge list against the label table EVERY round (3
+    # rounds × 500 k-row join+groupBy at sf0.1).  The min-label
+    # fixpoint only needs node-level edges once: relabel both
+    # endpoints to their round-0 component and keep the DISTINCT
+    # cross-component pairs — every later round then runs on the
+    # component-level graph, which is star-collapsed already and
+    # shrinks toward empty.  Output-identical: components of the
+    # contraction are components of the original, and labels compose
+    # through the per-round old→new mapping, so the fixpoint still
+    # lands on MIN(doc_id) per merged class.  Termination is exact and
+    # needs no confirmation round: cross-component edges remaining = 0
+    # IFF the labeling is stable (each count() is a 1-value pull off
+    # an already-checkpointed frame).
+    lu = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+    cedges = (
+        edges.join(hint(lu), "u")
+        .join(hint(lv), "v")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while cedges.count() > 0:
+        # one min-label round at component level, then path-halving
+        # (adopt the target's own mapping) — collapses chains in
+        # O(log n) rounds instead of O(diameter)
+        m = (
+            cedges.groupBy("u")
+            .agg(F.least(F.col("u"), F.min("v")).alias("c"))
+            .select(F.col("u").alias("old"), F.col("c").alias("new"))
         )
-        # pointer jumping (path halving): also adopt our label's label —
-        # collapses chains in O(log n) rounds instead of O(diameter)
-        jump = labels.select(
-            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        jump = m.select(F.col("old").alias("jold"), F.col("new").alias("jnew"))
+        m = m.join(hint(jump), m.new == jump.jold, "left").select(
+            "old",
+            F.least(F.col("new"), F.coalesce("jnew", F.col("new"))).alias("new"),
         )
-        new_labels = (
-            labels.join(hint(prop), "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .join(hint(jump), F.col("comp") == F.col("jnode"), "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+        labels = (
+            labels.join(hint(m), labels.comp == m.old, "left")
+            .select("node", F.coalesce("new", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        mu = m.select(F.col("old").alias("u"), F.col("new").alias("mu"))
+        mv = m.select(F.col("old").alias("v"), F.col("new").alias("mv"))
+        cedges = (
+            cedges.join(hint(mu), "u", "left")
+            .join(hint(mv), "v", "left")
+            .select(
+                F.coalesce("mu", F.col("u")).alias("u"),
+                F.coalesce("mv", F.col("v")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # join-back: every raw doc inherits its canonical's component;
     # exact-dup groups (grp_n ≥ 2) without an LSH collision are their
     # own component.  labels is tiny (canonicals with ≥1 collision), so
