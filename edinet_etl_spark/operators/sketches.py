@@ -1169,15 +1169,52 @@ def kmv_jaccard_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = parallel_scan(spark, sf_dir, "lineitem")
     modes = li.filter(F.col("l_returnflag").isin("A", "R"))
+    # Round-10 restructure (guide §2.3/§2.4): the sketch arm used to
+    # re-scan the fact table and hash EVERY row (600 k md5+conv at
+    # sf0.1) into its own distinct; the exact arm ran a second scan +
+    # groupBy.  Both arms are functions of the distinct-key membership
+    # table, so ONE groupBy(l_partkey) pass now feeds both — Catalyst
+    # reuses the exchange across the two branches (ReusedExchange in
+    # the plan), the fact table is scanned and shuffled once, and the
+    # hash runs once per DISTINCT key instead of once per row.
+    per_key = modes.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_b"),
+    )
     h = (
         F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10)
         .cast("bigint")
         .alias("h")
     )
-    hashed = modes.select(F.col("l_returnflag").alias("tag"), h).distinct()
+    tags = F.filter(
+        F.array(
+            F.when(F.col("has_a") == 1, F.lit("A")),
+            F.when(F.col("has_b") == 1, F.lit("R")),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    # the trailing distinct mirrors the oracle's DISTINCT over (tag, h):
+    # a 13-hex-prefix collision between two keys must collapse to one
+    # sketch row on both sides (map-side combine eats it pre-shuffle)
+    hashed = per_key.select(h, F.explode(tags).alias("tag")).select(
+        "tag", "h"
+    ).distinct()
+    # two-level k-th-minimum (round-10): ranking each tag's WHOLE
+    # distinct-hash set in one task is a serial cliff at scale (2 tags
+    # = 2 tasks); hashes are uniform, so the global k minima of a tag
+    # are a subset of the per-sub-bucket k minima — rank within
+    # (tag, h mod 64) sub-buckets in parallel first, then rank the
+    # ≤ 64·k survivors per tag.  Exact, same result, and the serial
+    # step is now bounded by 64·k rows, not the sketch input.
+    w_sub = Window.partitionBy("tag", F.pmod("h", F.lit(64))).orderBy("h")
+    pruned = (
+        hashed.withColumn("srn", F.row_number().over(w_sub))
+        .filter(F.col("srn") <= _KMV_K)
+        .select("tag", "h")
+    )
     w_tag = Window.partitionBy("tag").orderBy("h")
     sk = (
-        hashed.withColumn("rn", F.row_number().over(w_tag))
+        pruned.withColumn("rn", F.row_number().over(w_tag))
         .filter(F.col("rn") <= _KMV_K)
         .select("tag", "h")
     )
@@ -1209,13 +1246,9 @@ def kmv_jaccard_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_theta"),
         F.sum("in_both").cast("bigint").alias("n_both"),
     )
-    # exact closed-loop arm: ONE groupBy on the part key (map-side
-    # combine collapses each task to its distinct keys), then one tiny
-    # membership aggregate — no windows, no second fact scan
-    per_key = modes.groupBy("l_partkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("has_a"),
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_b"),
-    )
+    # exact closed-loop arm: reads the SAME per_key branch as the
+    # sketch arm (one shared exchange), then one tiny membership
+    # aggregate — no windows, no second fact scan
     exact = per_key.agg(
         F.sum("has_a").cast("bigint").alias("n_a"),
         F.sum("has_b").cast("bigint").alias("n_b"),
