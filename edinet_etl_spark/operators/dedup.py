@@ -656,37 +656,37 @@ def jaccard_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j²)⁴ ≈ 0.98).
 
     Plan: candidates come from the salted bucket-group (one band
-    shuffle); the intersection count joins the candidate pairs to the
-    distinct token table twice — both joins hash-partition on doc_id,
-    and the per-pair fan-out is bounded by document token count."""
+    shuffle); the intersection count equi-joins the candidate pairs to
+    a 1-row-per-doc DISTINCT-token-set table twice (array-local
+    distinct, AQE broadcasts while it fits) and scores
+    size(array_intersect(...)) inline — no exploded-token fan-out
+    anywhere, per-pair cost bounded by document token count."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     cand = candidate_pairs(lsh_bands(minhash_signatures(docs)))
-    tok = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # round-10: same array-local verify as
+    # `containment_verify_candidates` — per-doc DISTINCT token sets
+    # stay in one row (no exploded-token joins, no (doc, token)
+    # re-shuffle), and the exact intersection is
+    # size(array_intersect(...)) per candidate pair
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("ta_id"), F.col("tok").alias("ta_tok"))
-    tb = tok.select(F.col("doc_id").alias("tb_id"), F.col("tok").alias("tb_tok"))
-    inter = (
-        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb_id") == F.col("doc_b")) & (F.col("tb_tok") == F.col("ta_tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    ta = toksets.select(
+        F.col("doc_id").alias("ta_id"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("sa_n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("sa_id"), F.col("n_tok").alias("sa_n"))
-    sb = sizes.select(F.col("doc_id").alias("sb_id"), F.col("n_tok").alias("sb_n"))
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("sa_n") + F.col("sb_n") - F.col("n_common")
+    tb = toksets.select(
+        F.col("doc_id").alias("tb_id"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("sb_n"),
     )
+    nc = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    jaccard = nc / (F.col("sa_n") + F.col("sb_n") - nc)
     return (
-        inter.join(sa, F.col("sa_id") == F.col("doc_a"))
-        .join(sb, F.col("sb_id") == F.col("doc_b"))
+        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
+        .join(tb, F.col("tb_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -759,7 +759,21 @@ def containment_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     Runs over CANONICAL docs (exact md5 collapse first): byte-equal
     copies are containment=1.0 trivia exact dedup already removes, and
     collapsing them keeps LSH buckets and the token joins corpus-sized
-    instead of copy-count-sized."""
+    instead of copy-count-sized.
+
+    Round-10 restructure (guide §2.3 / §3, "explode before a join
+    multiplies the shuffle"): the old verify exploded every canonical
+    doc into (doc_id, token) rows, joined candidates to that table
+    TWICE (the first fan-out alone was ~5.8 M rows at sf0.1 — pairs ×
+    tokens), re-shuffled the fan-out on (doc, token) for the equality
+    match, and re-aggregated.  The per-doc DISTINCT token set is
+    array-local (`array_distinct` over the split — no exploded
+    distinct, no shuffle), so the intersection count is
+    `size(array_intersect(...))` per candidate pair: two equi-joins of
+    the pair list against a 1-row-per-doc token-set table (AQE
+    broadcasts it while it fits), zero explode anywhere, and the
+    containment denominators ride in the same row.  Exact string-set
+    intersection, same output."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -769,37 +783,29 @@ def containment_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "text")
     )
     cand = candidate_pairs(lsh_bands(minhash_signatures(canon)))
-    tok = (
-        canon.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    toksets = canon.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("ta_id"), F.col("tok").alias("ta_tok"))
-    tb = tok.select(F.col("doc_id").alias("tb_id"), F.col("tok").alias("tb_tok"))
-    inter = (
-        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb_id") == F.col("doc_b")) & (F.col("tb_tok") == F.col("ta_tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    ta = toksets.select(
+        F.col("doc_id").alias("ta_id"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("sa_n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("sa_id"), F.col("n_tok").alias("sa_n"))
-    sb = sizes.select(F.col("doc_id").alias("sb_id"), F.col("n_tok").alias("sb_n"))
-    nc = F.col("n_common").cast("double")
+    tb = toksets.select(
+        F.col("doc_id").alias("tb_id"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("sb_n"),
+    )
+    nc = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     return (
-        inter.join(sa, F.col("sa_id") == F.col("doc_a"))
-        .join(sb, F.col("sb_id") == F.col("doc_b"))
+        cand.join(ta, F.col("ta_id") == F.col("doc_a"))
+        .join(tb, F.col("tb_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             (nc / F.col("sa_n")).alias("containment_a_in_b"),
             (nc / F.col("sb_n")).alias("containment_b_in_a"),
-            (nc / (F.col("sa_n") + F.col("sb_n") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            (nc / (F.col("sa_n") + F.col("sb_n") - nc)).alias("jaccard"),
         )
         .filter(
             F.greatest(
