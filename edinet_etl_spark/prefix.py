@@ -70,9 +70,44 @@ def range_prefix_sums(
     sum's intra-tie split would be frame-order-dependent in ANY
     engine, serial window included."""
     keys = _cols(order_by)
-    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    serial_max = int(
+        spark.conf.get("spark.edinet.prefix.serialGridMax", "131072")
+    )
     for out, val in values.items():
         df = df.withColumn(f"_rp_{out}", val)
+    # Materialize the collapsed grid ONCE, then pick the spelling by
+    # its MEASURED size (the count reads local blocks) — the same
+    # gate-on-measured-rows pattern as the assortativity broadcast:
+    #  * small grid → the plain serial cumulative window over the
+    #    checkpointed blocks.  The round-10 bench caught the flat
+    #    machinery cost of always range-partitioning
+    #    (`decile_lift_table` +0.59 s at sf0.1 on a ~60k-row grid):
+    #    an extra eager-checkpoint job, a sampling pass, a broadcast
+    #    and a second window — all to parallelize a frame one task
+    #    scans in milliseconds.
+    #  * past `spark.edinet.prefix.serialGridMax` rows (conf; default
+    #    128k — measured crossover: spearman's ~550k-row sf0.1 price
+    #    grid was 0.5 s SLOWER serial, decile's 60k grid 0.2 s
+    #    faster) →
+    #    the two-level range scan below, whose relative overhead
+    #    vanishes exactly where the serial window cliffs.  Both
+    #    spellings are the same exact integer algebra; the oracle
+    #    differential runs green through either branch.
+    # The checkpoint ALSO fixes a cost bug in the big branch:
+    # RangePartitioner samples boundaries by executing its child once
+    # before the shuffle executes it again, so the fact-table collapse
+    # every caller feeds used to aggregate TWICE; sampling now reads
+    # blocks.
+    df = df.localCheckpoint(eager=True)
+    if df.count() <= serial_max:
+        w_ser = Window.orderBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        for out in values:
+            df = df.withColumn(out, F.sum(f"_rp_{out}").over(w_ser))
+        return df.drop(*[f"_rp_{out}" for out in values])
     # eager: ONE materialized bucket assignment for both consumers
     # (see module docstring — boundary sampling is per-execution)
     base = (
