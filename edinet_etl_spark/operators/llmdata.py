@@ -2110,9 +2110,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bigrams hash into 1024 buckets (the paper's hashed n-gram
     trick — vocabulary-independent state), so the "model" is a
-    1024-row broadcast; scoring is one explode + broadcast join +
-    doc-keyed decimal sum; top-50 under a total order.  One corpus
-    scan builds the model, one scores — both map-side combinable."""
+    1024-row broadcast; top-50 under a total order.  Round-10: the
+    corpus is exploded and md5-hashed ONCE — the (doc, lang, bucket)
+    occurrence-count collapse is checkpointed and feeds BOTH the
+    model aggregate and the scoring join (the old shape re-exploded
+    and re-hashed every bigram for the scoring pass; guide §2.3,
+    aggregate before you shuffle / don't compute twice).  The per-doc
+    decimal sum is Σ c·quantize(w) — c an exact integer multiplier of
+    the same quantized bucket weight the per-occurrence sum added c
+    times, so the oracle hash is unchanged."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -2133,11 +2139,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1024),
         ).alias("bucket"),
     )
-    dist = hashed.groupBy("bucket").agg(
-        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("t_cnt"),
-        F.count("*").cast("bigint").alias("r_cnt"),
-    ).localCheckpoint(eager=True)  # 1024 rows; totals + ratio read this,
-    # so the model pass explodes the corpus exactly once
+    cnts = (
+        hashed.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # ≤1024 rows/doc; the ONE
+        # materialization of the explode both passes read
+    )
+    dist = cnts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("t_cnt"),
+        F.sum("c").cast("bigint").alias("r_cnt"),
+    ).localCheckpoint(eager=True)  # 1024 rows; totals + ratio read this
     totals = dist.agg(
         F.sum("t_cnt").cast("bigint").alias("n_tgt"),
         F.sum("r_cnt").cast("bigint").alias("n_raw"),
@@ -2155,11 +2168,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     scored = (
-        hashed.join(F.broadcast(ratio), "bucket")
+        cnts.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("w").cast("decimal(18,8)"))
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            # c · quantize(w): decimal(18,8) × decimal(10,0) →
+            # decimal(29,8), exact — identical to adding the
+            # quantized weight once per occurrence as before
+            F.sum(
+                F.col("w").cast("decimal(18,8)")
+                * F.col("c").cast("decimal(10,0)")
+            )
             .cast("string")
             .cast("double")
             .alias("importance"),
