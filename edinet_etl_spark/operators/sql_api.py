@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
-from edinet_etl_spark.tables import load
+from edinet_etl_spark.tables import load, parallel_scan
 
 # sql_dsum's exact-decimal discipline, spelled in the dialect common to
 # Spark AND DuckDB (``STRING`` is the shared cast name; bare VARCHAR
@@ -54,7 +54,16 @@ def sql_top_nation_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB as the oracle — SQL-level engine interchangeability, the
     strongest form of the parity contract."""
     prep(spark)
-    for t in ("lineitem", "orders", "customer", "nation", "region"):
+    # the lineitem view carries the whole stage's work (4 broadcast
+    # probes + the per-row decimal revenue term pipelined onto the
+    # scan): on a one-row-group layout that is a single task, so the
+    # fact view rides parallel_scan (no-op on a healthy layout) —
+    # the SQL text itself is untouched, preserving the
+    # same-string-in-both-engines parity contract
+    parallel_scan(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    for t in ("orders", "customer", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL)
 
