@@ -1843,47 +1843,65 @@ def duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = marked.groupBy("doc_id", "island_id").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
-    covered = islands.select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
-    )
-    pos = toks.select(
-        "doc_id",
-        F.posexplode("toks").alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = (
-        pos.join(covered, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("p", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                )
-            ).alias("clean_fp"),
-            F.count("*").cast("bigint").alias("clean_tokens"),
-        )
-    )
+    # round-10 (guide §2.3/§3.3): the scrub used to POSEXPLODE every
+    # token of every canonical doc, anti-join the covered positions on
+    # (doc, p) and re-assemble each doc via sort_array(collect_list) —
+    # three corpus-sized shuffles to delete a few intervals per doc.
+    # The per-doc island LIST is tiny (bounded by spans), so it rides
+    # ONE small aggregate+join and the deletion is ARRAY-LOCAL: keep
+    # token i iff no island contains it (cost tokens x islands inside
+    # the row, zero exploded-token shuffles).  Docs with no islands
+    # short-circuit to clean_fp = fp (join-split join-join of a
+    # single-space corpus is byte-exact).  isl_arr is a bound COLUMN
+    # (post-aggregate), so the inner lambda's free variable is an
+    # attribute read, not a re-evaluated expression (CLAUDE.md
+    # nested-lambda rule).
     sp_stats = spans.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_dup_windows"))
-    isl_stats = islands.groupBy("doc_id").agg(
+    isl = islands.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_islands"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+        F.collect_list(F.struct("s", "e")).alias("isl_arr"),
     )
+    pos_structs = F.zip_with(
+        F.col("toks"),
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda t, p: F.struct(t.alias("tok"), p.alias("p")),
+    )
+    kept_arr = F.filter(
+        pos_structs,
+        lambda s: ~F.exists(
+            F.col("isl_arr"),
+            lambda i: (s["p"] >= i["s"]) & (s["p"] <= i["e"]),
+        ),
+    )
+    no_isl = F.col("isl_arr").isNull()
     result_c = (
-        toks.select("fp", "doc_id", n_tok.cast("bigint").alias("n_tokens"))
+        toks.select(
+            "fp", "doc_id", "toks", n_tok.cast("bigint").alias("n_tokens")
+        )
         .join(sp_stats, "doc_id", "left")
-        .join(isl_stats, "doc_id", "left")
-        .join(kept, "doc_id", "left")
+        .join(isl, "doc_id", "left")
         .select(
             "fp",
             "n_tokens",
             F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
             F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
             F.coalesce("tokens_removed", F.lit(0)).cast("bigint").alias("tokens_removed"),
-            F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias("clean_tokens"),
-            "clean_fp",
+            F.when(no_isl, F.col("n_tokens"))
+            .otherwise(F.size(kept_arr).cast("bigint"))
+            .alias("clean_tokens"),
+            F.when(no_isl, F.col("fp"))
+            .otherwise(
+                F.when(
+                    F.size(kept_arr) > 0,
+                    F.md5(
+                        F.array_join(
+                            F.transform(kept_arr, lambda s: s["tok"]), " "
+                        )
+                    ),
+                )
+            )
+            .alias("clean_fp"),
         )
     )
     # fan the per-canonical result back to every member (all columns
