@@ -356,7 +356,17 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(words, i * _SEG_WORDS + F.lit(1), F.lit(_SEG_WORDS))
         ),
     )
-    seg = docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "segment"))
+    # materialize the segment arrays ONCE: the segmentation lambda
+    # closes over the split(text) EXPRESSION (re-splits per segment —
+    # the `_ngram_array` trap), and three branches now consume it
+    # (boiler df, dropped-index list, array-local rebuild); after the
+    # eager checkpoint all three read a bound column
+    segd = docs.select("doc_id", segs.alias("segs")).localCheckpoint(
+        eager=True
+    )
+    seg = segd.select(
+        "doc_id", F.posexplode("segs").alias("seg_idx", "segment")
+    )
     boiler = (
         seg.groupBy("segment")
         .agg(F.count_distinct("doc_id").alias("n_docs_with"))
@@ -364,22 +374,45 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_boiler", F.lit(True))
         .select("segment", "is_boiler")
     )
-    flagged = seg.join(boiler, "segment", "left")
-    drop = F.col("is_boiler").isNotNull()
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_segments"),
-        F.sum(drop.cast("bigint")).cast("bigint").alias("n_dropped"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~drop, F.struct(F.col("seg_idx"), F.col("segment")))
-                    )
+    # round-10 (guide §2.3): the rebuild used to shuffle EVERY segment
+    # of every doc through a collect_list + array_sort groupBy just to
+    # delete the few boilerplate hits.  Only the DROPPED indices move
+    # now: the boiler join keeps its broadcast (no corpus shuffle),
+    # the inner-match per-doc index list is boilerplate-occurrence-
+    # sized, and each document is rebuilt ARRAY-LOCALLY by filtering
+    # its own segment array against that list (drop_arr is a bound
+    # post-aggregate column, so the lambda reads an attribute —
+    # CLAUDE.md nested-lambda rule).
+    drop_idx = (
+        seg.join(boiler, "segment", "inner")
+        .groupBy("doc_id")
+        .agg(F.collect_list("seg_idx").alias("drop_arr"))
+    )
+    keep = lambda p: ~F.coalesce(  # noqa: E731
+        F.array_contains(F.col("drop_arr"), p), F.lit(False)
+    )
+    indexed = F.zip_with(
+        F.col("segs"),
+        F.sequence(F.lit(0), F.size("segs") - F.lit(1)),
+        lambda s, p: F.struct(s.alias("segment"), p.alias("p")),
+    )
+    return (
+        segd.join(drop_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("segs").cast("bigint").alias("n_segments"),
+            F.when(F.col("drop_arr").isNull(), F.lit(0))
+            .otherwise(F.size("drop_arr"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(indexed, lambda s: keep(s["p"])),
+                    lambda s: s["segment"],
                 ),
-                lambda s: s["segment"],
-            ),
-        ).alias("clean_text"),
+            ).alias("clean_text"),
+        )
     )
 
 
