@@ -954,9 +954,10 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
     """(emb, subs, cents, codes): the PQ encode pipeline both search
     queries share.  Plan shape: sub-vector explode is array-local
     (×M rows, no shuffle); the codebook is K·M tiny rows broadcast;
-    assignment is a broadcast hash join + one window argmin whose
-    partition key (vec_id, sub_id) is M× finer than the corpus — at
-    100 TB the encode is one map-side pass plus a single exchange."""
+    assignment is a broadcast hash join + a min(struct) argmin whose
+    map-side partial aggregation collapses the N·M·K scored fan-out
+    to N·M partial minima per partition before the one exchange — at
+    100 TB the encode is one map-side pass plus that exchange."""
     emb = parallel_scan(spark, sf_dir, "embeddings")
     return pq_codes_from(emb)
 
@@ -991,11 +992,22 @@ def pq_codes_from(emb: DataFrame):
         "cid",
         _pq_dist2(F.col("subvec"), F.col("cvec")).alias("dist2"),
     )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "cid")
+    # round-10 (guide §2.3, aggregate before you shuffle): the argmin
+    # used to ride a row_number window — a FULL shuffle+sort of the
+    # N·M·K scored fan-out.  min(struct(dist2, cid)) selects the
+    # identical row (struct ordering = dist2 asc, then cid asc — the
+    # window's exact tie-break) with map-side partial aggregation, so
+    # only N·M partial minima per partition reach the exchange and
+    # the sort disappears.
     codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_id", "cid", "dist2")
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist2").alias("dist2"),
+        )
     )
     return emb, subs, cents, codes
 
@@ -1043,8 +1055,8 @@ def pq_codebook_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores 1 byte/VECTOR (4 × 2 bits) — the 256× compression that
     makes billion-vector search RAM-resident.  Plan: codebook is
     M·K = 16 rows broadcast; encode is map-side; the only exchange is
-    the (vec_id, sub_id) window argmin, M× the corpus in rows but
-    O(1) in payload per row.  Reference analogue: the engine's binary
+    the (vec_id, sub_id) min(struct) argmin aggregate, partial-
+    aggregated map-side so the K-way scored fan-out never shuffles.  Reference analogue: the engine's binary
     filing lake treats large payloads as opaque compressed blobs
     (/root/reference/src/utils/helper.py:35-101); PQ is that idea for
     vector payloads."""

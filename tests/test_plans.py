@@ -138,10 +138,11 @@ EXPECTATIONS = [
     ("data_quality_checks", 11, ["LeftAnti", "Union"],
      ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # PQ encode: 16-row codebook BROADCAST to the sub-vector stream;
-    # the only exchanges are the (vec_id, sub_id) argmin window + the
-    # per-vector repack agg — never a shuffled product
-    ("pq_codebook_recon_error", 4, ["BroadcastHashJoin", "Window"],
-     ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
+    # the only exchanges are the (vec_id, sub_id) min(struct) argmin
+    # agg (partial-aggregated map-side — r10 replaced the row_number
+    # window) + the per-vector repack agg — never a shuffled product
+    ("pq_codebook_recon_error", 4, ["BroadcastHashJoin", "HashAggregate"],
+     ["PythonUDF", "CartesianProduct", "SortMergeJoin", "Window"]),
     # ADC search: LUT broadcast into the code stream; per-(query,
     # neighbor) sum is a partial-aggregated hash agg, top-k a window
     # (7 = 4 parallel_scan RR repartitions of the unsplittable fixture
@@ -157,8 +158,13 @@ EXPECTATIONS = [
     ("training_shard_assignment", 1, ["HashAggregate"],
      ["PythonUDF", "CartesianProduct"]),
     # θ-sketch intersection: every join touches ≤k-row sketch sides
-    # (broadcast); exchanges are all sketch-sized
-    ("kmv_jaccard_intersection", 22, ["BroadcastHashJoin"],
+    # (broadcast); exchanges are all sketch-sized.  r10 shares ONE
+    # l_partkey membership collapse across the sketch and exact arms:
+    # the static plan prints the canonically-identical subtree once
+    # per consumer (26 Exchange nodes) but AQE stage-reuse
+    # materializes the shared shuffles once at runtime (2.68->2.04 s
+    # measured, commit d9ea86f).
+    ("kmv_jaccard_intersection", 26, ["BroadcastHashJoin"],
      ["PythonUDF", "CartesianProduct", "SortMergeJoin"]),
     # MRL recall: candidate fetch joins + query broadcast; no quadratic
     # probes beyond the declared 5-query brute-force ground-truth arm
@@ -302,13 +308,16 @@ EXPECTATIONS = [
     # at construction, inside the prefix helper's eager checkpoint —
     # the visible plan starts at the checkpoint scan (ExistingRDD),
     # so the r8 "Union, no Join" spelling moved behind it.  What the
-    # final plan must show: the per-pid window + FORCED-broadcast
-    # joins only (O(P) offsets + 1-row totals — hint-pinned, no
-    # strategy for AQE to flip); sort-merge and cartesian stay
-    # banned.
-    ("decile_lift_table", 7, ["Scan ExistingRDD", "HashAggregate",
-     "BroadcastHashJoin"],
-     ["SortMergeJoin", "CartesianProduct", "PythonUDF"]),
+    # r10 serial-grid gate (commit cae5cfd): the ~60k-row collapsed
+    # spend grid rides ONE checkpointed block scan + a serial
+    # cumulative window; the only joins left are the hint-pinned
+    # 1-row-totals broadcast (BNL cross of a single aggregate row —
+    # the repo's sanctioned 1-row crossJoin form); sort-merge and
+    # true cartesian stay banned.
+    ("decile_lift_table", 4, ["Scan ExistingRDD", "HashAggregate",
+     "Window"],
+     ["SortMergeJoin", "CartesianProduct", "PythonUDF",
+      "SortMergeJoin"]),
 ]
 
 
