@@ -315,6 +315,48 @@ def _seed_stride(emb, k: int = _IVF_K) -> int:
     return _STRIDE_CACHE[key]
 
 
+def _assign_cells(emb: DataFrame, p: int = 1) -> DataFrame:
+    """Coarse-quantizer assignment, array-local (round 10, guide §2.4).
+
+    The K seed centroids collapse to ONE array row
+    (``sort_array(collect_list(struct(sid, semb)))`` — deterministic
+    order) broadcast into the corpus scan, and each vector ranks them
+    IN-ROW: ``array_sort(transform(seeds, s -> struct(-sdot, sid)))``
+    reproduces the former ``(sdot DESC, sid)`` window order exactly
+    (negation of a finite double preserves order; struct comparison
+    breaks ties on sid).  vs the r9 spelling — broadcast crossJoin to
+    n·K rows + ``row_number`` window — this removes BOTH the K-fold
+    row fan-out and the full shuffle+sort of embedding-carrying rows:
+    assignment is now a map-only stage, and every consumer of the cell
+    table starts from a zero-exchange subtree.  ``embedding`` is a
+    bound scan column inside the lambda (never a free expression — the
+    round-7 winnowing O(n²) inlining trap), and the 1-row seed frame
+    rides the repo's sanctioned broadcast-NL cross form.
+
+    Output: (vec_id, embedding, cells = array of the p nearest seed
+    ids, best first)."""
+    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+    )
+    seed_arr = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("sid", "semb"))).alias("_seed_arr")
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("_seed_arr"),
+            lambda s: F.struct(
+                (-dot_exact(F.col("embedding"), s["semb"])).alias("nd"),
+                s["sid"].alias("sid"),
+            ),
+        )
+    )
+    return emb.crossJoin(F.broadcast(seed_arr)).select(
+        "vec_id",
+        "embedding",
+        F.transform(F.slice(ranked, 1, p), lambda x: x["sid"]).alias("cells"),
+    )
+
+
 @query(
     "ivf_ann_topk",
     oracle=f"""
@@ -357,28 +399,23 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole index build is a pure expression both engines replay —
     the structural twin of a k-means IVF (train step swapped for seed
     selection; at 100 TB you'd train centroids offline on a sample and
-    broadcast them identically).  Costs: assignment = one broadcast
-    crossJoin (n·K array-local dots, no shuffle) + one window argmin;
-    probe = hash equi-join on cell id, O(cell) per query instead of
-    O(n).  Recall improves by probing the p nearest cells instead of 1
-    (nprobe) — same plan, wider filter on the assignment rank.
+    broadcast them identically).  Costs: assignment = the array-local
+    `_assign_cells` argmin (n·K in-row dots, ZERO shuffle — r10
+    replaced the crossJoin + window spelling); probe = hash equi-join
+    on cell id, O(cell) per query instead of O(n).  Recall improves by
+    probing the p nearest cells instead of 1 (nprobe) — same plan,
+    wider `_assign_cells(p)` slice.
     """
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
-        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    # ONE exchange on the probe join's own key: both join sides read
+    # the identical repartition subtree (ReusedExchange), so the n·K
+    # in-row dot ranking is evaluated once and the join is
+    # co-partitioned — no per-consumer recompute, no join exchanges.
     cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "sid")
+        _assign_cells(emb)
+        .select("vec_id", "embedding", F.col("cells")[0].alias("sid"))
+        .repartition("sid")
     )
     q = cells.filter(F.col("vec_id") < 5).alias("q")
     c = cells.alias("c")
@@ -444,30 +481,19 @@ def kmeans_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop idiom (localCheckpoint per round) is proven by
     `neardup_components`.
 
-    Plan: assignment = broadcast crossJoin of K seeds (array-local dot
-    products, NO shuffle of the big side) + one vec_id window argmin;
-    recompute = posexplode to (cell, dim) and ONE aggregate shuffle of
-    (K × dims) groups.  Per-dimension means use the exact-decimal sum
-    so the centroid is partitioning-independent — the property that
-    makes a distributed k-means run reproducible.  At 100 TB: K and
-    dims are fixed, so shuffle volume is per-partition partials only;
-    the dominant cost (n·K dots) is embarrassingly parallel."""
+    Plan: assignment = the array-local `_assign_cells` argmin (in-row
+    seed ranking, ZERO shuffle — r10 replaced the crossJoin + window
+    spelling); recompute = posexplode to (cell, dim) and ONE aggregate
+    shuffle of (K × dims) groups.  Per-dimension means use the
+    exact-decimal sum so the centroid is partitioning-independent —
+    the property that makes a distributed k-means run reproducible.
+    At 100 TB: K and dims are fixed, so shuffle volume is
+    per-partition partials only; the dominant cost (n·K dots) is
+    embarrassingly parallel."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
-        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("sid").alias("cell_id"), "embedding")
+    cells = _assign_cells(emb).select(
+        F.col("cells")[0].alias("cell_id"), "embedding"
     )
     flat = cells.select(
         "cell_id", F.posexplode("embedding").alias("dim_idx", "xf")
@@ -520,28 +546,18 @@ def ivf_ann_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`ivf_ann_topk`'s recall dial turned to nprobe=2: each query
     probes its TWO nearest cells (assignment rank ≤ 2) while the corpus
     stays single-cell — strictly more candidates, monotonically better
-    recall, same plan shape (the wider rank filter is the only delta;
-    cost grows linearly in nprobe, never back to O(n)).  This is the
-    production knob: recall misses in IVF come from the query's true
-    neighbors landing one cell over, and probing p cells recovers them
-    without touching index build cost."""
+    recall, same plan shape (the wider `_assign_cells(p=2)` slice is
+    the only delta; cost grows linearly in nprobe, never back to
+    O(n)).  This is the production knob: recall misses in IVF come
+    from the query's true neighbors landing one cell over, and probing
+    p cells recovers them without touching index build cost."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
-        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "sid")
+    assigned = _assign_cells(emb, p=2)
+    cells = assigned.select("vec_id", "embedding", F.col("cells")[0].alias("sid"))
     qcells = (
-        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
-        .select("vec_id", "embedding", "sid")
+        assigned.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding", F.explode("cells").alias("sid"))
         .alias("q")
     )
     c = cells.alias("c")
@@ -707,9 +723,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     130-over-120 filing argmax, /root/reference/src/transform.py:109-145);
     this is the embedding-space analogue a training-data pipeline needs.
 
-    Plan: cell assignment reuses the IVF coarse quantizer (broadcast
-    K-seed crossJoin + window argmin — no shuffle of the corpus until
-    the single hash exchange on cell id); the pair join is a hash
+    Plan: cell assignment reuses the IVF coarse quantizer
+    (`_assign_cells`, array-local in-row argmin — ZERO shuffle until
+    the ranked-salt window's hash exchange on cell id); the pair join is a hash
     equi-join on (cell, sub-cell) with cells over _SEM_CELL_CAP split
     into ranked sub-cells, so pair work is linear in cell size (cap
     constant), never O(cell²); norms are precomputed per vector (the
@@ -723,22 +739,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous."""
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
-        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
     cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        _assign_cells(emb)
         .select(
             "vec_id",
-            "sid",
+            F.col("cells")[0].alias("sid"),
             "embedding",
             F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
         )
@@ -749,8 +754,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("salt", ranked_salt(["sid"], "vec_id", _SEM_CELL_CAP))
         # materialized once: cells feeds the self-join twice plus the
         # final membership join, and Spark has no common-subplan reuse —
-        # without this the broadcast crossJoin + window argmin (the
-        # most expensive stage) would run three times
+        # without this the assignment scan + ranked-salt window would
+        # run three times
         .localCheckpoint(eager=True)
     )
     a = cells.alias("a")
@@ -1693,20 +1698,15 @@ def ivf_partitioned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % _seed_stride(emb) == 0).select(
-        F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
-    )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        dot_exact(F.col("embedding"), F.col("semb")).alias("sdot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sdot"), "sid")
+    # repartition on the write's partition column: one file per cell
+    # instead of (tasks × cells) splinters — the partitioned write's
+    # clustering exchange (guide §6) — and the probed-cell collect
+    # below reuses the same exchange instead of recomputing the
+    # in-row assignment.
     cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "sid")
+        _assign_cells(emb)
+        .select("vec_id", "embedding", F.col("cells")[0].alias("sid"))
+        .repartition("sid")
     )
     tag = hashlib.md5(
         (sf_dir + "|" + spark.sparkContext.applicationId).encode()
