@@ -66,19 +66,18 @@ _SQL_COPURCHASE = """
 """
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized distinct co-purchase edge list (columns u, v), the
-    Spark twin of ``_SQL_COPURCHASE``'s ``edges`` CTE, checkpointed
-    because every consumer reads it several times (per LPA round / per
-    moment-sum side).  One self-join on l_orderkey + one distinct —
-    the same plan `triangle_count_copurchase` uses; at 100 TB the
-    order-key join is the co-location candidate (bucket lineitem by
-    l_orderkey) and the distinct is the dedup shuffle."""
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY distinct co-purchase pairs (u < v), the Spark twin of
+    ``_SQL_COPURCHASE``'s ``pairs`` CTE: one self-join on l_orderkey +
+    one distinct.  At 100 TB the order-key join is the co-location
+    candidate (bucket lineitem by l_orderkey) and the distinct is the
+    dedup shuffle.  Single-pass consumers (degree_stats) read this
+    directly; multi-pass consumers go through `copurchase_edges`."""
     li = parallel_scan(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -87,6 +86,14 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct co-purchase edge list (columns u, v), the
+    Spark twin of ``_SQL_COPURCHASE``'s ``edges`` CTE, checkpointed
+    because every consumer reads it several times (per LPA round / per
+    moment-sum side — and the mirror union alone is two reads)."""
+    pairs = copurchase_pairs(spark, sf_dir)
     return (
         pairs.unionByName(
             pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -242,11 +249,18 @@ def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy on the node key (degrees) + one groupBy on the
     degree value (buckets, at most max-degree rows) + one unpartitioned
     window over that tiny distribution — the only unbounded shuffle is
-    the O(m) degree count."""
+    the O(m) degree count.  r10: this query reads the pair list ONCE,
+    so it consumes the LAZY `copurchase_pairs` and derives both
+    endpoints' degree contributions by an in-row explode(array(u, v))
+    instead of paying `copurchase_edges`' eager 2m-row checkpoint +
+    mirror union (which exist for multi-pass consumers only) — one
+    less materialization, same degrees."""
     prep(spark)
-    edges = copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").cast("bigint").alias("d")
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
     )
     dist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
