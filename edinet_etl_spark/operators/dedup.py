@@ -49,6 +49,29 @@ N_BANDS = 4  # rows-per-band r = N_HASHES / N_BANDS = 2
 _MAX_BUCKET = 64
 
 
+def canonical_docs(docs: DataFrame, *extra: str) -> DataFrame:
+    """Exact-duplicate collapse to the lowest-doc_id copy per
+    md5(text) fingerprint, shared by the seven canon-first dedup
+    queries.
+
+    r10 (guide §2.3, aggregate before you shuffle): replaces the
+    per-site row_number window over md5(text) — a full shuffle+SORT of
+    every text — with ``min(struct(doc_id, text, *extra))``: doc_id is
+    globally unique and compared first, so the aggregate picks the
+    IDENTICAL row without the comparison ever reaching the text, and
+    map-side partial aggregation folds byte-equal copies BEFORE the
+    exchange (the window form shuffles every copy; on a dup-heavy
+    lake-scale corpus that is the difference between shuffling the
+    corpus and shuffling its distinct texts).  The oracles keep their
+    ROW_NUMBER spelling — results are equal."""
+    cols = ["doc_id", "text", *extra]
+    return (
+        docs.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min(F.struct(*cols)).alias("_c"))
+        .select(*[F.col(f"_c.{c}").alias(c) for c in cols])
+    )
+
+
 def _shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """Character k-gram shingles: one row per (doc_id, position).
 
@@ -360,12 +383,7 @@ def canonical_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup decisions once exact copies are already folded)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
+    canon = canonical_docs(docs)
     bands = lsh_bands(minhash_signatures(canon))
     return candidate_pairs(bands)
 
@@ -776,12 +794,7 @@ def containment_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     intersection, same output."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
+    canon = canonical_docs(docs)
     cand = candidate_pairs(lsh_bands(minhash_signatures(canon)))
     toksets = canon.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
@@ -978,12 +991,7 @@ def simhash_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bands, radius) with radius < bands."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
+    canon = canonical_docs(docs)
     sigs = _simhash_sigs(spark, canon)
     # Round-10 restructure (guide §2.3/§3: shuffle fewer bytes, avoid
     # the join that re-ships every bucket member).  The old plan
@@ -1480,12 +1488,7 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
     candidate count, the same cost law as `jaccard_verify_candidates`."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
+    canon = canonical_docs(docs)
     sigs = minhash_signatures(canon).localCheckpoint(eager=True)
     pairs = candidate_pairs(lsh_bands(sigs))
     shd = _shingles(canon).select("doc_id", "sh").distinct().localCheckpoint(eager=True)
@@ -1624,12 +1627,7 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample; VERDICT r8 task 5.)"""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    wc = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text", "n_chars")
-    )
+    canon = canonical_docs(docs, "n_chars")
     parity = (
         F.conv(
             F.substring(
@@ -2031,12 +2029,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-equal copies share the whole shingle set, so raw-doc prefix
     # joins grow candidates k-squared per duplicate group; the 16-byte
     # groupBy absorbs that before any shingle leaves the scan
-    w_c = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(w_c))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    canon = canonical_docs(docs)
     words = F.split(F.col("text"), " ")
     # Guard: Spark's sequence(1, n-2) DESCENDS when n < 3 (DuckDB's
     # generate_series is empty) — short docs must yield no shingles,
@@ -2325,12 +2318,7 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rel_edit`` adds one correctly-rounded division."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
+    canon = canonical_docs(docs)
     bands = lsh_bands(minhash_signatures(canon))
     cand = candidate_pairs(bands)
     a = canon.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
