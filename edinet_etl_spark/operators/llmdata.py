@@ -1179,7 +1179,20 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
     """The BPE training loop (body of `bpe_train_steps`, reusable by
     the per-source apply query): returns one (round, a, b, count,
-    total_tokens_after) tuple per round."""
+    total_tokens_after) tuple per round.
+
+    r10 (guide §1.2 remove passes): ONE Spark job per round instead of
+    three.  A word with k symbols contributes k-1 pair rows each
+    carrying its count n, so Σ_pairs cnt = Σ_words n·(k-1) and the
+    round-r token total Σ n·k = Σ_pairs cnt + Σ_words n — i.e. round
+    r+1's pair aggregate already CONTAINS round r's total, and only
+    the last round needs its own token-count pass.  The per-round
+    argmax rides the same aggregate as min(struct(-cnt, a, b))
+    (identical to ORDER BY cnt DESC, a, b LIMIT 1 — struct comparison
+    is field-lexicographic).  The vocabulary is checkpointed ONCE;
+    each round's ≤ _BPE_ROUNDS literal replaces chain lazily on top
+    (vocab-sized string work, cheaper than an eager checkpoint job per
+    round)."""
     words = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.length("word") >= 1) & (~F.col("word").contains("·")))
@@ -1193,9 +1206,11 @@ def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
         ),
         F.lit("·"),
     )
-    vocab = words.select("n", sym0.alias("sym")).localCheckpoint(eager=True)
+    vocab0 = words.select("n", sym0.alias("sym")).localCheckpoint(eager=True)
     arr = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "··")
-    rows = []
+    vocab = vocab0
+    merges: list[tuple] = []  # (a, b, cnt) per round
+    pair_sums: list[int] = []  # Σ cnt at round r == token total AFTER round r-1
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             vocab.select("n", arr.alias("arr"))
@@ -1214,10 +1229,16 @@ def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("n").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), "a", "b")).alias("m"),
+                F.sum("cnt").cast("bigint").alias("pair_sum"),
+            )
+            .select("m.a", "m.b", (-F.col("m.neg")).cast("bigint").alias("cnt"),
+                    "pair_sum")
             .collect()[0]
         )
+        merges.append((top["a"], top["b"], top["cnt"]))
+        pair_sums.append(top["pair_sum"])
         vocab = vocab.select(
             "n",
             F.replace(
@@ -1225,13 +1246,18 @@ def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
                 F.lit(f"·{top['a']}··{top['b']}·"),
                 F.lit(f"·{top['a']}{top['b']}·"),
             ).alias("sym"),
-        ).localCheckpoint(eager=True)
-        total = (
-            vocab.select(F.sum(F.col("n") * F.size(arr)).cast("bigint").alias("t"))
-            .collect()[0]["t"]
         )
-        rows.append((r, top["a"], top["b"], top["cnt"], total))
-    return rows
+    final = vocab.agg(
+        F.sum(F.col("n") * F.size(arr)).cast("bigint").alias("t"),
+        F.sum("n").cast("bigint").alias("n_occ"),
+    ).collect()[0]
+    totals = [pair_sums[r] + final["n_occ"] for r in range(1, _BPE_ROUNDS)] + [
+        final["t"]
+    ]
+    return [
+        (r + 1, merges[r][0], merges[r][1], merges[r][2], totals[r])
+        for r in range(_BPE_ROUNDS)
+    ]
 
 
 @query(
