@@ -112,6 +112,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     construction.  Cuts per-shingle hashing 4× (measured 7.6s → ~2s at
     sf0.1) while keeping every lane reproducible in the SQL oracle.
     MIN over fixed-width hex strings == MIN over the 32-bit values.
+
+    r10 (guide §2.3 aggregate-before-shuffle, §1.2 per-task work): the
+    lanes aggregate as BIGINTs, not hex strings.  A string MIN is not
+    hash-aggregatable (no mutable fixed-width buffer), so Catalyst
+    planned SortAggregate behind a full per-partition Sort of the
+    exploded shingle stream — O(S log S) on the hottest table in the
+    dedup family.  Fixed-width lowercase hex is order-isomorphic to
+    its numeric value ('0'<…<'9'<'a'<…<'f'), so
+    ``min(conv(lane, 16, 10))`` picks the identical lane and
+    ``format_string('%08x', …)`` restores the byte-identical hex the
+    band hashes (and every oracle) expect.  Plan: Sort+SortAggregate →
+    HashAggregate with map-side partial min.
     """
     sh = _shingles(docs).select(
         "doc_id",
@@ -119,11 +131,19 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.md5(F.concat(F.lit("x:"), F.col("sh"))).alias("m2"),
     )
     half = N_HASHES // 2
-    return sh.groupBy("doc_id").agg(
-        *[F.min(F.substring("m1", 8 * s + 1, 8)).alias(f"h{s}") for s in range(half)],
+
+    def lane(m: str, s: int) -> Column:
+        return F.conv(F.substring(m, 8 * s + 1, 8), 16, 10).cast("bigint")
+
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(lane("m1", s)).alias(f"v{s}") for s in range(half)],
+        *[F.min(lane("m2", s)).alias(f"v{s + half}") for s in range(half)],
+    )
+    return mins.select(
+        "doc_id",
         *[
-            F.min(F.substring("m2", 8 * s + 1, 8)).alias(f"h{s + half}")
-            for s in range(half)
+            F.format_string("%08x", F.col(f"v{s}")).alias(f"h{s}")
+            for s in range(N_HASHES)
         ],
     )
 

@@ -635,15 +635,31 @@ def hashed_tf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from edinet_etl_spark.operators.similarity import dot_exact
 
+    # r10 (guide §2.3 project-before-the-exchange applied to per-pair
+    # work): cast-to-double and the self-norm are per-ROW facts, so
+    # compute them once per side BEFORE the cross join — the old form
+    # re-ran transform(v) on both sides and THREE interpreted HOF dot
+    # products per (query × neighbor) pair; now each pair pays exactly
+    # one dot + one divide.  sqrt(a)·sqrt(b) is the same two
+    # correctly-rounded sqrts and product as before — cosine bits
+    # unchanged.
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    vecs = vecs.select(
+        "doc_id",
+        vd.alias("vd"),
+        F.sqrt(dot_exact(vd, vd)).alias("norm"),
+    )
     q = vecs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("doc_id").alias("query_id"),
+        F.col("vd").alias("qv"),
+        F.col("norm").alias("qn"),
     )
-    n = vecs.select(F.col("doc_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    qv = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    nv = F.transform(F.col("nv"), lambda x: x.cast("double"))
-    cosine = dot_exact(qv, nv) / (
-        F.sqrt(dot_exact(qv, qv)) * F.sqrt(dot_exact(nv, nv))
+    n = vecs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("vd").alias("nv"),
+        F.col("norm").alias("nn"),
     )
+    cosine = dot_exact(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         n.crossJoin(F.broadcast(q))
