@@ -641,61 +641,52 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary payload column changes the kernel's input line only."""
     prep(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    # r10 (same restructure as simhash_hamming_near_pairs, guide
-    # §2.3/§3): the old tail self-joined the exploded band table and
-    # fed EVERY bucket pair (≈1M rows at sf0.1, mostly within-family
-    # repeats across the 4 bands) through DISTINCT, then re-attached
-    # both signatures with two more joins.  Now each band bucket
-    # carries its members' full signatures through ONE
-    # groupBy(bi, bv), pairs expand in-row, Hamming is scored inline
-    # and filtered BEFORE the distinct — zero joins, and the only
-    # corpus-wide shuffles are the 20k-row bucket groupBy and the
-    # surviving pairs.  sig has one consumer now, so the eager
-    # checkpoint (two-consumer rule) is gone and the Python island
-    # runs exactly once inside the plan.
     sig = docs.mapInPandas(
         _ahash_batches,
         schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+    ).localCheckpoint(eager=True)  # feeds the bucket explode AND both
+    # sides of the verify join (two-consumer rule; also caps the
+    # Python island at one run)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
+                )
+                for i in range(_AHASH_BANDS)
+            ])
+        ).alias("s"),
+    ).select("doc_id", "s.bi", "s.bv")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bi", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "bi", "bv")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    member = F.struct(
-        "doc_id", *[F.col(f"b{i}") for i in range(_AHASH_BANDS)]
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_AHASH_BANDS)],
     )
-    buckets = (
-        sig.select(
-            member.alias("m"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
-                    )
-                    for i in range(_AHASH_BANDS)
-                ])
-            ).alias("s"),
-        )
-        .select("s.bi", "s.bv", "m")
-        .groupBy("bi", "bv")
-        .agg(F.collect_list("m").alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = (
-        buckets.select(F.explode("ms").alias("x"), "ms")
-        .select("x", F.explode("ms").alias("y"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_AHASH_BANDS)],
     )
     ham = None
     for i in range(_AHASH_BANDS):
         term = F.bit_count(
-            F.col(f"x.b{i}").bitwiseXOR(F.col(f"y.b{i}"))
+            F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))
         )
         ham = term if ham is None else ham + term
     return (
-        pairs.select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            ham.cast("bigint").alias("hamming"),
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
         )
         .filter(F.col("hamming") <= _AHASH_MAXHAM)
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
