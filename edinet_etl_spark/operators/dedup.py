@@ -2050,23 +2050,37 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins grow candidates k-squared per duplicate group; the 16-byte
     # groupBy absorbs that before any shingle leaves the scan
     canon = canonical_docs(docs)
-    words = F.split(F.col("text"), " ")
+    # r10: the word array is MATERIALIZED behind an exchange before
+    # the trigram lambda reads it.  The old spelling closed the lambda
+    # over the `split(text)` EXPRESSION — the round-7 inlining trap
+    # (CLAUDE.md): Catalyst inlines the free variable into the lambda
+    # body and re-splits the text once PER POSITION, O(words²) per
+    # doc.  Measured on the shd build alone at sf0.1: 3.9-4.6 s →
+    # 0.31-0.58 s (≈13×), row-identical; full query 9.5 → ~5 s fresh.
+    # The repartition key is doc_id — the same clustering the distinct
+    # and the downstream per-doc aggregates want anyway.
+    cw = canon.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    ws = F.col("ws")
     # Guard: Spark's sequence(1, n-2) DESCENDS when n < 3 (DuckDB's
     # generate_series is empty) — short docs must yield no shingles,
-    # not element_at(words, 0) errors
+    # not element_at(ws, 0) errors
     idx = F.when(
-        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
     ).otherwise(F.expr("array()").cast("array<int>"))
     trigrams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
         ),
     )
-    shd = canon.select(
+    shd = cw.select(
         "doc_id", F.explode(trigrams).alias("sh")
     ).distinct()
     sizes = shd.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))

@@ -348,20 +348,30 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01)."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_seg = F.ceil(F.size(words) / F.lit(_SEG_WORDS)).cast("int")
+    # r10: the word array is materialized behind an exchange BEFORE
+    # the segmentation lambda reads it — the checkpoint (below) kept
+    # the inline-split trap to ONE evaluation per doc, but that one
+    # pass still re-split the text per segment (O(words²/4) per doc);
+    # with `ws` a bound column the pass is linear.  Measured on the
+    # checkpoint-producing pass alone at sf0.1: 0.42-0.72 s →
+    # 0.20-0.23 s, row-identical.
+    dw = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    ws = F.col("ws")
+    n_seg = F.ceil(F.size(ws) / F.lit(_SEG_WORDS)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_seg - F.lit(1)),
         lambda i: F.concat_ws(
-            " ", F.slice(words, i * _SEG_WORDS + F.lit(1), F.lit(_SEG_WORDS))
+            " ", F.slice(ws, i * _SEG_WORDS + F.lit(1), F.lit(_SEG_WORDS))
         ),
     )
-    # materialize the segment arrays ONCE: the segmentation lambda
-    # closes over the split(text) EXPRESSION (re-splits per segment —
-    # the `_ngram_array` trap), and three branches now consume it
+    # materialize the segment arrays ONCE: three branches consume them
     # (boiler df, dropped-index list, array-local rebuild); after the
     # eager checkpoint all three read a bound column
-    segd = docs.select("doc_id", segs.alias("segs")).localCheckpoint(
+    segd = dw.select("doc_id", segs.alias("segs")).localCheckpoint(
         eager=True
     )
     seg = segd.select(
