@@ -53,6 +53,14 @@ _SCRUB: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"(partitioning\([^)]*?),\s*\d+\)"), r"\1, P)"),
     (re.compile(r"REPARTITION_BY_NUM\(\d+\)"), "REPARTITION_BY_NUM(P)"),
     (re.compile(r"Coalesce \d+"), "Coalesce P"),
+    # key-less round-robin repartitions size to the core count
+    # (parallel_scan's repartition(cores)); the driver benches the same
+    # tree at BOTH 32 and 8 cores, and r10's attribution showed exactly
+    # these tokens flipping 10 of 56 headliner hashes between the two
+    # runs (VERDICT r10 item 2) — scrub the count like hashpartitioning
+    (re.compile(r"RoundRobinPartitioning\(\d+\)"), "RoundRobinPartitioning(P)"),
+    # Range(...) leaf splits default to defaultParallelism (same class)
+    (re.compile(r"(Range \([^)]*?splits=)\d+\)"), r"\1P)"),
     # AQE wrapper flag flips once executed; hash the static shape only
     (re.compile(r"isFinalPlan=(true|false)"), "isFinalPlan=_"),
     # trailing whitespace differences

@@ -80,69 +80,54 @@ def load_all() -> None:
 # llmdata head) sort last; within unlisted queries, family order below
 # then registration order.  Names here that stop existing raise at
 # lookup time (guarded in _ordered_names).
-# Round-10 rotation (VERDICT r9 task 1: retire the stale driver
-# cohort).  The head carries the round-10 net-news (first driver
-# rows, per r8/r9 practice), this round's code-changed re-proofs
-# (copurchase_assortativity NULLIF zero-guard, textrank checkpoint
-# restructure, and the FIVE queries the new window-boundedness lint
-# caught serializing linear grains — all rewired through
-# prefix.range_prefix_sum, all plan-hash changes), then ALL 30 names
-# whose latest driver row is ROUND 2 (the oldest evidence in the
-# registry — the KM saga proved only a driver row retires engine-pair
-# environment-divergence risk), then the oldest r3 names with the
-# four timestamp-touching risk-class queries FIRST
-# (gapfill_locf_hourly, hourly_ohlc_bars, late_shipment_priorities,
-# lineitem_ship_lag_range — exactly the KM risk class), then the r3
-# cohort alphabetically up to the 50-name window.
+# Round-11 rotation (VERDICT r10 task 1: the round-10 optimization
+# rewrites landed AFTER the r10 window froze, so the heaviest semantic
+# rewrites — minhash bigint lanes (12-consumer blast radius), the
+# canonical-docs min(struct) collapse, the array_intersect verify, the
+# IVF in-row ranking, span scrub, kmv shared pass, BPE job folding —
+# carry no driver correctness row on their new plans.  The r11 head is
+# exactly those driver-unproven rewritten paths, dedup/LSH family
+# first, then this round's own optimization targets, then backfill
+# from the oldest-evidence (r3) cohort up to the 50-name window.
 _PRIORITY: tuple[str, ...] = (
-    # ---- round-10 net-new (first driver rows) ----
-    "largestar_smallstar_components", "streaming_neardup_dedup",
-    # ---- code changed this round (re-proof): advice fixes ----
-    "copurchase_assortativity", "textrank_corpus_keywords",
-    # ---- code changed this round (re-proof): lint-caught serial
-    # windows rewired through the range-partitioned prefix scan ----
-    "spearman_rank_corr", "mannwhitney_value_by_type",
-    "value_distribution_ks", "decile_lift_table",
-    "split_conformal_coverage",
-    # ---- backfill: the ENTIRE round-2-latest cohort (30) ----
-    "local_supplier_volume", "lsh_bucket_ann", "multimodal_decode",
-    "nation_balance_full_join", "nullsafe_segment_match",
-    "order_priority_check", "order_union_all",
-    "pandas_udf_clipped_balances", "part_membership_filters",
-    "pii_scrub_customers", "pq_adc_topk",
-    "price_neighbor_pairs_binned", "props_json_decode",
-    "region_nation_cross", "returnflag_multiset_ops",
-    "segment_intersect", "source_mix_report",
-    "sql_lateral_top2_orders", "sql_top_nation_per_region",
-    "streaming_purchase_attribution", "streaming_tumbling_hourly",
-    "streaming_user_totals", "string_functions",
-    "suppliers_kept_waiting", "table_counts", "text_stats",
-    "token_budget_pack", "top_unshipped_orders",
-    "triangle_count_copurchase", "udtf_char_ngrams",
-    "year_offset_decode",
-    # ---- oldest of the round-3 cohort: timestamp risk class first ----
-    "gapfill_locf_hourly", "hourly_ohlc_bars",
-    "late_shipment_priorities", "lineitem_ship_lag_range",
-    # ---- then alphabetically ----
-    "bilateral_trade_volume", "binned_quantile_sketch",
-    "bloom_filter_bitmap", "bloom_prejoin_reduction",
-    "bracketed_quantity_revenue", "cms_sketch_counts",
-    "copurchase_lift_pairs",
-    # ---- behind the window: the rest of the round-3 cohort, so a
-    # wider sweep (or the r11 head) picks them up first ----
-    "customer_order_distribution", "customer_spend_trend",
-    "embedding_neardup_blocked", "grouped_map_user_zscore",
-    "hard_negative_mining", "heavy_promo_suppliers",
-    "important_part_value",
-    "inactive_rich_customers", "ivf_ann_topk", "ivf_recall_at3",
-    "jl_projection_recall", "kcore_copurchase_peel",
-    "kmeans_train_step", "kmv_distinct_estimate",
+    # ---- r10-rewritten, driver-unproven: dedup/LSH family ----
+    "minhash_lsh_candidates", "canonical_minhash_candidates",
+    "jaccard_verify_candidates", "containment_verify_candidates",
+    "simhash_hamming_near_pairs", "neardup_components",
+    "minhash_jaccard_estimate_error", "lsh_recall_curve",
+    "prefix_filter_jaccard_join", "edit_distance_near_pairs",
+    "duplicate_span_scrub", "lsh_band_bucket_stats",
+    "delta_dedup_against_corpus", "neardup_canonical_docs",
+    # ---- r10-rewritten: IVF/PQ family (in-row coarse quantizer,
+    # min(struct) code assignment) ----
+    "ivf_ann_topk", "ivf_ann_nprobe2", "kmeans_train_step",
+    "semdedup_prune", "ivf_partitioned_index_topk", "ivf_recall_at3",
+    "pq_codebook_recon_error",
+    # ---- r10-rewritten: the rest ----
+    "kmv_jaccard_intersection", "dsir_importance_weights",
+    "bpe_train_steps", "bpe_apply_per_source",
+    "boilerplate_segment_removal", "hashed_tf_cosine_topk",
+    "copurchase_degree_stats", "image_ahash_neardup",
+    # ---- round-11 optimization targets (VERDICT r10 task 4) ----
+    "fuzzy_name_linkage", "skipgram_training_pairs",
+    "repetition_scores",
+    # ---- backfill: oldest-evidence (r3) cohort, continuing the r10
+    # rotation order (copurchase_lift_pairs was cut at the r10
+    # boundary) ----
+    "copurchase_lift_pairs", "customer_order_distribution",
+    "customer_spend_trend", "embedding_neardup_blocked",
+    "grouped_map_user_zscore", "hard_negative_mining",
+    "heavy_promo_suppliers", "important_part_value",
+    "inactive_rich_customers", "jl_projection_recall",
+    "kcore_copurchase_peel", "kmv_distinct_estimate",
     "kmv_sketch_merge", "large_volume_customers",
     "min_price_supplier_per_part", "nation_market_share",
     "pagerank_event_graph", "part_price_band_join",
+    # ---- behind the window: the rest of the round-3 cohort, so a
+    # wider sweep (or the r12 head) picks them up first ----
     "parttype_profit_by_nation_year", "pq_recall_at3",
     "promo_revenue_share", "returned_item_top_customers",
-    "seasonal_hourly_anomalies", "semdedup_prune",
+    "seasonal_hourly_anomalies",
     "small_quantity_revenue", "sql_recursive_paydown",
     "sql_udf_band_totals", "streaming_attribution_left_outer",
     "streaming_cdc_snapshot", "streaming_dedup_events",

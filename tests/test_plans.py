@@ -427,6 +427,26 @@ def test_plan_hash_normalizes_session_counters():
     assert normalize_plan(a) == normalize_plan(b)
 
 
+def test_plan_hash_normalizes_core_count_tokens():
+    """normalize_plan must scrub core-count-derived tokens so the SAME
+    query code hashes identically at local[32] and local[8]: the driver
+    benches both, and in round 10 `RoundRobinPartitioning(N)` (from
+    parallel_scan's repartition(cores)) and `Range(..., splits=N)`
+    flipped 10 of 56 headliner hashes between the two runs, making
+    hash-unchanged⇒noise attribution unsound (VERDICT r10 item 2)."""
+    from edinet_etl_spark.planhash import normalize_plan
+
+    a = (
+        "Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM, [plan_id=12]\n"
+        "+- Range (0, 1, step=1, splits=32)"
+    )
+    b = (
+        "Exchange RoundRobinPartitioning(8), REPARTITION_BY_NUM, [plan_id=99]\n"
+        "+- Range (0, 1, step=1, splits=8)"
+    )
+    assert normalize_plan(a) == normalize_plan(b)
+
+
 @pytest.mark.deep
 def test_plans_md_is_current_for_whole_registry(plan_spark):
     """PLANS.md freshness gate over EVERY registered query: recompute
