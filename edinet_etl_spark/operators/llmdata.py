@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from edinet_etl_spark.registry import query
 from edinet_etl_spark.session import prep
 from edinet_etl_spark.numeric import sql_dsum, dsum
-from edinet_etl_spark.tables import load
+from edinet_etl_spark.tables import load, parallel_scan
 
 
 @query(
@@ -2007,38 +2007,56 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the training set is reproducible row-for-row on any cluster
     (the same substitution every sampler in this repo makes).
 
-    Scale: the co-occurrence self-join is equi on doc_id with a ±2
-    position band, so fan-out is ≤ 2·window per token — linear in
-    corpus tokens, collapsed map-side into the (center, context)
-    aggregate (Zipf-bounded like the BPE vocab).  Negatives join the
+    Scale: co-occurrence is generated IN-ROW from each document's word
+    array (≤ 2·window contexts per token, one explode) — linear in
+    corpus tokens with no self-join and no corpus-sized broadcast,
+    collapsed map-side into the (center, context) aggregate
+    (Zipf-bounded like the BPE vocab).  Negatives join the
     top pairs against the broadcast 500-row vocabulary by hashed rank;
     the modulus is the vocabulary's OWN count, so the query is correct
     even on corpora with fewer distinct tokens."""
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
-    )
-    a = tok.select(
-        F.col("doc_id").alias("a_doc"), F.col("pos").alias("a_pos"),
-        F.col("token").alias("center"),
-    )
-    b = tok.select(
-        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
-        F.col("token").alias("context"),
+    # Co-occurrence WITHOUT the corpus self-join: the whole (center,
+    # context) pair list of a document is built in-row from the word
+    # array and exploded ONCE — same multiplicity as the doc-keyed
+    # equi-join with a ±window position band, but no broadcast of the
+    # exploded token stream and no join (guide §2.4/§3.3).  `ws` is a
+    # named non-cheap column referenced many times, so CollapseProject
+    # cannot inline split(text) into the lambdas (round-7 rule; the
+    # repetition_scores plan proves this spelling stays bound).  The
+    # join dropped null-doc_id rows; `when(isNotNull)` reproduces that
+    # in-expression (NULL ws → explode emits nothing) without a Filter
+    # node.  parallel_scan spreads the HOF-heavy pair build across the
+    # cluster when the layout pins the scan to one task (measured A/B:
+    # in-row 1-task is SLOWER than the old codegen join; 32-way it wins
+    # 0.72 s vs 0.93 s for the co stage at sf0.1).
+    pair_src = parallel_scan(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id").isNotNull(), F.split(F.col("text"), " ")).alias("ws")
     )
     co = (
-        a.join(
-            b,
-            (F.col("a_doc") == F.col("b_doc"))
-            & (F.col("b_pos") >= F.col("a_pos") - _SG_WINDOW)
-            & (F.col("b_pos") <= F.col("a_pos") + _SG_WINDOW)
-            & (F.col("b_pos") != F.col("a_pos")),
+        pair_src.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ws, (c, i) -> "
+                    f"transform(filter(sequence(i - {_SG_WINDOW}, i + {_SG_WINDOW}), "
+                    "j -> j != i AND j >= 0 AND j < size(ws)), "
+                    "j -> named_struct('center', c, 'context', ws[j]))))"
+                )
+            ).alias("p")
         )
+        .select("p.center", "p.context")
         .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("n_cooccur"))
     )
     top_pairs = co.orderBy(F.desc("n_cooccur"), "center", "context").limit(_SG_TOPK)
+    # Vocab stays on the plain scan: its aggregate collapses map-side,
+    # so the parallel_scan exchange costs more than the 1-task explode
+    # saves (measured), and the three consumers below (vs/n1/n2) spell
+    # IDENTICAL shuffle subtrees that AQE deduplicates at runtime via
+    # shuffle-stage reuse — an eager checkpoint only serializes the job
+    # (A/B: checkpoint 1.21 s vs stage-reuse 0.87 s full query).
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     wv = Window.orderBy(F.desc("cnt"), "token")
     vocab = (

@@ -247,17 +247,22 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(c_name, p + 2, length(c_name))"),
         ).alias("dirty_name"),
     )
+    # DISTINCT is per-clean_id only (variants of different custkeys are
+    # distinct rows regardless), so dedup in-row with array_distinct
+    # BEFORE the explode instead of a corpus-wide exchange + two hash
+    # aggregates (guide §2.4).  The lambda closes over c_name, a bound
+    # scan attribute — not an expression — so no Catalyst re-evaluation
+    # (round-7 nested-lambda rule).
     variants = cust.select(
         F.col("c_custkey").alias("clean_id"),
-        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
-        "c_name",
-    ).select(
-        "clean_id",
-        F.concat(
-            F.expr("substring(c_name, 1, i - 1)"),
-            F.expr("substring(c_name, i + 1, length(c_name))"),
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(c_name)), "
+                "i -> concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name)))))"
+            )
         ).alias("variant"),
-    ).distinct()
+    )
     matches = dirty.join(variants, dirty.dirty_name == variants.variant)
     return matches.groupBy("dirty_id", "dirty_name").agg(
         F.min("clean_id").cast("bigint").alias("matched_id"),
