@@ -1237,6 +1237,16 @@ def _bpe_learn_merges(spark: SparkSession, docs: DataFrame) -> list[tuple]:
                     "pair_sum")
             .collect()[0]
         )
+        if top["a"] is None:
+            # Degenerate corpus: no pair left to merge this round.  The
+            # global aggregate over an empty pair set yields one
+            # all-null row; without this guard the merge loop would
+            # silently build a '·None··None·' replace literal (old
+            # pre-fold behavior raised IndexError here).  Fail loud.
+            raise ValueError(
+                f"bpe_train_steps: no symbol pairs left at round {r} "
+                f"(corpus exhausted before _BPE_ROUNDS={_BPE_ROUNDS})"
+            )
         merges.append((top["a"], top["b"], top["cnt"]))
         pair_sums.append(top["pair_sum"])
         vocab = vocab.select(
