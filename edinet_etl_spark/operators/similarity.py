@@ -408,14 +408,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    # ONE exchange on the probe join's own key: both join sides read
-    # the identical repartition subtree (ReusedExchange), so the n·K
-    # in-row dot ranking is evaluated once and the join is
-    # co-partitioned — no per-consumer recompute, no join exchanges.
-    cells = (
-        _assign_cells(emb)
-        .select("vec_id", "embedding", F.col("cells")[0].alias("sid"))
-        .repartition("sid")
+    # NO repartition("sid") here (r11 revert of the r10 clustering):
+    # with K=10 cells the sid hash occupies ~4 of 32 buckets, so every
+    # downstream stage collapsed to that parallelism — the 10× rung
+    # measured 3.2 s clustered vs 1.1 s unclustered (sf0.1: 0.90 vs
+    # 0.82).  The feared per-side assignment recompute is a non-issue:
+    # the q filter (vec_id < 5) pushes below the assignment project, so
+    # the q-side recompute ranks 5 rows, and the c side computes the
+    # n·K ranking once at full scan parallelism.  The tiny q side
+    # broadcasts (AQE), so the join needs no co-partitioning either.
+    cells = _assign_cells(emb).select(
+        "vec_id", "embedding", F.col("cells")[0].alias("sid")
     )
     q = cells.filter(F.col("vec_id") < 5).alias("q")
     c = cells.alias("c")
@@ -1698,15 +1701,21 @@ def ivf_partitioned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    # repartition on the write's partition column: one file per cell
-    # instead of (tasks × cells) splinters — the partitioned write's
-    # clustering exchange (guide §6) — and the probed-cell collect
-    # below reuses the same exchange instead of recomputing the
-    # in-row assignment.
+    # The write's clustering exchange keys on (sid, deterministic salt)
+    # instead of bare sid (r11): K=10 cells hash into ~4 of 32 buckets,
+    # so the sid-only clustering serialized the write AND the read-back
+    # (10× rung: 5.2 s sid-only vs 4.2 s salted vs 2.6/2.8 s at sf0.1).
+    # The salt is xxhash64 of the PK — deterministic under task retry
+    # (guide §2.5; never rand()) — and L scales with the cluster, so
+    # each cell lands in ≤ L files of ~cell_bytes/L (guide §6 sizing:
+    # at 100 TB cells are huge and MUST split; one-file-per-cell was a
+    # fixture-size artifact).  Partition pruning is untouched — pruning
+    # keys on the sid directory, not the file layout inside it.
+    salt_l = max(1, spark.sparkContext.defaultParallelism // _IVF_K)
     cells = (
         _assign_cells(emb)
         .select("vec_id", "embedding", F.col("cells")[0].alias("sid"))
-        .repartition("sid")
+        .repartition(F.col("sid"), F.pmod(F.xxhash64("vec_id"), F.lit(salt_l)))
     )
     tag = hashlib.md5(
         (sf_dir + "|" + spark.sparkContext.applicationId).encode()
