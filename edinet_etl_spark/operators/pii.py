@@ -247,22 +247,29 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(c_name, p + 2, length(c_name))"),
         ).alias("dirty_name"),
     )
-    # DISTINCT is per-clean_id only (variants of different custkeys are
-    # distinct rows regardless), so dedup in-row with array_distinct
-    # BEFORE the explode instead of a corpus-wide exchange + two hash
-    # aggregates (guide §2.4).  The lambda closes over c_name, a bound
-    # scan attribute — not an expression — so no Catalyst re-evaluation
-    # (round-7 nested-lambda rule).
+    # Round-11 note: the global DISTINCT here was twice re-spelled
+    # shuffle-free (array_distinct in-row; a run-boundary filter — the
+    # distinct variants are exactly one deletion position per maximal
+    # equal-character run) and BOTH forms verified oracle-identical and
+    # won or tied the variants stage in isolation — yet both LOST the
+    # full query at the 10× rung (old 3.4-4.1 s vs 5.6-11.5 s; sf0.1
+    # differences within the day's ±5% drift).  The broadcast build
+    # from the post-aggregate side beats building straight off the
+    # generate once the variant stream is millions of rows, and the
+    # replica's name collisions make the post-join aggregate (14.8M
+    # match rows at sf1) the real bound either way.  Kept the exchange;
+    # the 10× rung rules (SCALE.md round-11; winnowing precedent).
     variants = cust.select(
         F.col("c_custkey").alias("clean_id"),
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, length(c_name)), "
-                "i -> concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1, length(c_name)))))"
-            )
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
+        "c_name",
+    ).select(
+        "clean_id",
+        F.concat(
+            F.expr("substring(c_name, 1, i - 1)"),
+            F.expr("substring(c_name, i + 1, length(c_name))"),
         ).alias("variant"),
-    )
+    ).distinct()
     matches = dirty.join(variants, dirty.dirty_name == variants.variant)
     return matches.groupBy("dirty_id", "dirty_name").agg(
         F.min("clean_id").cast("bigint").alias("matched_id"),
